@@ -1,0 +1,86 @@
+"""Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Execution is forced with the `noop`
+sink (full computation, no driver materialization) so timings measure the
+distributed plan, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one representative per major category (extended as
+# categories land). Keys not yet registered are skipped silently so this
+# file never breaks mid-build.
+HEADLINE = [
+    "agg_groupby_basic",
+    "agg_rollup",
+    "agg_count_distinct",
+    "pivot_values",
+    "join_multiway_star",
+    "join_asof",
+    "win_topk_per_group",
+    "win_running_total",
+    "set_except_all",
+    "fn_json_extract",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_search_cosine_topk",
+    "text_tfidf_topterms",
+    "etl_scd2_dimension",
+    "stream_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from dbsuite_spark.session import get_spark
+
+    import dbsuite_spark
+
+    spark = get_spark(app_name="dbsuite-bench")
+    specs = dbsuite_spark.all_specs()
+
+    def run(name: str) -> float:
+        fn = specs[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    # Warm the JVM/codegen path once (untimed).
+    warm = next((k for k in HEADLINE if k in specs), None)
+    if warm:
+        run(warm)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,15 @@
+"""dbsuite_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of waveform-computing/dbsuite, re-expressed
+Spark-first (SURVEY.md §2 is the operator contract).
+
+Importing this package registers every operator into
+``dbsuite_spark.registry``; ``__spark_entry__.py`` re-exports the driver
+contract from there.
+"""
+
+from __future__ import annotations
+
+from dbsuite_spark import operators  # noqa: F401  (registers category A–G)
+from dbsuite_spark.registry import all_specs, oracle_sql, queries  # noqa: F401
+
+__all__ = ["queries", "oracle_sql", "all_specs"]

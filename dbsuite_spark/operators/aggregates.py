@@ -1,0 +1,420 @@
+"""Category D — aggregation operators (SURVEY §2D).
+
+Reference semantics: the DB2 LUW GROUP BY / super-group (ROLLUP, CUBE,
+GROUPING SETS) / column-function dialect surface parsed by dbsuite
+(reference checkout empty — provenance is SURVEY §0/§2, [PUBLIC,
+module-level]). Execution is Spark-native: hash aggregation with automatic
+partial+final (map-side combine) — no custom machinery.
+
+Scale notes (100 TB): every aggregate here is a single shuffle on the group
+keys with partial aggregation before the exchange; decimal-exact sums
+(``exact.dsum``) commute across partitions so results are bit-stable under
+any partitioning. No collect(), no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.exact import BIGCOUNT, DAVG, DEC, DSUM, davg, dsum
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import register_views, t
+
+_FLAGSHIP_CUTOFF = "2001-09-02"
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): scan → filter → computed projection
+    → groupBy → 8 aggregates → sort. The minimum end-to-end slice of
+    SURVEY §7.3."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_FLAGSHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM('l_quantity')} AS sum_qty,
+       {DSUM('l_extendedprice')} AS sum_base_price,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {DAVG('l_quantity')} AS avg_qty,
+       {DAVG('l_extendedprice')} AS avg_price,
+       {DAVG('l_discount')} AS avg_disc,
+       {BIGCOUNT()} AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_FLAGSHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+query("agg_groupby_basic", oracle=FLAGSHIP_ORACLE, category="D")(flagship)
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT {DSUM('o_totalprice')} AS total_revenue,
+       {DAVG('o_totalprice')} AS avg_order,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_order,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_order,
+       {BIGCOUNT()} AS n_orders
+FROM orders
+""",
+    category="D",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate without GROUP BY (single global group)."""
+    return t(spark, sf_dir, "orders").agg(
+        dsum(F.col("o_totalprice")).alias("total_revenue"),
+        davg(F.col("o_totalprice")).alias("avg_order"),
+        F.min("o_totalprice").alias("min_order"),
+        F.max("o_totalprice").alias("max_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, {DSUM('o_totalprice')} AS spend, {BIGCOUNT()} AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(CAST(o_totalprice AS DECIMAL(18,6))) > 400000
+""",
+    category="D",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING post-aggregation filter; decimal-exact so the threshold
+    predicate is engine-stable."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("spend") > 400000)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       {BIGCOUNT()} AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="D",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT x), multi-column. Spark expands to a two-phase
+    distinct-then-count plan (expand + partial agg) automatically."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct", category="D", tags=("weak",))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    COUNT(DISTINCT). No oracle (estimate is engine-specific); tests assert
+    within ±5% of exact (SURVEY §2D)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name,
+       {BIGCOUNT()} AS n_customers,
+       {DSUM('c_acctbal')} AS total_bal,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, category="D")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP super-group (DB2 'super groups'): nation subtotals, region
+    subtotals, grand total. grouping_id disambiguates genuine NULL keys."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {BIGCOUNT()} AS n_orders,
+       {DSUM('o_totalprice')} AS revenue,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE, category="D")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations of (status, priority)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {BIGCOUNT()} AS n_orders,
+       {DSUM('o_totalprice')} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE, category="D")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan as
+    rollup/cube)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {DSUM('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+SELECT l_returnflag,
+       {DSUM("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")}
+           AS high_disc_revenue,
+       CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS big_qty_rows,
+       {BIGCOUNT()} AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="D",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: SUM(CASE WHEN) / FILTER clause."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("high_disc_revenue"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("big_qty_rows"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_linestatus,
+       ROUND(STDDEV_SAMP(l_quantity), 3) AS sd_qty,
+       ROUND(STDDEV_POP(l_quantity), 3) AS sdp_qty,
+       ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 1) AS covar_qty_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    category="D",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical column functions (DB2 OLAP funcs): STDDEV/VAR/CORR/COVAR.
+    Rounded on both sides — streaming-moment algorithms agree to ~1e-12
+    relative, far inside the rounding (SURVEY §7.4.1)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 3).alias("sdp_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+    category="D",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99). Spark `percentile`
+    and DuckDB `quantile_cont` both interpolate linearly."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query("agg_percentile_approx", category="D", tags=("weak",))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB percentile
+    path: mergeable sketch, single shuffle, bounded memory. Tested vs exact
+    within accuracy bound; no SQL oracle (sketch is engine-specific)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT l_orderkey,
+       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+""",
+    category="D",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array collection, deterministically sorted (LISTAGG analog)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    category="D",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG with separator, ordered + distinct."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+    )
+
+
+@query(
+    "agg_count_if",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS big_values,
+       {BIGCOUNT()} AS n_events
+FROM events
+GROUP BY event_type
+""",
+    category="D",
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if: rows matching a predicate."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("big_values"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {DSUM("CASE WHEN event_type = 'click' THEN value END")} AS click,
+       {DSUM("CASE WHEN event_type = 'error' THEN value END")} AS error,
+       {DSUM("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+       {DSUM("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+       {DSUM("CASE WHEN event_type = 'view' THEN value END")} AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("pivot_values", oracle=_PIVOT_ORACLE, category="D")
+def pivot_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type rows → one column of sums per type. Explicit value
+    list keeps the plan a single pass (no extra distinct-values job) — the
+    scalable form."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(dsum(F.col("value")))
+    )

@@ -1,0 +1,76 @@
+"""Central query registry — the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2 registers itself here as a ``QuerySpec``:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a
+DuckDB oracle SQL string. ``__spark_entry__.py`` re-exports ``queries()``
+and ``oracle_sql()`` from this module.
+
+Design notes (100 TB discipline):
+- Specs are *declarative plans*: each callable builds a DataFrame lazily and
+  never calls ``collect()``; the driver materializes.
+- Oracle SQL strings follow the alias/rounding discipline of SURVEY §7.4:
+  aggregated doubles go through ``CAST(.. AS DECIMAL(18,6))`` before SUM so
+  results are summation-order-independent and hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    category: str
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    category: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query key: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            category=category,
+            doc=(fn.__doc__ or "").strip(),
+            tags=tuple(tags),
+        )
+        return fn
+
+    return deco
+
+
+def spec(name: str) -> QuerySpec:
+    return _REGISTRY[name]
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}

@@ -1,0 +1,92 @@
+"""Simulate the driver's verify gates against __spark_entry__.py.
+
+Usage: python tools/driver_sim.py [sf_dir]
+
+Runs, exactly as the driver would (vanilla SparkSession, no project
+session factory):
+ - t1 smoke: entry(spark) at sf0.001, assert rows > 0
+ - t2 correctness: every queries()[k] at sf_dir (default sf0.01) vs
+   oracle_sql()[k] in DuckDB — column names, row count, order-insensitive
+   value multiset; weak keys get a rows-only check.
+Prints one PASS/FAIL line per key and a final summary; exit 1 on any FAIL.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+from dbsuite_spark.tables import TABLES
+from tests.compare import duckdb_rows, spark_rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    # t1 smoke
+    rows = entry_mod.entry(spark).collect()
+    print(f"t1 smoke: entry() -> {len(rows)} rows "
+          f"({'PASS' if len(rows) > 0 else 'FAIL'})")
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{name}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    for key in sorted(qs):
+        start = time.perf_counter()
+        try:
+            df = qs[key](spark, sf_dir)
+            if key in oracles:
+                s_cols, s_rows = spark_rows(df)
+                d_cols, d_rows = duckdb_rows(con, oracles[key])
+                ok = s_cols == d_cols and sorted(s_rows) == sorted(d_rows)
+                mode = "sql"
+                detail = f"{len(s_rows)} rows"
+                if not ok:
+                    if s_cols != d_cols:
+                        detail = f"cols {s_cols} != {d_cols}"
+                    elif len(s_rows) != len(d_rows):
+                        detail = f"rows {len(s_rows)} != {len(d_rows)}"
+                    else:
+                        diff = next(
+                            (a, b)
+                            for a, b in zip(sorted(s_rows), sorted(d_rows))
+                            if a != b
+                        )
+                        detail = f"value diff {diff}"
+            else:
+                n = df.count()
+                ok, mode, detail = n >= 0, "weak", f"{n} rows"
+        except Exception as exc:  # driver records failures per-key
+            ok, mode, detail = False, "err", f"{type(exc).__name__}: {exc}"
+        dt = time.perf_counter() - start
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'PASS' if ok else 'FAIL'} [{mode}] {key} ({dt:.2f}s) {detail}")
+
+    print(f"summary: {n_pass} pass, {n_fail} fail, "
+          f"{len(qs)} keys ({len(oracles)} with SQL oracle)")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,3 +1,10 @@
 """Operator modules — importing each module registers its query keys."""
 
-from dbsuite_spark.operators import aggregates  # noqa: F401
+from dbsuite_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    setops,
+    sorting,
+    windows,
+)

@@ -1,0 +1,343 @@
+"""Category C — join operators (SURVEY §2C).
+
+Reference semantics: the full DB2 LUW join dialect dbsuite's parser covers
+(inner/outer/semi/anti/cross/theta) plus driver-mandated time-series joins
+(as-of, interval overlap). Provenance SURVEY §0/§2 [PUBLIC, module-level].
+
+Physical strategy is left to Catalyst + AQE (broadcast vs shuffled-hash vs
+sort-merge); only `join_broadcast_hint` pins it. Scale notes per key in
+docstrings — the recurring theme: equi-joins shuffle on their keys and
+small dims are broadcast, so nothing here degrades to a cross product at
+100 TB except the keys that *are* products (cross, theta) which are bounded
+to dimension-sized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    category="C",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders ⋈ customer. Dim side broadcasts under AQE."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 450000
+""",
+    category="C",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN with an extra join-side predicate so null extension
+    actually occurs (every customer has orders in the fixtures)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey, o_orderkey
+FROM orders RIGHT JOIN customer
+  ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+""",
+    category="C",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER JOIN (mirror of left; Spark plans it as left-outer with
+    sides swapped)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderpriority == "1-URGENT")
+    return o.join(c, cond, "right").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT l.c_custkey AS left_key, r.o_orderkey AS right_key
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) l
+FULL JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000) r
+  ON l.c_custkey = r.o_custkey
+""",
+    category="C",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN with unmatched rows on both sides."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey"
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_custkey"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").alias("left_key"),
+        F.col("o_orderkey").alias("right_key"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+""",
+    category="C",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers with at least one near-max-quantity line."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.08)
+""",
+    category="C",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: parts never sold at a deep discount."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+    category="C",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever small×small (5×25); a cross join of
+    fact tables is a design bug at any scale."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT s_suppkey, c_custkey
+FROM supplier JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+""",
+    category="C",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join (nested-loop class). Bounded to the two dim
+    tables: at scale this stays a broadcast nested loop over the small
+    side, never fact×fact."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    cond = (c.c_acctbal >= s.s_acctbal - 50) & (c.c_acctbal <= s.s_acctbal + 50)
+    return s.join(c, cond).select("s_suppkey", "c_custkey")
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    category="C",
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the 25-row nation dim — the replicated-dim
+    pattern that avoids shuffling the big side entirely."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_STAR_ORACLE = f"""
+SELECT r_name, n_name,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       {BIGCOUNT()} AS n_lines
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name, n_name
+"""
+
+
+@query("join_multiway_star", oracle=_STAR_ORACLE, category="C")
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star chain region→nation→customer→orders→lineitem with revenue
+    rollup (TPC-H Q5 shape). Dims broadcast; the only shuffle is
+    lineitem⋈orders + the final group-by. At 100 TB this is the canonical
+    star-join plan: one fact shuffle, everything else replicated."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+SELECT o1.o_custkey AS custkey, o1.o_orderkey AS k1, o2.o_orderkey AS k2
+FROM orders o1 JOIN orders o2
+  ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+WHERE o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '1-URGENT'
+""",
+    category="C",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: unordered pairs of urgent orders per customer. Keys are
+    pre-filtered so the per-customer fanout stays bounded."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    return o1.join(
+        o2,
+        (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+        & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey")),
+    ).select(
+        F.col("o1.o_custkey").alias("custkey"),
+        F.col("o1.o_orderkey").alias("k1"),
+        F.col("o2.o_orderkey").alias("k2"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts)
+           AS prev_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+    category="C",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest strictly-prior click
+    of the same user. Spark-first formulation: union the two event roles,
+    sort within user, carry the last click timestamp forward with
+    last(ignorenulls) — a single shuffle on user_id, no range join, no
+    per-row subquery. This is the scalable pattern for time-series as-of at
+    100 TB (state flows through one window pass)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("role"),  # clicks sort after purchases at equal ts
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("role"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "prev_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("role") == 0).select("event_id", "prev_click_ts")
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+""",
+    category="C",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self join: order pairs of one customer whose 30-day
+    activity windows overlap. Equi key (custkey) carries the shuffle; the
+    range predicate is applied inside the sort-merge join, so no cross
+    product materializes."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    day30 = F.expr("INTERVAL 30 DAYS")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.o_orderdate") < F.col("b.o_orderdate") + day30)
+        & (F.col("b.o_orderdate") < F.col("a.o_orderdate") + day30),
+    ).select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("k1"),
+        F.col("b.o_orderkey").alias("k2"),
+    )

@@ -1,0 +1,104 @@
+"""Category F — sort / limit / top-k / sampling (SURVEY §2F).
+
+The driver's hash is order-insensitive, so ordered queries encode their
+order as an explicit ROW_NUMBER position column over a unique total order
+(SURVEY §7.4.4) — that makes ORDER BY semantics verifiable by multiset
+compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       NULLIF(s_acctbal, 0) AS bal_or_null,
+       CAST(ROW_NUMBER() OVER (ORDER BY s_nationkey DESC,
+                               NULLIF(s_acctbal, 0) ASC NULLS LAST,
+                               s_suppkey) AS BIGINT) AS pos
+FROM supplier
+""",
+    category="F",
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY multiple keys ASC/DESC with NULLS LAST, order verified via
+    the pos column (driver compare is order-insensitive)."""
+    s = t(spark, sf_dir, "supplier")
+    bal_or_null = F.nullif(F.col("s_acctbal"), F.lit(0.0))
+    order = [
+        F.col("s_nationkey").desc(),
+        bal_or_null.asc_nulls_last(),
+        F.col("s_suppkey"),
+    ]
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        bal_or_null.alias("bal_or_null"),
+        F.row_number().over(Window.orderBy(*order)).cast("bigint").alias("pos"),
+    ).orderBy("pos")
+
+
+@query(
+    "limit_fetch_first",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    category="F",
+)
+def limit_fetch_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST n ROWS ONLY — deterministic because the sort is a unique
+    total order (price ties broken by key)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+    category="F",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark plans TakeOrderedAndProject: each partition
+    keeps its local top-k and only k rows per partition reach the driver-
+    side merge — the O(n) scalable form of ORDER BY + LIMIT (no global
+    sort at 100 TB)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+    )
+
+
+@query("sample_fraction", category="F", tags=("weak",))
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE-style seeded Bernoulli sampling (profiling path). The
+    sampled set is engine-specific → rows-only check; tests assert the
+    fraction is within binomial bounds."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

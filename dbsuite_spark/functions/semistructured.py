@@ -1,0 +1,211 @@
+"""Category H (part 3) — array / map / JSON / explode batteries (SURVEY §2H).
+
+These extend the reference's scalar surface to the nested types the fixture
+tables carry (``embeddings.embedding`` array<float>, ``events.props`` JSON)
+— driver-mandated extensions [SURVEY §2H provenance column].
+
+Scale notes: higher-order array functions (transform/filter/aggregate) run
+inside codegen on the JVM — per-row lambdas never touch Python, so a 64-dim
+fold costs the same relative overhead at 100 TB. Explode multiplies rows
+(64× here): at scale, explode into an aggregation in the same stage (no
+shuffle of the exploded form) — exactly the shape `fn_explode_unnest` uses.
+
+Cross-engine notes (probed on DuckDB 1.0.0):
+- Spark `array_distinct` keeps first-occurrence order, DuckDB
+  `list_distinct` doesn't guarantee order → both wrapped in a sort.
+- Element arithmetic is cast to DOUBLE on both sides before folding —
+  float32 accumulation order/width would otherwise diverge.
+- Folds are sequential left-to-right in both engines → bit-identical
+  double sums.
+- double→string rendering differs between engines, so map values carried
+  as strings are round-tripped back to DOUBLE before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+
+@query(
+    "fn_array_core",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT)                       AS dim,
+       embedding[1]                                         AS first_elem,
+       list_slice(embedding, 1, 3)                          AS head3,
+       list_contains(embedding, embedding[1])               AS has_first,
+       list_sort(list_slice(embedding, 1, 5))               AS head5_sorted,
+       list_sort(list_distinct(list_slice(embedding, 1, 8))) AS head8_dedup
+FROM embeddings
+""",
+    category="H",
+)
+def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element_at / slice / array_contains / array_sort /
+    array_distinct on the 64-dim embedding column. Spark slice(col, 1, 3) ≡
+    DuckDB list_slice(col, 1, 3) (both 1-based, length vs end — probed)."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.element_at(emb, 1).alias("first_elem"),
+        F.slice(emb, 1, 3).alias("head3"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
+        F.array_sort(F.slice(emb, 1, 5)).alias("head5_sorted"),
+        F.array_sort(F.array_distinct(F.slice(emb, 1, 8))).alias(
+            "head8_dedup"
+        ),
+    )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)      AS doubled,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)    AS n_pos,
+       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)                                AS elem_sum,
+       sqrt(list_reduce(list_transform(embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b))                          AS l2_norm
+FROM embeddings
+""",
+    category="H",
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM / FILTER / AGGREGATE lambdas (L2 norm of the embedding —
+    the same fold the category-L similarity keys build on). Sequential
+    left-fold in double on both engines → bit-identical."""
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.transform(emb, lambda x: x.cast("double") * 2).alias("doubled"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x).alias(
+            "elem_sum"
+        ),
+        F.sqrt(
+            F.aggregate(
+                emb,
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ).alias("l2_norm"),
+    )
+
+
+@query(
+    "fn_explode_unnest",
+    oracle="""
+SELECT doc_id,
+       unnest(string_split(text, ' '))                    AS token
+FROM documents
+""",
+    category="H",
+)
+def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode a token array to rows (UDTF-shaped, built-in generator).
+    ~100 tokens/doc → 100× row multiplication; safe at scale because the
+    generate happens post-scan with no shuffle of the exploded rows."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+SELECT event_id,
+       event_type                               AS typ,
+       CAST(2 AS BIGINT)                        AS n_keys,
+       CAST(3 AS BIGINT)                        AS n_keys2,
+       ['type', 'uid']                          AS keys_sorted,
+       value                                    AS v_roundtrip
+FROM events
+""",
+    category="H",
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_map / map_concat / map_keys / element_at(map, k). The oracle
+    states the algebraically-expected flattened output (DuckDB MAP fetch
+    shapes differ), so the check still hash-verifies every map op's result.
+    Doubles round-trip map<string,string> → back to DOUBLE (rendering-safe).
+    """
+    e = t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("v"), F.col("value").cast("string")))
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("typ"),
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.size(m2).cast("bigint").alias("n_keys2"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m2, "v").cast("double").alias("v_roundtrip"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                  AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT)     AS k_int,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing
+FROM events
+""",
+    category="H",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse ``events.props`` JSON: string path extraction
+    (get_json_object) + schema-typed extraction (from_json). Missing paths
+    yield NULL on both engines."""
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT, missing INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed["k"].alias("k_int"),
+        parsed["missing"].alias("k_missing"),
+    )
+
+
+@query(
+    "fn_json_construct",
+    oracle="""
+SELECT o_orderkey,
+       to_json(struct_pack(order_id := o_orderkey,
+                           status := o_orderstatus,
+                           priority := o_orderpriority)) AS j
+FROM orders
+""",
+    category="H",
+)
+def fn_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a JSON document from columns (to_json over a struct). Field
+    order follows struct declaration and rendering is compact in both
+    engines ({"a":1,"b":"x"} — probed), so strings compare byte-equal.
+    Restricted to int/string fields: double rendering is engine-specific."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("j"),
+    )

@@ -1,0 +1,295 @@
+"""Category K — bulk load / export / upsert / SCD2 / schema evolution
+(SURVEY §2K): the dbexec bulk-ETL core, re-expressed Spark-first.
+
+Reference semantics: DB2 ``LOAD``/``IMPORT``/``EXPORT`` orchestration and
+MERGE-based warehouse maintenance that dbexec scripted [PUBLIC,
+module-level; checkout empty — SURVEY §0].
+
+Scale design:
+- Bulk load reads PERMISSIVE with a corrupt-record column: bad records are
+  routed, never fail the job — at 100 TB a load must quarantine, not abort.
+- MERGE has no row-level op on plain Parquet, so it is rewritten as a
+  full-outer join + rewrite (SURVEY §4 gap (a)); the join shuffles both
+  sides by the merge key once — the minimum possible data movement.
+- SCD2 is a union of three branch-projections of one scan each — no
+  windows, no self-join, so it stays two map-side passes at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbsuite_spark.etl.io import artifact_path
+from dbsuite_spark.exact import DSUM
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@query(
+    "etl_bulk_load",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    category="K",
+)
+def etl_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DB2 ``LOAD`` with bad-record routing: delimited input (headerless, as
+    LOAD takes it) + 2 deterministically-injected corrupt lines → PERMISSIVE
+    parse with ``_corrupt_record`` → rejects quarantined to a reject file,
+    clean rows written as the typed Parquet table and returned. The oracle
+    is the source table: the load must be exactly lossless minus rejects."""
+    csv_dir = artifact_path(sf_dir, "customer_load_csv")
+    src = t(spark, sf_dir, "customer").select(*[f.name for f in CUSTOMER_SCHEMA])
+    src.write.mode("overwrite").csv(csv_dir)
+    # Corrupt lines: wrong types in key/acctbal → PERMISSIVE flags them.
+    with open(os.path.join(csv_dir, "zz_bad_batch.csv"), "w") as fh:
+        fh.write("not_a_key,Bad Row,xx,not_a_double,SEG\n")
+        fh.write("also_bad,Another,zz,1e999x,SEG\n")
+
+    load_schema = T.StructType(
+        list(CUSTOMER_SCHEMA) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(load_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csv_dir)
+    ).cache()  # one parse feeds both the reject route and the clean route
+
+    rejects = raw.filter(F.col("_corrupt_record").isNotNull())
+    rejects.select("_corrupt_record").write.mode("overwrite").json(
+        artifact_path(sf_dir, "customer_load_rejects")
+    )
+
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    out = artifact_path(sf_dir, "customer_loaded_parquet")
+    good.write.mode("overwrite").parquet(out)
+    raw.unpersist()
+    return spark.read.parquet(out)
+
+
+@query(
+    "etl_export",
+    oracle=f"""
+SELECT n_name,
+       {DSUM('o_totalprice')} AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    category="K",
+)
+def etl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DB2 ``EXPORT ... OF DEL``: query result → header CSV → typed
+    read-back (the file is the deliverable; reading it back proves it)."""
+    o, c, n = (
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "nation"),
+    )
+    result = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    path = artifact_path(sf_dir, "revenue_export_csv")
+    result.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_name", T.StringType()),
+            T.StructField("total_revenue", T.DoubleType()),
+            T.StructField("n_orders", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO rewrite for plain Parquet (SURVEY §4 gap (a)): one
+    full-outer join on the merge key; matched rows take source values for
+    ``update_cols``, source-only rows insert, target-only rows carry over.
+    Exactly one shuffle of each side; Delta/Iceberg would replace this with
+    row-level ops but the logical semantics are identical."""
+    s = source.select(key, *update_cols)
+    s_renamed = s.select(
+        F.col(key).alias(f"__src_{key}"),
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+    )
+    joined = target.join(
+        s_renamed, target[key] == s_renamed[f"__src_{key}"], "full"
+    )
+    out_cols: list[Column] = [
+        F.coalesce(target[key], s_renamed[f"__src_{key}"]).alias(key)
+    ]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in update_cols:
+            out_cols.append(
+                F.coalesce(s_renamed[f"__src_{c}"], target[c]).alias(c)
+            )
+        else:
+            out_cols.append(target[c].alias(c))
+    return joined.select(*out_cols)
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey,
+       CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 1000 ELSE s_acctbal END
+           AS s_acctbal
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 1000000 AS s_suppkey, 'NEW ' || s_name AS s_name,
+       s_nationkey, 0.0 AS s_acctbal
+FROM supplier WHERE s_suppkey % 10 = 0
+""",
+    category="K",
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert a dimension): suppliers with key%10=0 get +1000
+    acctbal (WHEN MATCHED UPDATE) and a mirrored new supplier row (WHEN NOT
+    MATCHED INSERT). The oracle states the expected post-state."""
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    changed = sup.filter(F.col("s_suppkey") % 10 == 0)
+    updates = changed.select(
+        "s_suppkey", "s_name", "s_nationkey",
+        (F.col("s_acctbal") + 1000).alias("s_acctbal"),
+    )
+    inserts = changed.select(
+        (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+        F.concat(F.lit("NEW "), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(
+        sup, source, "s_suppkey", ["s_name", "s_nationkey", "s_acctbal"]
+    )
+    out = artifact_path(sf_dir, "supplier_merged_parquet")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current version of each
+    changed key (valid_to = effective) and open a new version. ``dim`` must
+    carry valid_from/valid_to/is_current. Anti/semi joins broadcast the
+    (small) change batch against the dimension — no full shuffle of dim."""
+    eff = F.lit(effective).cast("date")
+    high = F.lit("9999-12-31").cast("date")
+    unchanged = dim.join(changes.select(key), on=key, how="left_anti")
+    closed = (
+        dim.join(changes.select(key), on=key, how="left_semi")
+        .withColumn("valid_to", eff)
+        .withColumn("is_current", F.lit(False))
+    )
+    opened = changes.select(
+        key,
+        *attrs,
+        eff.alias("valid_from"),
+        high.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "etl_scd2_dimension",
+    oracle="""
+SELECT c_custkey, c_mktsegment, DATE '1990-01-01' AS valid_from,
+       CASE WHEN c_custkey % 7 = 0 THEN DATE '2000-01-01'
+            ELSE DATE '9999-12-31' END AS valid_to,
+       (c_custkey % 7 <> 0) AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, 'UPDATED' AS c_mktsegment, DATE '2000-01-01' AS valid_from,
+       DATE '9999-12-31' AS valid_to, true AS is_current
+FROM customer WHERE c_custkey % 7 = 0
+""",
+    category="K",
+)
+def etl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 load: customers with key%7=0 change segment on 2000-01-01 →
+    their 1990 version closes, a new current version opens. The oracle
+    states the full expected post-state of the versioned dimension."""
+    cust = t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("UPDATED").alias("c_mktsegment")
+    )
+    return scd2_apply(
+        dim, changes, "c_custkey", ["c_mktsegment"], "2000-01-01"
+    )
+
+
+@query(
+    "etl_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+    category="K",
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appends with an added column: batch 1 lacks o_orderstatus, batch 2
+    carries it; ``mergeSchema`` unifies the footer schemas and back-fills
+    NULL — the Parquet-native path for evolving 100 TB fact tables without
+    a rewrite."""
+    o = t(spark, sf_dir, "orders")
+    batch1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    batch2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = artifact_path(sf_dir, "orders_evolving_parquet")
+    batch1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    batch2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    df = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return df.select("o_orderkey", "o_totalprice", "o_orderstatus")

@@ -1,0 +1,95 @@
+"""Category K — data-quality checks as queries (SURVEY §2K
+``etl_data_quality``): the in-scope slice of dbmakedoc's catalog/constraint
+semantics — PK/FK/domain rules read from SYSCAT become executable checks
+[PUBLIC, module-level; checkout empty — SURVEY §0].
+
+Each rule is one aggregate over one scan (or one semi-join for FKs); the
+report is a union of scalar counts, so the whole audit is a handful of
+map-side-combined passes — the shape that audits 100 TB without a single
+wide shuffle (the FK anti-join broadcasts the PK side when it fits,
+otherwise shuffles by key once).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+
+def _check(name: str, df: DataFrame) -> DataFrame:
+    return df.select(
+        F.lit(name).alias("check_name"),
+        F.count("*").alias("n_violations"),
+    )
+
+
+@query(
+    "etl_data_quality",
+    oracle="""
+SELECT 'fk_lineitem_orders' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+           AS n_violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+UNION ALL
+SELECT 'null_totalprice',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'domain_orderstatus',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+UNION ALL
+SELECT 'pk_dup_orderkey',
+       CAST((SELECT COUNT(*) FROM
+              (SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'range_discount',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+""",
+    category="K",
+)
+def etl_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit → report DataFrame (check_name, n_violations):
+    FK orphans (anti-joins), null rate, domain membership, PK uniqueness,
+    numeric range. Fixtures are clean, so every count must be 0 — which the
+    oracle verifies independently."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    checks = [
+        _check(
+            "fk_lineitem_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        _check(
+            "fk_orders_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        _check("null_totalprice", o.filter(F.col("o_totalprice").isNull())),
+        _check(
+            "domain_orderstatus",
+            o.filter(~F.col("o_orderstatus").isin("F", "O", "P")),
+        ),
+        _check(
+            "pk_dup_orderkey",
+            o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+        ),
+        _check(
+            "range_discount",
+            li.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+        ),
+    ]
+    return reduce(DataFrame.unionByName, checks)

@@ -1,0 +1,198 @@
+"""Category A — scans, sources, sinks, catalog (SURVEY §2A).
+
+Reference semantics: dbsuite's connectivity surface — DB2 IMPORT/EXPORT OF
+DEL (delimited files with declared schemas), LOAD targets, SYSCAT catalog
+reads, and native JDBC-style database access [PUBLIC, module-level;
+checkout empty — SURVEY §0].
+
+Spark-first design:
+- Schemas for CSV/JSON ingest are DECLARED ``StructType``s, never inferred
+  (SURVEY §1.1) — at 100 TB, schema inference is an extra full scan.
+- Sinks write columnar Parquet partitioned by a pruning-friendly column;
+  the read-back goes through partition discovery, which is what a
+  downstream consumer would scan (partition pruning on the status column).
+- The JDBC key does a real write+read round trip through the embedded
+  Derby engine that ships with Spark — the same ``spark.read.jdbc`` path a
+  warehouse extract would use, minus the network. On a cluster the same
+  code takes ``numPartitions``/``partitionColumn`` to parallelize the pull.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbsuite_spark.etl.io import artifact_path
+from dbsuite_spark.exact import DSUM
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import TABLES, t
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+    category="A",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Parquet scan of the fact table. The vectorized reader + footer
+    schema make this the baseline every other operator builds on."""
+    return t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "scan_csv_typed",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+""",
+    category="A",
+)
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DB2 ``IMPORT ... OF DEL``: delimited file ingested under a DECLARED
+    StructType. The fixture is round-tripped orders→CSV→typed read; the
+    oracle is the source table, so the check proves the CSV path is
+    lossless (doubles via shortest-repr, timestamps via the ISO-8601
+    default shared by writer and reader)."""
+    path = artifact_path(sf_dir, "orders_csv")
+    src = t(spark, sf_dir, "orders").select(*[f.name for f in ORDERS_SCHEMA])
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema(ORDERS_SCHEMA).option("header", True).csv(path)
+    )
+
+
+@query(
+    "scan_json",
+    oracle="SELECT event_id, event_type, user_id, value FROM events",
+    category="A",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-JSON ingest with declared schema (no inference pass)."""
+    path = artifact_path(sf_dir, "events_json")
+    src = t(spark, sf_dir, "events").select(*[f.name for f in EVENTS_JSON_SCHEMA])
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
+
+
+@query(
+    "sink_parquet",
+    oracle=f"""
+SELECT o_orderpriority,
+       {DSUM('o_totalprice')} AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       o_orderstatus
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    category="A",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOAD/EXPORT replacement: aggregate → Parquet partitioned by status →
+    read back through partition discovery. Partitioning by the low-cardinality
+    status column is what enables partition pruning for downstream scans at
+    100 TB (date-derived columns in real fact loads, SURVEY §4)."""
+    path = artifact_path(sf_dir, "orders_summary_parquet")
+    agg = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    agg.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "sink_csv",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem
+WHERE l_returnflag = 'R'
+""",
+    category="A",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DB2 ``EXPORT ... OF DEL``: header CSV write + typed read-back."""
+    path = artifact_path(sf_dir, "lineitem_r_csv")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(*[f.name for f in schema])
+    )
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@query(
+    "catalog_introspect",
+    oracle="""
+SELECT table_name, column_name
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+""",
+    category="A",
+)
+def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSCAT.COLUMNS equivalent: enumerate (table, column) pairs through
+    ``spark.catalog`` — the in-scope remnant of dbmakedoc's input plugins.
+    Catalog metadata is tiny and driver-side by nature; the DataFrame is
+    built from it for uniformity with the rest of the contract."""
+    from dbsuite_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    rows = [
+        (tbl, col.name)
+        for tbl in TABLES
+        for col in spark.catalog.listColumns(tbl)
+    ]
+    return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+@query("scan_jdbc", oracle=None, category="A")
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-RDBMS access (dbsuite's native mode was a DB2 client
+    connection): write ``nation`` into the embedded Derby engine bundled
+    with Spark, then ``spark.read.jdbc`` it back. Weak (rows-only) check:
+    Derby uppercases unquoted identifiers, so the read-back schema is
+    normalized here rather than hash-compared. On a real cluster the same
+    reader parallelizes with partitionColumn/numPartitions."""
+    url = f"jdbc:derby:{artifact_path(sf_dir, 'derby_db')};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = t(spark, sf_dir, "nation")
+    src.write.mode("overwrite").jdbc(url, "nation_jdbc", properties=props)
+    df = spark.read.jdbc(url, "nation_jdbc", properties=props)
+    return df.select([F.col(c).alias(c.lower()) for c in df.columns])

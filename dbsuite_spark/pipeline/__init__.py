@@ -1,0 +1,9 @@
+"""Category L — LLM-data-pipeline operators (SURVEY §2L, driver-mandated):
+dedup, similarity search, text analysis, multimodal columns."""
+
+from dbsuite_spark.pipeline import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

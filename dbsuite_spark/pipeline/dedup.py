@@ -1,0 +1,210 @@
+"""Category L — document deduplication (SURVEY §2L: ``dedup_exact``,
+``dedup_exact_jaccard``, ``dedup_near_minhash``).
+
+Driver-mandated LLM-pipeline scope [SURVEY §0; BASELINE.json north_star].
+The fixtures seed 20 near-duplicate groups (texts sharing a 60-char
+prefix); profiled this session: word-3-gram-shingle Jaccard separates them
+perfectly — true pairs ≥ 0.889, all others ≤ 0.069 — so the pipeline
+threshold is pinned at 0.5.
+
+Scale design (100 TB):
+- ``dedup_exact`` is one hash-window pass — the always-cheap first stage.
+- ``dedup_exact_jaccard`` self-joins the shingle index: exact, but the
+  join explodes on high-frequency shingles; it is the small-scale truth
+  used to validate recall. At fleet scale, cap shingle document-frequency
+  (drop stop-shingles) before the join.
+- ``dedup_near_minhash`` is the scale path: 24 MinHashes → 12 bands of 2 →
+  candidates only where a band collides (one shuffle on band key), then
+  exact Jaccard verification on candidates only. With the fixture's
+  J ≥ 0.889 pairs, miss probability per pair is (1-J²)^12 < 1e-8 — and the
+  hash functions are fixed (xxhash64 with literal seeds), so the outcome
+  is deterministic: the verified output provably equals the exact result,
+  which is why this key carries a full SQL oracle rather than a weak one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+JACCARD_THRESHOLD = 0.5
+N_HASHES = 24
+BAND_SIZE = 2  # 12 bands
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array for texts shorter than n
+    tokens (Spark's sequence() would otherwise count backwards)."""
+    toks = F.split(text_col, " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded index — the substrate for both the exact
+    and the MinHash paths."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2,
+       CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _jaccard_on(
+    pairs_or_none: DataFrame | None, sh: DataFrame
+) -> DataFrame:
+    """Exact Jaccard (d1, d2, jaccard ≥ threshold). When ``pairs_or_none``
+    is given, only those candidate pairs are scored (the MinHash verify
+    step); otherwise all co-shingled pairs are (the exact path)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    if pairs_or_none is not None:
+        # Verify mode: cut the shingle index down to candidate docs BEFORE
+        # the shingle self-join — the candidate set is tiny, so both join
+        # inputs shrink by orders of magnitude (this is what makes the
+        # MinHash path cheap; joining first and filtering after would
+        # re-run the full exact join).
+        a = a.join(
+            pairs_or_none.select("d1").distinct(), "d1", "left_semi"
+        )
+        b = b.join(
+            pairs_or_none.select("d2").distinct(), "d2", "left_semi"
+        )
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("ni"))
+    )
+    if pairs_or_none is not None:
+        inter = inter.join(pairs_or_none, ["d1", "d2"], "left_semi")
+    jac = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("ni").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(substr(text, 1, 60)) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+    category="L",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized text key (md5 of the leading 60 chars —
+    the fixture's seeded duplication key; raw texts have 0 exact dups),
+    keeping the lowest doc_id per group. One hash + one window, the
+    standard first stage of any 100 TB dedup pipeline."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        F.md5(F.substring(F.col("text"), 1, 60))
+    ).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@query("dedup_exact_jaccard", oracle=_JACCARD_ORACLE, category="L")
+def dedup_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise shingle-Jaccard ≥ 0.5 (small-scale ground truth for
+    the MinHash path). jaccard = ni/(n1+n2-ni) is a single division of
+    exact integers — bit-identical across engines."""
+    return _jaccard_on(None, _shingle_rows(spark, sf_dir))
+
+
+@query("dedup_near_minhash", oracle=_JACCARD_ORACLE, category="L")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection at scale: 24 xxhash64 MinHashes per doc (one
+    groupBy), 12 bands of 2 exploded to a band index, self-join on band
+    collisions for candidates, exact-Jaccard verification of candidates
+    only. Deterministic (fixed hash seeds) with <1e-8 analytic miss risk on
+    the fixture's J≥0.889 pairs → verified output equals the exact result,
+    so it shares the exact key's SQL oracle (tested at every sf)."""
+    sh = _shingle_rows(spark, sf_dir).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                f"h{b * BAND_SIZE + r}"
+                                for r in range(BAND_SIZE)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    left = bands.select(
+        F.col("doc_id").alias("d1"), "band", "key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("d2"), "band", "key"
+    )
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    out = _jaccard_on(candidates, sh)
+    return out

@@ -1,0 +1,217 @@
+"""Category L — embedding similarity search (SURVEY §2L:
+``sim_search_cosine_topk``, ``sim_search_ann_lsh``, ``knn_classify_majority``).
+
+Driver-mandated LLM-pipeline scope. All cosine math goes through
+``pipeline.vectors`` — bit-identical folds on both engines, so rankings are
+compared exactly with (cos_sim DESC, vec_id) deterministic tie-break and no
+tolerance.
+
+Scale design (100 TB):
+- The exact path broadcasts the (small) query set against the corpus: one
+  pass over the embeddings, per-partition top-k via window — no all-pairs
+  shuffle. Crossover: fine while |queries| × dim fits in a broadcast;
+  beyond that, switch to the LSH path.
+- The LSH path (sign-random-projection, the cosine-appropriate family)
+  buckets the corpus by hyperplane sign bits: candidates are only
+  same-bucket rows across T tables, turning O(N·Q) into O(N + collisions).
+  Hyperplanes are seeded constants → fully deterministic; recall vs the
+  exact path is asserted in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.pipeline.vectors import COSINE, cosine, dot, l2_norm
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+TOP_K = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 → the query subset
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {COSINE('q.qe', 'e.embedding')} AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs) WHERE rn <= {TOP_K}
+"""
+
+
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, neighbor_id, cos_sim) for every query × corpus pair. The query
+    side is broadcast; the corpus is scanned once. Norms are computed ONCE
+    per vector on each side (not per pair) — same fold, same bits as
+    folding inside the pair expression, but the per-pair work drops from
+    three O(dim) folds to one."""
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    return (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            (
+                dot(F.col("qe"), F.col("ne"))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def _topk(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query("sim_search_cosine_topk", oracle=_TOPK_ORACLE, category="L")
+def sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute-force baseline:
+    broadcast queries × one corpus scan, window top-k per query)."""
+    return _topk(_cosine_pairs(spark, sf_dir)).select(
+        "qid", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "knn_classify_majority",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, e.label,
+         {COSINE('q.qe', 'e.embedding')} AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid
+),
+topk AS (
+  SELECT qid, label FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM pairs) WHERE rn <= {TOP_K}
+),
+votes AS (SELECT qid, label, COUNT(*) AS n_votes
+          FROM topk GROUP BY qid, label)
+SELECT qid, label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY n_votes DESC, label) AS rv
+      FROM votes) WHERE rv = 1
+""",
+    category="L",
+)
+def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: majority label of the 5 nearest neighbors,
+    ties broken by the smaller label (deterministic on both engines)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    topk = _topk(_cosine_pairs(spark, sf_dir)).join(
+        e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    votes = topk.groupBy("qid", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("rv", F.row_number().over(w))
+        .filter(F.col("rv") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+# Sign-LSH geometry: P(bit collision) = 1 - θ/π. The fixture corpus is
+# near-random (top-5 neighbor cosine ≈ 0.33-0.39 → θ ≈ 67° → p ≈ 0.63), so
+# recall needs shallow tables: 4 bits × 8 tables → 1-(1-0.63⁴)⁸ ≈ 0.75.
+# With a real high-similarity workload (near-dup search, cos ≥ 0.9) the
+# same code runs 8-16 bits per table; bits scale with log(corpus) and
+# target similarity, tables buy recall.
+N_TABLES = 8  # LSH hash tables
+N_BITS = 4  # hyperplanes (sign bits) per table
+DIM = 64
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic random hyperplanes: (tables, bits, dim)."""
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((N_TABLES, N_BITS, DIM))
+
+
+@query("sim_search_ann_lsh", oracle=None, category="L")
+def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors via sign-random-projection LSH (the LSH
+    family for cosine): 4 tables × 8 hyperplane sign bits bucket the
+    corpus; candidates = same-bucket rows in any table; exact cosine +
+    top-k on candidates only. Seeded hyperplanes → deterministic output;
+    weak oracle (bucketing isn't SQL-expressible), recall vs the exact key
+    asserted ≥0.6 in tests/test_pipeline.py. This is the path that replaces
+    the broadcast brute force when the query set stops fitting memory."""
+    planes = _hyperplanes()
+    e = t(spark, sf_dir, "embeddings")
+
+    def bucket(tbl: int, emb_col: str):
+        bits = [
+            F.when(
+                dot(
+                    F.col(emb_col),
+                    F.array(
+                        *[F.lit(float(planes[tbl, b, i])) for i in range(DIM)]
+                    ),
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for b in range(N_BITS)
+        ]
+        return F.concat(F.lit(f"t{tbl}:"), *bits)
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.explode(
+            F.array(*[bucket(tc, "embedding") for tc in range(N_TABLES)])
+        ).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            F.array(*[bucket(tc, "embedding") for tc in range(N_TABLES)])
+        ).alias("bucket"),
+    )
+    candidates = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "qe", "neighbor_id", "ne")
+        .distinct()
+    )
+    pairs = candidates.select(
+        "qid",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+    )
+    return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")

@@ -1,0 +1,34 @@
+"""Pipeline-specific checks beyond the differential oracle (SURVEY §2L):
+LSH recall vs the exact similarity path, and MinHash recall vs exact
+Jaccard (both deterministic — seeded hashes/planes)."""
+
+from __future__ import annotations
+
+from dbsuite_spark.pipeline.dedup import dedup_exact_jaccard, dedup_near_minhash
+from dbsuite_spark.pipeline.similarity import (
+    sim_search_ann_lsh,
+    sim_search_cosine_topk,
+)
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in sim_search_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.qid, r.neighbor_id)
+        for r in sim_search_ann_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "exact top-k is empty — fixture/query-subset problem"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} < 0.6"
+
+
+def test_minhash_finds_all_exact_pairs(spark, sf_dir):
+    exact = {
+        (r.d1, r.d2) for r in dedup_exact_jaccard(spark, sf_dir).collect()
+    }
+    mh = {(r.d1, r.d2) for r in dedup_near_minhash(spark, sf_dir).collect()}
+    assert exact, "no near-dup pairs found — fixture expectation broken"
+    assert mh == exact

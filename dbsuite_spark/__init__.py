@@ -9,7 +9,14 @@ contract from there.
 
 from __future__ import annotations
 
-from dbsuite_spark import etl, functions, operators, pipeline  # noqa: F401  (register keys)
+from dbsuite_spark import (  # noqa: F401  (importing registers every key)
+    etl,
+    functions,
+    operators,
+    pipeline,
+    streaming,
+    udx,
+)
 from dbsuite_spark.registry import all_specs, oracle_sql, queries  # noqa: F401
 
 __all__ = ["queries", "oracle_sql", "all_specs"]

@@ -1,0 +1,386 @@
+"""Category I — Structured Streaming over ``events`` (SURVEY §2I).
+
+The reference has no streaming; this category is driver-mandated scope
+(SURVEY §0: events fixture + pipeline category). Design rule (SURVEY §2I):
+every streaming query's transformation is written once and applied to a
+streaming source; where the final result is deterministic regardless of
+micro-batch boundaries (complete-mode aggregations, stateless passes,
+single-batch stateful runs) the key carries a full DuckDB oracle via its
+batch-equivalent SQL; genuinely batching-dependent keys (watermark append,
+multi-batch emission) are weak-checked, as the driver supports.
+
+Mechanics: each key lands the events table (µs timestamps, via ``t()``) as
+one or more Parquet files in the scratch area, reads them back with
+``readStream`` (declared schema, ``maxFilesPerTrigger`` to force the batch
+cadence), runs with ``trigger(availableNow=True)``, and returns the sink
+contents as a batch DataFrame.
+
+Scale notes: these plans run unchanged against a real unbounded source
+(Kafka/file landing zone) on a cluster — state lives in the state store
+keyed by (window/user), watermarks bound state size, and
+``availableNow`` becomes a continuous trigger. Nothing here collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.etl.io import artifact_path
+from dbsuite_spark.exact import BIGCOUNT, DSUM
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+GAP = "10 minutes"
+
+
+def _land_events(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int, df: DataFrame | None = None
+) -> tuple[str, DataFrame]:
+    """Write events (µs timestamps) as ``n_files`` time-ranged Parquet
+    files — the streaming landing zone. Returns (path, batch_df)."""
+    src = df if df is not None else t(spark, sf_dir, "events")
+    path = artifact_path(sf_dir, f"stream_src_{name}")
+    part = (
+        src.repartitionByRange(n_files, "ts")
+        if n_files > 1
+        else src.coalesce(1)
+    )
+    part.write.mode("overwrite").parquet(path)
+    return path, src
+
+
+def _read_stream(
+    spark: SparkSession, path: str, schema, files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _run_to_memory(
+    spark: SparkSession, sdf: DataFrame, name: str, mode: str
+) -> DataFrame:
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_count",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+           AS window_end,
+       event_type,
+       {BIGCOUNT('*')} AS n
+FROM events
+GROUP BY 1, 2, 3
+""",
+    category="I",
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event counts by type over a file stream; complete output
+    mode makes the final result independent of micro-batch boundaries, so
+    the batch-twin SQL is a full oracle."""
+    path, src = _land_events(spark, sf_dir, "tumbling", n_files=3)
+    sdf = (
+        _read_stream(spark, path, src.schema)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_tumbling", "complete")
+
+
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+WITH expanded AS (
+  SELECT CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900)
+                            AS BIGINT) - i) * 900) AS TIMESTAMP) AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       {BIGCOUNT('*')} AS n,
+       {DSUM('value')} AS total_value
+FROM expanded
+GROUP BY 1, 2, 3
+""",
+    category="I",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4 windows);
+    complete mode → deterministic final result → full SQL oracle (the twin
+    expands the 4 epoch-aligned window starts per event)."""
+    path, src = _land_events(spark, sf_dir, "sliding", n_files=3)
+    sdf = (
+        _read_stream(spark, path, src.schema)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_sliding", "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   < INTERVAL {GAP}
+              THEN 0 ELSE 1 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {GAP} AS session_end,
+       {BIGCOUNT('*')} AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+    category="I",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 10-minute inactivity gap
+    (``session_window``); complete mode → deterministic final sessions →
+    full SQL oracle via the gaps-and-islands twin (new session iff the gap
+    is ≥ 10 min — Spark merges only strictly-overlapping windows)."""
+    path, src = _land_events(spark, sf_dir, "session", n_files=3)
+    sdf = (
+        # Complete mode → result is cadence-independent; ingest all files
+        # in one trigger to skip two state-store checkpoint rounds (the
+        # multi-batch cadence is exercised by the watermark/foreachBatch
+        # keys, where it is semantically load-bearing).
+        _read_stream(spark, path, src.schema, files_per_trigger=3)
+        .groupBy(F.session_window("ts", GAP), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_session", "complete")
+
+
+@query("stream_watermark_append", oracle=None, category="I")
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation in APPEND mode: a window is emitted
+    only once the 30-minute watermark passes its end, so emitted rows
+    depend on the micro-batch cadence (6 time-ranged files, 1 per batch) —
+    the genuinely streaming-only semantics. Weak (rows-only) check by
+    design; tests assert emitted ⊆ batch-twin and that most windows made
+    it out before end-of-stream."""
+    path, src = _land_events(spark, sf_dir, "wm_append", n_files=6)
+    sdf = (
+        _read_stream(spark, path, src.schema)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_wm_append", "append")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    category="I",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by event_id within a watermark: the source is the
+    events table UNION ALL itself (every row duplicated), landed as one
+    file so duplicates share a batch and the state store suppresses every
+    second copy → output equals the original table exactly (full oracle).
+    ``dropDuplicatesWithinWatermark`` emits first-seen rows immediately;
+    the watermark only bounds state retention."""
+    doubled = t(spark, sf_dir, "events")
+    doubled = doubled.unionByName(doubled)
+    path, src = _land_events(
+        spark, sf_dir, "dedup", n_files=1, df=doubled
+    )
+    sdf = (
+        _read_stream(spark, path, src.schema, files_per_trigger=1)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = _run_to_memory(spark, sdf, "mem_dedup", "append")
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events),
+p AS (SELECT user_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM seq WHERE event_type = 'purchase'),
+streaks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+            FROM p GROUP BY user_id, grp),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       COALESCE((SELECT CAST(SUM(streak) AS BIGINT) FROM streaks s
+                 WHERE s.user_id = u.user_id), 0) AS n_purchases,
+       COALESCE((SELECT MAX(streak) FROM streaks s
+                 WHERE s.user_id = u.user_id), 0) AS max_streak
+FROM users u
+""",
+    category="I",
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user stateful operator (``applyInPandasWithState``):
+    total purchases + longest consecutive-purchase streak per user, state
+    carried across micro-batches. Landed as one file → one batch → the
+    emitted update per user is the final value, so the gaps-and-islands
+    batch twin is a full oracle. On a cluster the same code runs over an
+    unbounded source with state in the state store."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    path, src = _land_events(spark, sf_dir, "stateful", n_files=1)
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, cur, best = state.get
+        else:
+            n, cur, best = 0, 0, 0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        for et in rows["event_type"]:
+            if et == "purchase":
+                n += 1
+                cur += 1
+                best = max(best, cur)
+            else:
+                cur = 0
+        state.update((n, cur, best))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [n],
+                "max_streak": [best],
+            }
+        )
+
+    sdf = (
+        _read_stream(spark, path, src.schema)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, n_purchases bigint, max_streak bigint",
+            stateStructType="n bigint, cur bigint, best bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_stateful", "update")
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type = 'purchase'
+""",
+    category="I",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch sink via ``foreachBatch``: each batch of the purchase
+    stream is appended to a Parquet table (the upsert/merge hook point —
+    ``etl.loaders.merge_upsert`` slots in here for keyed sinks). Output
+    and checkpoint are reset per run for idempotence; the read-back equals
+    the batch filter (full oracle) because appends are partition-additive."""
+    path, src = _land_events(spark, sf_dir, "febatch", n_files=2)
+    out_dir = artifact_path(sf_dir, "febatch_out_parquet")
+    ckpt = artifact_path(sf_dir, "febatch_ckpt")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        _read_stream(spark, path, src.schema)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+@query(
+    "stream_file_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    category="I",
+)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-Parquet as an unbounded source (the landing-zone
+    pattern): 4 time-ranged files arrive one per trigger under
+    ``availableNow``; a stateless projection passes every row through
+    exactly once regardless of batching → full oracle."""
+    path, src = _land_events(spark, sf_dir, "filesrc", n_files=4)
+    sdf = _read_stream(spark, path, src.schema).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(spark, sdf, "mem_filesrc", "append")

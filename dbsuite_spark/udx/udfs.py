@@ -1,0 +1,195 @@
+"""Category J — user-defined function surface (SURVEY §2J).
+
+Reference semantics: dbsuite parsed DB2 ``CREATE FUNCTION`` (SQL-bodied and
+external scalar/table functions) [PUBLIC, module-level; checkout empty —
+SURVEY §0]; our execution surface is the PySpark UDx family.
+
+Scale discipline (SURVEY guide: UDFs are the slow path):
+- Row-at-a-time Python UDFs exist in the surface because the reference
+  dialect had external scalar functions — but the oracle shows each one is
+  expressible as built-ins; at 100 TB the codegen form wins ~10-100×.
+- Pandas (Arrow-vectorized) UDFs amortize the Python boundary per batch —
+  the acceptable form when Python is genuinely needed.
+- The grouped UDAF (trimmed mean) sums via ``decimal.Decimal`` so the
+  result is bit-identical to the oracle's DECIMAL(18,6) sum — same
+  exactness discipline as the JVM-side aggregates (SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import register_views, t
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid'
+            ELSE 'high' END AS disc_band
+FROM lineitem
+""",
+    category="J",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (discount banding) — the DB2 external
+    scalar function analog. The oracle proves the logic is CASE-expressible
+    (and the built-in form is what a 100 TB run should use)."""
+
+    @F.udf("string")
+    def disc_band(d: float) -> str:
+        if d < 0.03:
+            return "low"
+        if d < 0.07:
+            return "mid"
+        return "high"
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", disc_band("l_discount").alias("disc_band")
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+""",
+    category="J",
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: the same pricing expression computed in
+    pandas per batch. Element-wise IEEE double ops are order-free, so the
+    values are bit-identical to the SQL form on both engines."""
+
+    @F.pandas_udf("double")
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+            WHEN o_totalprice >= 150000 THEN 'large'
+            ELSE 'regular' END AS order_class,
+       o_totalprice
+FROM orders
+""",
+    category="J",
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the SQL namespace (DB2 CREATE FUNCTION + use in
+    a query): ``spark.udf.register`` then called from ``spark.sql``."""
+
+    def order_class(p: float) -> str:
+        if p >= 300000:
+            return "jumbo"
+        if p >= 150000:
+            return "large"
+        return "regular"
+
+    spark.udf.register("order_class", order_class, "string")
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               order_class(o_totalprice) AS order_class,
+               o_totalprice
+        FROM orders
+        """
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS trimmed_mean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM ranked
+WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+GROUP BY o_orderstatus
+""",
+    category="J",
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregate via applyInPandas: 10%-trimmed mean of
+    order value per status. Trimming cuts by count over sorted values, so
+    boundary ties keep the same value multiset as the oracle's window
+    formulation; the sum runs in exact Decimal → bit-identical mean."""
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(pdf["o_totalprice"].tolist())
+        n = len(vals)
+        k = int(n * 0.1)
+        kept = vals[k : n - k] if n - 2 * k > 0 else vals
+        total = sum((Decimal(repr(v)) for v in kept), Decimal(0))
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "trimmed_mean": [float(total) / len(kept)],
+                "n_kept": [len(kept)],
+            }
+        )
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        trimmed, "o_orderstatus string, trimmed_mean double, n_kept bigint"
+    )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS value
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+""",
+    category="J",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (DB2 external table function analog): one row → many,
+    parsing the ``props`` JSON object into (key, value) rows via a LATERAL
+    join in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value string")
+    class ParseProps:
+        def eval(self, props: str):
+            for k, v in json.loads(props).items():
+                yield k, str(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT e.event_id, p.key, p.value
+        FROM events e, LATERAL parse_props(e.props) p
+        """
+    )

@@ -3,7 +3,10 @@ dedup, similarity search, text analysis, multimodal columns."""
 
 from dbsuite_spark.pipeline import (  # noqa: F401
     dedup,
+    dedup_extra,
+    media,
     multimodal,
     similarity,
     text,
+    text_extra,
 )

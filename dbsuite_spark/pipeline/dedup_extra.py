@@ -1,0 +1,177 @@
+"""Category L extensions — SimHash and embedding-cosine near-dedup
+(task-mandated dedup family beyond SURVEY §2's three keys).
+
+``dedup_simhash`` gets a FULL SQL oracle, which is unusual for an LSH-family
+operator and worth spelling out:
+- the 60-bit per-shingle hash is the first 15 hex digits of md5, cast to
+  BIGINT identically on both engines (probed: equal values);
+- the signature is a deterministic bit-vote over distinct shingles;
+- the banded self-join uses 12 bands of 5 bits, and the pair filter is
+  hamming ≤ 11 — by pigeonhole, ≤11 differing bits cannot corrupt all 12
+  bands, so banding provably finds EVERY qualifying pair. The banded plan
+  therefore equals the brute-force oracle exactly, while shuffling only
+  band-key collisions at scale.
+
+Fixture geometry (profiled): near-dup docs share ~99% of shingles →
+hamming ≈ 0-3; unrelated word-salad docs have near-disjoint shingle sets →
+hamming ≈ Binomial(60, ½) ≈ 30 ± 4, so P(false pair ≤ 11) < 1e-6.
+
+``dedup_near_embcos`` is exact all-pairs cosine over the (small) embedding
+table — the audit-scale truth; at 100 TB the sign-LSH bucketing from
+``pipeline.similarity`` replaces the cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.pipeline.dedup import _shingle_rows
+from dbsuite_spark.pipeline.vectors import COSINE, dot
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+SIM_BITS = 60
+SIM_BANDS = 12
+BAND_BITS = 5  # 12 × 5 = 60
+HAMMING_MAX = SIM_BANDS - 1  # pigeonhole-complete threshold
+EMBCOS_THRESHOLD = 0.3
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       FROM toks),
+h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv
+      FROM sh),
+bits AS (SELECT doc_id, i,
+                SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM h, (SELECT unnest(generate_series(0, {SIM_BITS - 1})) AS i)
+         GROUP BY doc_id, i),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                        ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60 bit-votes over distinct shingles in ONE
+    groupBy (60 conditional sums — map-side combined, one shuffle)."""
+    sh = _shingle_rows(spark, sf_dir)
+    hv = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    h = sh.select("doc_id", hv.alias("hv"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIM_BITS)
+        ]
+    )
+    simhash = None
+    for i in range(SIM_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, category="L")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 11 of 60 bits) via 12×5-bit
+    banding — provably equal to the brute-force oracle (see module doc),
+    while joining only on band collisions at scale."""
+    sig = _simhash_signatures(spark, sf_dir).cache()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * BAND_BITS)
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    left = bands.select(
+        F.col("doc_id").alias("d1"),
+        F.col("simhash").alias("s1"),
+        "band",
+        "key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("d2"),
+        F.col("simhash").alias("s2"),
+        "band",
+        "key",
+    )
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs.select("d1", "d2", "hamming")
+
+
+@query(
+    "dedup_near_embcos",
+    oracle=f"""
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {COSINE('a.embedding', 'b.embedding')} >= {EMBCOS_THRESHOLD}
+""",
+    category="L",
+)
+def dedup_near_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3): exact all-pairs
+    with per-side precomputed norms — the audit-scale truth; the sign-LSH
+    bucketing of ``sim_search_ann_lsh`` is the 100 TB path. Cosines are
+    bit-identical to the oracle (shared fold, see pipeline.vectors)."""
+    e = t(spark, sf_dir, "embeddings")
+    from dbsuite_spark.pipeline.vectors import l2_norm
+
+    a = e.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= EMBCOS_THRESHOLD)
+    )

@@ -215,3 +215,71 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
     )
     return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")
+
+
+N_CELLS = 16  # IVF inverted-list count
+N_PROBE = 4  # cells probed per query
+
+
+@query("sim_search_ann_ivf", oracle=None, category="L")
+def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: 16 seed
+    centroids (the lowest-id vectors — deterministic, no RNG), every
+    vector assigned to its nearest centroid (one broadcast argmax pass),
+    queries probe their 4 nearest cells and rank candidates exactly.
+    Candidate volume ≈ nprobe/cells of the corpus (~25% here) — the
+    classic recall/cost dial; a k-means refinement of the seeds changes
+    recall, not the plan. Weak oracle; recall vs the exact key asserted in
+    tests/test_pipeline.py."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+        )
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int):
+        """Top-n cells per row by cosine (broadcast centroid argmax)."""
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cell_sim").desc(), F.col("cell")
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cell_sim", cosine(F.col(emb_col), F.col("ce"))
+            )
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= n)
+            .drop("ce", "cell_sim", "cell_rank")
+        )
+
+    corpus = nearest_cells(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+        ),
+        "neighbor_id",
+        "ne",
+        1,
+    )
+    queries = nearest_cells(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        ),
+        "qid",
+        "qe",
+        N_PROBE,
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")

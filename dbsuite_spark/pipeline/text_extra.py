@@ -1,0 +1,184 @@
+"""Category L extensions — text analysis beyond SURVEY §2's four keys
+(task-mandated family: language-ID heuristic, quality scoring, tokenizer
+regex, document fingerprinting).
+
+All pure DataFrame ops with full SQL oracles; the only doubles are ratios
+of exact integers (identical across engines) or md5 strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+PROFILE_TOP = 20  # tokens per language profile
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+@query(
+    "text_langid_ngram",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+lang_tok AS (SELECT lang, token, COUNT(*) AS n
+             FROM tok GROUP BY lang, token),
+profile AS (SELECT lang AS p_lang, token FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY n DESC, token) AS rn
+              FROM lang_tok) WHERE rn <= {PROFILE_TOP}),
+doc_tok AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+overlap AS (SELECT d.doc_id, d.lang, p.p_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM doc_tok d JOIN profile p ON d.token = p.token
+            GROUP BY d.doc_id, d.lang, p.p_lang)
+SELECT doc_id, lang, p_lang AS predicted, n_hits
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY n_hits DESC, p_lang) AS rn
+      FROM overlap) WHERE rn = 1
+""",
+    category="L",
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: build a top-20-token profile per language
+    from the corpus, then classify each doc by profile overlap (argmax,
+    ties to the alphabetically-first language). The profile is tiny →
+    broadcast join; the whole classifier is two aggregations."""
+    tok = _tokens(spark, sf_dir)
+    lang_tok = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    profile = (
+        lang_tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PROFILE_TOP)
+        .select(F.col("lang").alias("p_lang"), "token")
+    )
+    doc_tok = tok.select("doc_id", "lang", "token").distinct()
+    overlap = (
+        doc_tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), "p_lang"
+    )
+    return (
+        overlap.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted"), "n_hits")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+stats AS (SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+                 CAST(SUM(length(token)) AS BIGINT) AS sum_len,
+                 CAST(SUM(CASE WHEN length(token) >= 8 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_long
+          FROM tok GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types,
+       CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+       CAST(n_long AS DOUBLE) / n_tokens AS long_token_ratio
+FROM stats
+""",
+    category="L",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (the filter inputs of a training-data
+    pipeline): token counts, type/token ratio (lexical diversity), average
+    token length, long-token ratio. All exact-integer ratios."""
+    tok = _tokens(spark, sf_dir)
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        F.sum(F.length("token")).alias("sum_len"),
+        F.count_if(F.length("token") >= 8).alias("n_long"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("sum_len").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("n_long").cast("double") / F.col("n_tokens")).alias(
+            "long_token_ratio"
+        ),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{TOKEN_RE}')))
+           AS BIGINT) AS n_types,
+       regexp_extract_all(text, '{TOKEN_RE}')[1] AS first_token
+FROM documents
+""",
+    category="L",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting with a BPE-ish pre-tokenization regex
+    (word runs vs punctuation singletons — the GPT-2-family split shape):
+    per-doc token and type counts straight off ``regexp_extract_all``."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       FROM toks)
+SELECT doc_id,
+       MIN(md5(s)) AS fp_min,
+       MAX(md5(s)) AS fp_max,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM sh GROUP BY doc_id
+""",
+    category="L",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min/max shingle hash (a 2-element MinHash
+    sketch — the winnowing/rolling-hash idea as order-free aggregates, so
+    it map-side combines at any scale). Near-dup docs collide on fp_min
+    with high probability; equality on (fp_min, fp_max) is a cheap
+    pre-cluster key for the heavier Jaccard stages."""
+    from dbsuite_spark.pipeline.dedup import _shingle_rows
+
+    sh = _shingle_rows(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("s")).alias("fp_min"),
+        F.max(F.md5("s")).alias("fp_max"),
+        F.count("*").alias("n_shingles"),
+    )

@@ -50,6 +50,20 @@ def _land_events(
         else src.coalesce(1)
     )
     part.write.mode("overwrite").parquet(path)
+    # The file source orders arrivals by modification time; freshly-written
+    # parts share an mtime, which makes multi-batch arrival order (and
+    # therefore watermark-drop behavior) nondeterministic. Stamp ascending
+    # mtimes in part order — repartitionByRange puts the earliest ts range
+    # in part-00000 — so the stream arrives in event-time order.
+    import glob
+    import os
+    import time
+
+    base = time.time() - 3600
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    ):
+        os.utime(f, (base + i, base + i))
     return path, src
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from dbsuite_spark.pipeline.dedup import dedup_exact_jaccard, dedup_near_minhash
 from dbsuite_spark.pipeline.similarity import (
+    sim_search_ann_ivf,
     sim_search_ann_lsh,
     sim_search_cosine_topk,
 )
@@ -23,6 +24,19 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert exact, "exact top-k is empty — fixture/query-subset problem"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall:.2f} < 0.6"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in sim_search_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.qid, r.neighbor_id)
+        for r in sim_search_ann_ivf(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4 (nprobe=4/16)"
 
 
 def test_minhash_finds_all_exact_pairs(spark, sf_dir):

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — the 100 TB discipline, encoded
+(SURVEY §4): filters must reach the parquet scan, projections must prune
+the read schema, small dims must broadcast, global top-k must plan as
+TakeOrderedAndProject (per-partition heaps, no global sort), and
+aggregations must run partial+final (map-side combine). A change that
+breaks one of these is a scale regression even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import dbsuite_spark
+
+SPECS = dbsuite_spark.all_specs()
+
+
+def plan_of(spark, sf_dir, key: str) -> str:
+    df = SPECS[key].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_comparison")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_totalprice,300000.0)" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "project_columns")
+    read = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "o_totalprice" not in read, "unprojected column read from scan"
+    assert "o_orderkey" in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "star dims should broadcast, not shuffle"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan, (
+        "sort+limit must plan as per-partition top-k, not a global sort"
+    )
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_groupby_basic")
+    assert plan.count("HashAggregate") >= 2, (
+        "aggregation must map-side combine (partial+final)"
+    )
+
+
+def test_flagship_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_groupby_basic")
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_exists_subquery")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_no_cartesian_in_contract_joins(spark, sf_dir):
+    for key in ("join_inner_equi", "join_left_outer", "join_asof"):
+        assert "CartesianProduct" not in plan_of(spark, sf_dir, key), key

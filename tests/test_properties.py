@@ -1,0 +1,108 @@
+"""Property-based algebraic invariants (SURVEY §5.3.3) — hypothesis
+generates small relations; each property is a law the engine must satisfy
+for ANY input, complementing the fixture-bound differential tests.
+Example counts are kept low because every example runs a Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(0, 0)], "k int, v int").limit(
+        len(rows)
+    )
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_filter_commutes_with_project(spark, rows):
+    df = _df(spark, rows)
+    a = df.select("k").filter(F.col("k") > 2)
+    b = df.filter(F.col("k") > 2).select("k")
+    assert sorted(r.k for r in a.collect()) == sorted(
+        r.k for r in b.collect()
+    )
+
+
+@given(rows=ROWS, rows2=ROWS)
+@SETTINGS
+def test_union_all_count_additive(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    assert a.unionAll(b).count() == a.count() + b.count()
+
+
+@given(rows=ROWS, rows2=ROWS)
+@SETTINGS
+def test_semi_join_equals_in_filter(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    semi = a.join(b, "k", "left_semi")
+    keys = {r.k for r in b.select("k").distinct().collect()}
+    expect = [r for r in a.collect() if r.k in keys]
+    assert sorted((r.k, r.v) for r in semi.collect()) == sorted(
+        (r.k, r.v) for r in expect
+    )
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_unbounded_window_sum_equals_group_sum(spark, rows):
+    df = _df(spark, rows)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    via_window = {
+        (r.k, r.s)
+        for r in df.select("k", F.sum("v").over(w).alias("s")).collect()
+    }
+    via_group = {
+        (r.k, r.s)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert via_window == via_group
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_distinct_idempotent(spark, rows):
+    df = _df(spark, rows)
+    once = df.distinct()
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, once.distinct().collect())
+    )
+
+
+@given(rows=ROWS, rows2=ROWS)
+@SETTINGS
+def test_anti_plus_semi_partition(spark, rows, rows2):
+    """semi ∪ anti partitions the left relation exactly."""
+    a, b = _df(spark, rows), _df(spark, rows2)
+    semi = a.join(b, "k", "left_semi")
+    anti = a.join(b, "k", "left_anti")
+    combined = sorted(
+        [(r.k, r.v) for r in semi.collect()]
+        + [(r.k, r.v) for r in anti.collect()]
+    )
+    assert combined == sorted((r.k, r.v) for r in a.collect())

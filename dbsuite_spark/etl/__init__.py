@@ -1,3 +1,9 @@
 """ETL surface (SURVEY §2A sources/sinks + §2K dbexec-equivalents)."""
 
-from dbsuite_spark.etl import loaders, quality, scripts, sources  # noqa: F401
+from dbsuite_spark.etl import (  # noqa: F401
+    loaders,
+    maintenance,
+    quality,
+    scripts,
+    sources,
+)

@@ -1,0 +1,88 @@
+"""Category K extensions — table-maintenance operators a 100 TB lakehouse
+needs: small-file compaction and clustered (sorted-within-partition) writes.
+
+Reference semantics: dbexec's REORG/RUNSTATS-style maintenance scripts
+[PUBLIC, module-level; checkout empty — SURVEY §0] — DB2 reorganized tables
+for scan locality; the Parquet-lake equivalents are file compaction and
+sort-clustered layout.
+
+Both keys return the post-maintenance table contents, so their SQL oracle
+is simply the source rows — the driver's order-insensitive hash proves the
+rewrite is content-preserving while the file layout (the actual point)
+is asserted in tests/test_extras.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.etl.io import artifact_path
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "etl_compaction",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+    "FROM lineitem",
+    category="K",
+)
+def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (DB2 REORG analog): a fragmented landing zone
+    (64 tiny files) is rewritten into a few right-sized files with
+    ``repartitionByRange`` on the natural scan key, preserving content.
+
+    Scale design: at 100 TB the target is ~128 MB per file
+    (``spark.sql.files.maxRecordsPerFile`` + range repartition on the
+    cluster key); range partitioning keeps each output file covering a
+    tight key interval → Parquet min/max row-group stats prune like an
+    index on later scans. Content equality is the oracle; file-count
+    reduction is asserted in tests."""
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    src = t(spark, sf_dir, "lineitem").select(*cols)
+
+    frag = artifact_path(sf_dir, "compact_fragmented")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+
+    compacted = artifact_path(sf_dir, "compact_out")
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(COMPACT_TARGET_FILES, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted).select(*cols)
+
+
+def parquet_file_count(path: str) -> int:
+    """Number of data files in a Parquet directory (layout assertion)."""
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+@query(
+    "sort_within_partitions",
+    oracle="SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice "
+    "FROM lineitem",
+    category="K",
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered write layout: hash-repartition on the join/filter key,
+    then ``sortWithinPartitions`` — the bucketed-table write discipline
+    without a metastore. No global sort (no range-shuffle barrier): each
+    partition sorts locally, which is what Parquet needs for run-length
+    encoding + min/max stats. At 100 TB this is how you lay out a fact
+    table so later merge-joins and key-range scans skip data."""
+    cols = ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"]
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    clustered = li.repartition(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    )
+    out = artifact_path(sf_dir, "clustered_lineitem")
+    clustered.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(*cols)

@@ -3,6 +3,7 @@
 from dbsuite_spark.operators import (  # noqa: F401
     aggregates,
     cte,
+    extras,
     joins,
     relational,
     setops,

@@ -1,0 +1,124 @@
+"""Categories D/E extensions beyond the 120-key contract — ordered-argument
+aggregates, boolean aggregates, NTH_VALUE, and mergeable HLL sketches.
+
+Reference semantics: DB2 OLAP/column-function surface parsed by dbsuite
+[PUBLIC, module-level; checkout empty — SURVEY §0]. Determinism discipline:
+every ordered-argument aggregate orders by a UNIQUE key (o_orderkey) so
+ties cannot produce engine-dependent answers (SURVEY §7.4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+SELECT o_custkey,
+       arg_min(o_orderpriority, o_orderkey) AS first_priority,
+       arg_max(o_orderpriority, o_orderkey) AS last_priority,
+       arg_min(o_totalprice, o_orderkey)    AS first_price,
+       arg_max(o_totalprice, o_orderkey)    AS last_price
+FROM orders GROUP BY o_custkey
+""",
+    category="D",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY/MAX_BY (DuckDB arg_min/arg_max): per customer, the attributes
+    of their lowest- and highest-keyed order. The ordering argument
+    (o_orderkey) is unique → deterministic across engines and partitionings;
+    partial+final aggregation commutes, so it scales like any hash agg."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.min_by(F.col("o_orderpriority"), k).alias("first_priority"),
+        F.max_by(F.col("o_orderpriority"), k).alias("last_priority"),
+        F.min_by(F.col("o_totalprice"), k).alias("first_price"),
+        F.max_by(F.col("o_totalprice"), k).alias("last_price"),
+    )
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+SELECT o_custkey,
+       bool_and(o_totalprice > 50000)    AS all_big,
+       bool_or(o_orderstatus = 'F')      AS any_filled,
+       bool_and(o_orderpriority <> '5-LOW') AS never_low
+FROM orders GROUP BY o_custkey
+""",
+    category="D",
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND / BOOL_OR (DB2 EVERY/ANY analog): per-customer predicates
+    folded with three-valued logic. Commutative/associative → map-side
+    partials at scale."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.bool_and(F.col("o_totalprice") > 50000).alias("all_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
+        F.bool_and(F.col("o_orderpriority") != "5-LOW").alias("never_low"),
+    )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       nth_value(o_totalprice, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_price,
+       nth_value(o_orderpriority, 3) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_priority
+FROM orders
+""",
+    category="E",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE over the full partition frame (DB2 OLAP spec): the 2nd
+    price / 3rd priority of each customer's order history, NULL where the
+    partition is shorter. Tie-broken by unique o_orderkey (SURVEY §7.4.4)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value(F.col("o_totalprice"), 2).over(w).alias("second_price"),
+        F.nth_value(F.col("o_orderpriority"), 3).over(w).alias("third_priority"),
+    )
+
+
+@query("agg_hll_sketch_merge", oracle=None, category="D")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches via Spark 3.5+
+    ``hll_sketch_agg``/``hll_union_agg``): build one customer-key sketch per
+    nation, then union the 25 nation sketches into a global distinct-count
+    estimate — the canonical two-level pattern for 100 TB (per-partition
+    sketches merge associatively; only tiny sketch bytes cross the shuffle,
+    never raw keys, and sketches can be persisted for incremental rollup).
+
+    Weak oracle (estimate); tests/test_extras.py asserts the estimate is
+    within 5% of the exact distinct count."""
+    c = t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_nation"),
+    )
+    return per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total"),
+        F.sum("exact_nation").alias("sum_nation_exact"),
+        F.count("*").cast("int").alias("n_sketches"),
+    )

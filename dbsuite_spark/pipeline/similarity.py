@@ -283,3 +283,30 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")
+
+
+RADIUS = 0.25
+
+_RANGE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % {QUERY_MOD} = 0)
+SELECT q.qid, e.vec_id AS neighbor_id,
+       {COSINE('q.qe', 'e.embedding')} AS cos_sim
+FROM q, embeddings e
+WHERE e.vec_id <> q.qid
+  AND {COSINE('q.qe', 'e.embedding')} >= {RADIUS}
+"""
+
+
+@query("sim_search_range", oracle=_RANGE_ORACLE, category="L")
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within cosine
+    ≥ 0.25 of each query vector — the retrieval-filter complement of
+    top-k. Same broadcast-queries/one-corpus-scan shape as the exact top-k
+    path (no all-pairs shuffle); the threshold predicate prunes before any
+    window work, so output size — not candidate generation — bounds cost.
+    Cosine goes through the shared deterministic fold (pipeline.vectors),
+    so the >= comparison agrees bit-for-bit with the DuckDB oracle."""
+    return _cosine_pairs(spark, sf_dir).filter(
+        F.col("cos_sim") >= RADIUS
+    )

@@ -398,3 +398,46 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     return _run_to_memory(spark, sdf, "mem_filesrc", "append")
+
+
+@query(
+    "stream_join_static",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       e.event_type,
+       {BIGCOUNT('*')} AS n,
+       {DSUM('e.value')} AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+""",
+    category="I",
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer dimension (user_id+1 = c_custkey), then aggregates by market
+    segment in complete mode → batching-independent → full SQL oracle.
+
+    Scale design: the static side is broadcast per micro-batch (it is a
+    bounded dim); no stream-side shuffle is added by the join, and the
+    post-join aggregate keeps state only per (segment, type) — tiny. This
+    is the standard pattern for enriching a 100 TB/day event firehose with
+    dimension attributes without stream-stream state."""
+    path, src = _land_events(spark, sf_dir, "joinstatic", n_files=3)
+    dim = F.broadcast(
+        t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    sdf = (
+        _read_stream(spark, path, src.schema)
+        .join(dim, F.col("c_custkey") == F.col("user_id") + 1)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_joinstatic", "complete")

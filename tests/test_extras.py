@@ -1,0 +1,98 @@
+"""Semantic tests for the extras keys — the properties their SQL oracles
+(content equality) cannot express: sketch accuracy, file-layout effects."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+import dbsuite_spark
+from dbsuite_spark.etl.io import artifact_path
+from dbsuite_spark.etl.maintenance import COMPACT_TARGET_FILES
+from dbsuite_spark.tables import t
+
+SPECS = dbsuite_spark.all_specs()
+
+
+def test_hll_estimate_within_5pct(spark, sf_dir):
+    row = SPECS["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
+    exact = (
+        t(spark, sf_dir, "customer")
+        .select(F.countDistinct("c_custkey"))
+        .collect()[0][0]
+    )
+    assert row["sum_nation_exact"] == exact  # nations partition customers
+    assert abs(row["approx_total"] - exact) / exact < 0.05
+
+
+def test_compaction_reduces_files(spark, sf_dir):
+    SPECS["etl_compaction"].fn(spark, sf_dir).count()
+    frag = artifact_path(sf_dir, "compact_fragmented")
+    out = artifact_path(sf_dir, "compact_out")
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_out = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_frag == 64
+    assert 1 <= n_out <= COMPACT_TARGET_FILES
+
+
+def test_compaction_range_partitioned_files_are_key_disjoint(spark, sf_dir):
+    """Range repartition must give each output file a disjoint key interval
+    (that's what makes min/max stats prune like an index)."""
+    SPECS["etl_compaction"].fn(spark, sf_dir).count()
+    out = artifact_path(sf_dir, "compact_out")
+    spans = []
+    for f in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+        df = spark.read.parquet(f)
+        lo, hi = df.agg(
+            F.min("l_orderkey"), F.max("l_orderkey")
+        ).collect()[0]
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_sort_within_partitions_files_are_sorted(spark, sf_dir):
+    SPECS["sort_within_partitions"].fn(spark, sf_dir).count()
+    out = artifact_path(sf_dir, "clustered_lineitem")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    for f in files:
+        rows = (
+            spark.read.parquet(f)
+            .select("l_orderkey", "l_linenumber")
+            .collect()
+        )
+        keys = [(r[0], r[1]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_win_nth_value_short_partitions_null(spark, sf_dir):
+    df = SPECS["win_nth_value"].fn(spark, sf_dir)
+    one_order = (
+        df.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("second_price").alias("mx"),
+        )
+        .filter(F.col("n") == 1)
+    )
+    assert one_order.filter(F.col("mx").isNotNull()).count() == 0
+
+
+def test_sim_search_range_matches_topk_overlap(spark, sf_dir):
+    """Every top-k neighbor with cos_sim above the radius must also appear
+    in the range result (internal consistency of the two paths)."""
+    topk = SPECS["sim_search_cosine_topk"].fn(spark, sf_dir)
+    rng = SPECS["sim_search_range"].fn(spark, sf_dir)
+    from dbsuite_spark.pipeline.similarity import RADIUS
+
+    above = topk.filter(F.col("cos_sim") >= RADIUS).select(
+        "qid", "neighbor_id"
+    )
+    missing = above.join(
+        rng.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_anti"
+    )
+    assert missing.count() == 0

@@ -27,10 +27,17 @@ _FLAGSHIP_CUTOFF = "2001-09-02"
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary (TPC-H Q1 shape): scan → filter → computed projection
     → groupBy → 8 aggregates → sort. The minimum end-to-end slice of
-    SURVEY §7.3."""
+    SURVEY §7.3.
+
+    The three averages are derived from the decimal sums post-aggregation
+    (sum/count over NULL-free columns) instead of aggregating three more
+    decimal columns: decimal sums carry a >18-digit (BigDecimal-backed)
+    buffer, so cutting 7 decimal aggregates to 5 is a real saving at scale
+    while producing bit-identical doubles to ``davg``."""
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    n = F.col("count_order")
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_FLAGSHIP_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -39,10 +46,20 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
             dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            dsum(F.col("l_discount")).alias("sum_disc"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / n).alias("avg_qty"),
+            (F.col("sum_base_price") / n).alias("avg_price"),
+            (F.col("sum_disc") / n).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

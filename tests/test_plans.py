@@ -72,3 +72,30 @@ def test_semi_join_for_exists(spark, sf_dir):
 def test_no_cartesian_in_contract_joins(spark, sf_dir):
     for key in ("join_inner_equi", "join_left_outer", "join_asof"):
         assert "CartesianProduct" not in plan_of(spark, sf_dir, key), key
+
+
+def test_sim_range_broadcasts_queries_no_cartesian(spark, sf_dir):
+    """Radius search must broadcast the small query side — never plan a
+    cartesian/shuffle of the corpus."""
+    plan = plan_of(spark, sf_dir, "sim_search_range")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_min_max_by_is_partial_then_final(spark, sf_dir):
+    """min_by carries a string-valued buffer → Spark picks SortAggregate;
+    what matters at scale is the map-side partial before the exchange."""
+    plan = plan_of(spark, sf_dir, "agg_min_max_by")
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange (") == 1  # tree lines only, one shuffle
+
+
+def test_scalar_batteries_stay_in_codegen(spark, sf_dir):
+    """Bitwise/similarity batteries are pure row expressions: whole-stage
+    codegen, no exchange anywhere in the plan."""
+    for key in ("fn_bitwise", "fn_string_similarity", "fn_datetime_tz"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "Exchange" not in plan, f"{key} plans a shuffle"
+        # formatted mode marks codegen'd nodes with a "*" prefix
+        assert "* Project" in plan, f"{key} projection not codegen'd"

@@ -24,6 +24,9 @@ HEADLINE = [
     "pivot_values",
     "join_multiway_star",
     "join_asof",
+    "join_bucketed_colocate",
+    "join_dpp_partitioned",
+    "sim_search_range",
     "win_topk_per_group",
     "win_running_total",
     "set_except_all",

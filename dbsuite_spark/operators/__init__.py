@@ -6,6 +6,7 @@ from dbsuite_spark.operators import (  # noqa: F401
     extras,
     joins,
     relational,
+    scale,
     setops,
     sorting,
     windows,

@@ -1,0 +1,245 @@
+"""Scale-pattern operators — the cluster disciplines the 100 TB mandate
+names explicitly: bucketed co-located joins, skew salting, dynamic
+partition pruning, and ANALYZE-fed CBO statistics.
+
+Reference semantics: DB2 achieved the same ends with MDC/partitioned
+tablespaces, hash distribution keys, and RUNSTATS [PUBLIC, module-level;
+checkout empty — SURVEY §0]; these keys are their Parquet-lake
+equivalents. Every key's *result* is plain relational content (full SQL
+oracle); the physical property each exists to demonstrate is pinned in
+tests/test_plans.py, because that property IS the feature.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.etl.io import artifact_path
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+N_BUCKETS = 8
+N_SALT = 8
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        or "default"
+    )
+
+
+def _bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame,
+    name: str,
+    key: str,
+) -> DataFrame:
+    """Write ``df`` as an external bucketed+sorted table (idempotent per
+    sf) and return it *from the catalog* — only catalog tables carry
+    bucket metadata into planning."""
+    tbl = f"{name}_{_sf_tag(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        # One file per bucket: repartition on the bucket key with
+        # numPartitions == numBuckets (same Murmur3 hash family), so each
+        # write task holds exactly one bucket. Only then does the reader
+        # trust sortBy order and elide the per-side Sort under SMJ.
+        (
+            df.repartition(N_BUCKETS, F.col(key))
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", artifact_path(sf_dir, f"bucketed_{name}"))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+@query(
+    "join_bucketed_colocate",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    category="C",
+)
+def join_bucketed_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides are written
+    ``bucketBy(8, custkey) sortBy(custkey)``, so the sort-merge join reads
+    bucket i against bucket i with NO exchange and NO sort on either side
+    — the plan test pins both absences. This is how a 100 TB fact table
+    joins a large dimension repeatedly without ever re-shuffling: pay the
+    shuffle once at write time, amortize it over every subsequent join.
+    (``merge`` hint pins SMJ so the small test-scale dim doesn't broadcast
+    and hide the bucketing effect; the legacy outputOrdering conf lets the
+    reader trust sortBy file order — valid because the writer guarantees
+    one file per bucket.)"""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    o = _bucketed_table(
+        spark,
+        sf_dir,
+        t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "b_orders",
+        "o_custkey",
+    )
+    c = _bucketed_table(
+        spark,
+        sf_dir,
+        t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        ),
+        "b_customer",
+        "c_custkey",
+    )
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT e.user_id, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY e.user_id, c.c_mktsegment
+""",
+    category="C",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: ``events.user_id`` has tiny cardinality
+    (~15 users for 100k+ events), so a plain shuffle join puts everything
+    on 15 reducers. Salting appends ``pmod(hash(event_id), 8)`` to the big
+    side's key and explodes the small side 8× so each hot key spreads over
+    8 reducers; the join on (key, salt) is exact — results are identical
+    to the unsalted join, which is exactly what the oracle checks. At
+    100 TB this (or AQE skew-split, which handles moderate skew
+    automatically) is the difference between a straggler-bound stage and a
+    balanced one."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALT))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+        )
+    )
+    return (
+        e.hint("shuffle_hash")
+        .join(
+            c,
+            (F.col("c_custkey") == F.col("user_id") + 1)
+            & (e["salt"] == c["salt"]),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+WITH dim AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr
+             FROM orders WHERE o_orderpriority = '1-URGENT'
+               AND year(o_orderdate) >= 1999)
+SELECT f.l_year,
+       CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice
+      FROM lineitem) f
+JOIN dim ON f.l_year = dim.yr
+GROUP BY f.l_year
+""",
+    category="C",
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    ``partitionBy(l_year)`` (the etl_bulk_load discipline, SURVEY §4);
+    joining it to a filtered dim on the partition column makes Catalyst
+    inject a runtime subquery filter into the fact SCAN — only matching
+    year directories are read. The plan test asserts the
+    ``dynamicpruning`` expression. At 100 TB with date partitions this is
+    the difference between scanning 3 days and 7 years."""
+    fact_path = artifact_path(sf_dir, "lineitem_by_year")
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "lineitem")
+            .select(
+                F.year("l_shipdate").alias("l_year"), "l_extendedprice"
+            )
+            .write.partitionBy("l_year")
+            .mode("overwrite")
+            .parquet(fact_path)
+        )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") >= 1999)
+        )
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["l_year"] == dim["yr"])
+        .groupBy("l_year")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("l_year").cast("int").alias("l_year"), "revenue", "n")
+    )
+
+
+@query(
+    "etl_analyze_stats",
+    oracle="""
+SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+""",
+    category="K",
+)
+def etl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNSTATS equivalent: register the table in the catalog, run
+    ``ANALYZE TABLE ... COMPUTE STATISTICS``, and read the row count back
+    out of the *catalog statistics* (DESCRIBE EXTENDED), not the data —
+    proving the stats CBO join-reordering feeds on (SURVEY §4) are
+    actually populated. At 100 TB ANALYZE runs in the load path so every
+    subsequent plan is costed with real cardinalities."""
+    tbl = f"stats_orders_{_sf_tag(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        (
+            t(spark, sf_dir, "orders")
+            .write.option("path", artifact_path(sf_dir, "stats_orders"))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    stats = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .filter(F.col("col_name") == "Statistics")
+        .select(
+            F.regexp_extract("data_type", r"(\d+) rows", 1)
+            .cast("bigint")
+            .alias("n_rows")
+        )
+    )
+    return stats.select(F.lit("orders").alias("table_name"), "n_rows")

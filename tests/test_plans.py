@@ -99,3 +99,52 @@ def test_scalar_batteries_stay_in_codegen(spark, sf_dir):
         assert "Exchange" not in plan, f"{key} plans a shuffle"
         # formatted mode marks codegen'd nodes with a "*" prefix
         assert "* Project" in plan, f"{key} projection not codegen'd"
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, sf_dir):
+    """The whole point of bucketing: bucket-aligned SMJ reads bucket i vs
+    bucket i with no shuffle and (sortBy) no sort on either side."""
+    plan = plan_of(spark, sf_dir, "join_bucketed_colocate")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "+- Sort (" not in plan and "+- * Sort (" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_salted_join_result_equals_unsalted(spark, sf_dir):
+    """Salting must be semantically invisible — verify against the plain
+    (unsalted) join computed directly in Spark."""
+    from pyspark.sql import functions as F
+    from dbsuite_spark.tables import t
+
+    salted = SPECS["join_salted_skew"].fn(spark, sf_dir)
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        e.join(c, F.col("c_custkey") == F.col("user_id") + 1)
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_analyze_stats_feeds_catalog(spark, sf_dir):
+    """After the key runs, the catalog must hold a row count for the
+    analyzed table (what CBO costing reads)."""
+    import re
+    from dbsuite_spark.operators.scale import _sf_tag
+
+    SPECS["etl_analyze_stats"].fn(spark, sf_dir).collect()
+    tbl = f"stats_orders_{_sf_tag(sf_dir)}"
+    stats = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    assert stats and re.search(r"\d+ rows", stats[0]["data_type"])

@@ -86,3 +86,70 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = artifact_path(sf_dir, "clustered_lineitem")
     clustered.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).select(*cols)
+
+
+Z_BITS = 8
+Z_FILES = 8
+
+
+def _zvalue(x, y, minx, maxx, miny, maxy):
+    """Morton/Z-value of two columns quantized to Z_BITS bits each; ``y``
+    takes the odd (higher) bit positions."""
+    qx = F.floor(
+        (x - F.lit(minx)) * ((1 << Z_BITS) - 1) / F.lit(maxx - minx)
+    ).cast("long")
+    qy = F.floor(
+        (y - F.lit(miny)) * ((1 << Z_BITS) - 1) / F.lit(maxy - miny)
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+                )
+            )
+        )
+    return z
+
+
+@query(
+    "etl_zorder_cluster",
+    oracle="SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey "
+    "FROM lineitem",
+    category="K",
+)
+def etl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering on (l_partkey, l_suppkey): both
+    keys are quantized to 8 bits, bit-interleaved into a Z-value, and the
+    table is range-partitioned + sorted on it. Each output file then covers
+    a tight rectangle in BOTH dimensions — parquet min/max stats prune
+    scans filtered on either key, which a single-column sort gives you for
+    only one key. This is the multi-dimensional layout discipline (DB2 MDC
+    tables' analog) for 100 TB fact tables with two hot filter columns.
+    The two quantization bounds are fetched as scalars up front (the same
+    two numbers ANALYZE would hold); content equality is the oracle, the
+    per-file rectangle property is asserted in tests/test_extras.py."""
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    b = li.agg(
+        F.min("l_partkey"),
+        F.max("l_partkey"),
+        F.min("l_suppkey"),
+        F.max("l_suppkey"),
+    ).collect()[0]
+    z = _zvalue(
+        F.col("l_partkey"), F.col("l_suppkey"), b[0], b[1], b[2], b[3]
+    )
+    out = artifact_path(sf_dir, "zorder_lineitem")
+    (
+        li.withColumn("zval", z)
+        .repartitionByRange(Z_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(*cols)

@@ -122,3 +122,60 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_nation").alias("sum_nation_exact"),
         F.count("*").cast("int").alias("n_sketches"),
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+    category="D",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (inverse of pivot_values): three measure columns →
+    (measure, val) rows. Spark's ``unpivot`` is a narrow expand — no
+    shuffle, 3× row multiplication done streaming per partition. The
+    oracle is the portable UNION ALL formulation."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+""",
+    category="C",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (DB2 TABLE()/LATERAL dialect): each
+    customer's top-2 orders by price, tie-broken by unique key. Catalyst
+    decorrelates this into a window top-k over one shuffled join — same
+    physical shape as win_topk_per_group, no per-row re-execution, so it
+    scales like any windowed agg."""
+    from dbsuite_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

@@ -441,3 +441,79 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(spark, sdf, "mem_joinstatic", "complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP)
+     BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+         AND CAST(p.ts AS TIMESTAMP)
+""",
+    category="I",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in
+    the preceding 30 minutes — the attribution-join shape. Both sides carry
+    watermarks + the time-range predicate, which is what lets the state
+    store evict old rows at scale (state per side ≈ one watermark-window of
+    events, not the whole stream). The watermark delay (35 days) exceeds
+    the fixture's 30-day span, so nothing is evicted mid-run and the
+    append-mode result provably equals the batch join → full SQL oracle.
+    On a real unbounded feed the delay would be minutes and state stays
+    bounded; semantics are unchanged.
+
+    State-store width: each shuffle partition commits two state stores per
+    micro-batch; at the default 200 partitions that's pure file-IO overhead
+    for a test-scale stream, so the width is pinned to 16 for this query
+    (and restored after) — on a cluster you'd size it to executor count."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return _stream_stream_join_run(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _stream_stream_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, src = _land_events(spark, sf_dir, "ssjoin", n_files=2)
+    purchases = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "35 days")
+    )
+    clicks = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "35 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+    )
+    return _run_to_memory(spark, joined, "mem_ssjoin", "append")

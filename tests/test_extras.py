@@ -96,3 +96,41 @@ def test_sim_search_range_matches_topk_overlap(spark, sf_dir):
         rng.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_anti"
     )
     assert missing.count() == 0
+
+
+def test_zorder_files_are_rectangles_in_both_dims(spark, sf_dir):
+    """Z-ordering must localize BOTH keys per file: every file's key span
+    should be a strict fraction of the global span in each dimension
+    (a single-column sort localizes only one)."""
+    SPECS["etl_zorder_cluster"].fn(spark, sf_dir).count()
+    out = artifact_path(sf_dir, "zorder_lineitem")
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) >= 4
+    g = (
+        spark.read.parquet(out)
+        .agg(
+            F.min("l_partkey"), F.max("l_partkey"),
+            F.min("l_suppkey"), F.max("l_suppkey"),
+        )
+        .collect()[0]
+    )
+    g_part, g_supp = g[1] - g[0], g[3] - g[2]
+    part_spans, supp_spans = [], []
+    for f in files:
+        b = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("l_partkey"), F.max("l_partkey"),
+                F.min("l_suppkey"), F.max("l_suppkey"),
+            )
+            .collect()[0]
+        )
+        part_spans.append(b[1] - b[0])
+        supp_spans.append(b[3] - b[2])
+    # 8 range partitions over the z-curve fix ~3 leading interleaved bits:
+    # suppkey (odd/high bits) spans ~1/4, partkey ~1/2 of the global range.
+    # Quantile boundaries don't align exactly with bit prefixes, so a file
+    # straddling a prefix flip can span wide — assert on the mean, which a
+    # single-column sort (span ≈ 1.0 in the other dim) still fails.
+    assert sum(part_spans) / len(files) <= 0.7 * g_part
+    assert sum(supp_spans) / len(files) <= 0.45 * g_supp

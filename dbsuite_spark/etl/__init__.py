@@ -6,4 +6,5 @@ from dbsuite_spark.etl import (  # noqa: F401
     quality,
     scripts,
     sources,
+    sql_format,
 )

@@ -60,3 +60,21 @@ def test_retry_counts(spark):
     res = run_script(spark, "SELECT broken FROM nowhere", retries=2)
     assert res.results[0].attempts == 3
     assert res.results[0].status == "error"
+
+
+def test_format_sql_idempotent():
+    from dbsuite_spark.etl.sql_format import DEMO_SCRIPT, format_sql
+    from dbsuite_spark.etl.script_runner import split_statements
+
+    for s in split_statements(DEMO_SCRIPT):
+        once = format_sql(s)
+        assert format_sql(once) == once
+
+
+def test_format_sql_preserves_literals_and_strips_comments():
+    from dbsuite_spark.etl.sql_format import format_sql
+
+    out = format_sql("select 'It''s; raw' as s -- trailing\nfrom t")
+    assert "'It''s; raw'" in out          # literal untouched (incl. ; and case)
+    assert "trailing" not in out          # comment stripped
+    assert out.startswith("SELECT")       # keyword uppercased

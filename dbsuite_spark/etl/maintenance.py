@@ -94,12 +94,13 @@ Z_FILES = 8
 
 def _zvalue(x, y, minx, maxx, miny, maxy):
     """Morton/Z-value of two columns quantized to Z_BITS bits each; ``y``
-    takes the odd (higher) bit positions."""
+    takes the odd (higher) bit positions. A constant column (max == min)
+    quantizes to 0 rather than dividing by zero."""
     qx = F.floor(
-        (x - F.lit(minx)) * ((1 << Z_BITS) - 1) / F.lit(maxx - minx)
+        (x - F.lit(minx)) * ((1 << Z_BITS) - 1) / F.lit(max(maxx - minx, 1))
     ).cast("long")
     qy = F.floor(
-        (y - F.lit(miny)) * ((1 << Z_BITS) - 1) / F.lit(maxy - miny)
+        (y - F.lit(miny)) * ((1 << Z_BITS) - 1) / F.lit(max(maxy - miny, 1))
     ).cast("long")
     z = F.lit(0).cast("long")
     for i in range(Z_BITS):

@@ -117,3 +117,39 @@ def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         utc.alias("utc_instant"),
         F.from_utc_timestamp(utc, "Asia/Tokyo").alias("tokyo_wall"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+SELECT c_custkey,
+       lower(c_mktsegment) || '.example.com'        AS host,
+       '/cust/' || CAST(c_custkey AS VARCHAR)       AS path,
+       CAST(c_nationkey AS VARCHAR)                 AS nation_param
+FROM customer
+""",
+    category="H",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery (``parse_url`` HOST/PATH/QUERY): URLs are
+    synthesized from customer columns, then each component is parsed back
+    out — the oracle reconstructs the components directly, so the check
+    proves parse_url inverts the construction. Pure codegen expressions;
+    the web-log-parsing staple of training-data pipelines."""
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?nation="),
+        F.col("c_nationkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("nation")).alias(
+            "nation_param"
+        ),
+    )

@@ -179,3 +179,86 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       first_value(filled_price IGNORE NULLS) OVER w AS first_filled,
+       last_value(filled_price IGNORE NULLS) OVER w  AS last_filled,
+       lag(filled_price IGNORE NULLS) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS prev_filled
+FROM (SELECT *, CASE WHEN o_orderstatus = 'O' THEN NULL
+                     ELSE o_totalprice END AS filled_price
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="E",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics (DB2 OLAP spec option): the price of
+    each customer's first/last/previous *filled* (non-open) order, skipping
+    NULL rows — the gap-filling idiom for sparse time-series. Spark puts
+    IGNORE NULLS after the call, DuckDB inside it; semantics match.
+    Tie-broken by unique o_orderkey (SURVEY §7.4.4)."""
+    from dbsuite_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               first_value(filled_price) IGNORE NULLS OVER w AS first_filled,
+               last_value(filled_price) IGNORE NULLS OVER w  AS last_filled,
+               lag(filled_price) IGNORE NULLS OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS prev_filled
+        FROM (SELECT *, CASE WHEN o_orderstatus = 'O' THEN NULL
+                             ELSE o_totalprice END AS filled_price
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        """
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+SELECT o_custkey, o_orderpriority AS modal_priority,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_custkey, o_orderpriority)
+WHERE rn = 1
+""",
+    category="D",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: each customer's most frequent order priority,
+    ties broken by priority string — unlike the built-in ``mode()`` (both
+    engines pick an arbitrary tied value), this count+row_number rewrite is
+    engine-stable, which is what makes it oracle-checkable. Two hash aggs +
+    one window on the same key → two shuffles, both on o_custkey."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+    )

@@ -262,3 +262,59 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       o_totalprice /
+       (SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+          OVER (PARTITION BY o_custkey))::DOUBLE AS spend_share
+FROM orders
+""",
+    category="E",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT (DB2 OLAP spec): each order's share of its
+    customer's total spend. The window denominator is a decimal-exact sum
+    (order-free partials, SURVEY §7.4.1) cast to double before one double
+    division — bit-identical on both engines, no tolerance needed."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") / denom.cast("double")).alias("spend_share"),
+    )
+
+
+@query(
+    "agg_regr",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="D",
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (DB2 REGR_* OLAP functions): slope /
+    intercept / R² of extendedprice on quantity per return flag. Rounded on
+    both sides — streaming-moment implementations agree to ~1e-12 relative,
+    far inside the rounding (same treatment as agg_stats). Single
+    partial+final hash agg; at 100 TB the moments commute across
+    partitions like any covariance."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 3).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

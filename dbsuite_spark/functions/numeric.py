@@ -82,10 +82,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_decimal_arith",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-           AS gross,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS gross,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-            AS DECIMAL(38,4)) AS net,
+            AS DOUBLE) AS net,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -95,19 +94,22 @@ GROUP BY l_returnflag
 def fn_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL money arithmetic + SUM (DB2's core money type).
     Decimal partial sums commute, so map-side combine stays exact at any
-    partitioning/scale. The 2dp×2dp product is carried at DECIMAL(18,4) —
-    exactly representable, so no engine ever rounds a half-cent tie."""
+    partitioning/scale. Sums run at DECIMAL(18,6) (the exact.py discipline —
+    at (12,2) the engines round half-cent ties of doubles differently); the
+    2dp×2dp product is carried at DECIMAL(18,4), exactly representable.
+    Final columns are cast to DOUBLE: Decimal objects in a final projection
+    render engine-specifically and break the driver's value hash."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
         .alias("gross"),
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(18,4)"
             )
         )
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("net"),
         F.count("*").alias("n"),
     )

@@ -33,33 +33,60 @@ from dbsuite_spark.tables import t
 @query(
     "fn_array_core",
     oracle="""
-SELECT vec_id,
-       CAST(len(embedding) AS BIGINT)                       AS dim,
-       embedding[1]                                         AS first_elem,
-       list_slice(embedding, 1, 3)                          AS head3,
-       list_contains(embedding, embedding[1])               AS has_first,
-       list_sort(list_slice(embedding, 1, 5))               AS head5_sorted,
-       list_sort(list_distinct(list_slice(embedding, 1, 8))) AS head8_dedup
-FROM embeddings
+WITH base AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT)                 AS dim,
+         CAST(embedding[1] AS DOUBLE)                   AS first_elem,
+         list_contains(embedding, embedding[1])         AS has_first,
+         list_transform(list_slice(embedding, 1, 3),
+                        x -> CAST(x AS DOUBLE))         AS h3,
+         list_sort(list_transform(list_slice(embedding, 1, 5),
+                                  x -> CAST(x AS DOUBLE))) AS h5s,
+         list_sort(list_distinct(
+             list_transform(list_slice(embedding, 1, 8),
+                            x -> CAST(x AS DOUBLE))))   AS dd
+  FROM embeddings
+)
+SELECT vec_id, dim, first_elem, has_first,
+       h3[1] AS h3_1, h3[2] AS h3_2, h3[3] AS h3_3,
+       h5s[1] AS h5s_1, h5s[2] AS h5s_2, h5s[3] AS h5s_3,
+       h5s[4] AS h5s_4, h5s[5] AS h5s_5,
+       CAST(len(dd) AS BIGINT) AS dd_n,
+       dd[1] AS dd_min, dd[len(dd)] AS dd_max
+FROM base
 """,
     category="H",
 )
 def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size / element_at / slice / array_contains / array_sort /
     array_distinct on the 64-dim embedding column. Spark slice(col, 1, 3) ≡
-    DuckDB list_slice(col, 1, 3) (both 1-based, length vs end — probed)."""
+    DuckDB list_slice(col, 1, 3) (both 1-based, length vs end — probed).
+    The array intermediates are probed element-wise in the final select —
+    no array column survives to the projection (driver-hash discipline);
+    float32 elements are cast to DOUBLE (exact) so both engines hash the
+    same 64-bit value."""
     e = t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    as_dbl = lambda a: F.transform(a, lambda x: x.cast("double"))  # noqa: E731
+    h3 = as_dbl(F.slice(emb, 1, 3))
+    h5s = F.array_sort(as_dbl(F.slice(emb, 1, 5)))
+    dd = F.array_sort(F.array_distinct(as_dbl(F.slice(emb, 1, 8))))
     return e.select(
         "vec_id",
         F.size(emb).cast("bigint").alias("dim"),
-        F.element_at(emb, 1).alias("first_elem"),
-        F.slice(emb, 1, 3).alias("head3"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
         F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
-        F.array_sort(F.slice(emb, 1, 5)).alias("head5_sorted"),
-        F.array_sort(F.array_distinct(F.slice(emb, 1, 8))).alias(
-            "head8_dedup"
-        ),
+        F.element_at(h3, 1).alias("h3_1"),
+        F.element_at(h3, 2).alias("h3_2"),
+        F.element_at(h3, 3).alias("h3_3"),
+        F.element_at(h5s, 1).alias("h5s_1"),
+        F.element_at(h5s, 2).alias("h5s_2"),
+        F.element_at(h5s, 3).alias("h5s_3"),
+        F.element_at(h5s, 4).alias("h5s_4"),
+        F.element_at(h5s, 5).alias("h5s_5"),
+        F.size(dd).cast("bigint").alias("dd_n"),
+        F.element_at(dd, 1).alias("dd_min"),
+        F.element_at(dd, -1).alias("dd_max"),
     )
 
 
@@ -67,7 +94,9 @@ def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_higher_order",
     oracle="""
 SELECT vec_id,
-       list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)      AS doubled,
+       list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1]   AS doubled_1,
+       list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2),
+                   (a, b) -> a + b)                                AS doubled_sum,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)    AS n_pos,
        list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                    (a, b) -> a + b)                                AS elem_sum,
@@ -81,13 +110,19 @@ FROM embeddings
 def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSFORM / FILTER / AGGREGATE lambdas (L2 norm of the embedding —
     the same fold the category-L similarity keys build on). Sequential
-    left-fold in double on both engines → bit-identical."""
+    left-fold in double on both engines → bit-identical. The transformed
+    array is probed via its first element + its full sequential fold (every
+    element contributes) so no array column reaches the final select."""
     e = t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    doubled = F.transform(emb, lambda x: x.cast("double") * 2)
     as_double = F.transform(emb, lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.transform(emb, lambda x: x.cast("double") * 2).alias("doubled"),
+        F.element_at(doubled, 1).alias("doubled_1"),
+        F.aggregate(doubled, F.lit(0.0), lambda a, x: a + x).alias(
+            "doubled_sum"
+        ),
         F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
         F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x).alias(
             "elem_sum"
@@ -129,7 +164,7 @@ SELECT event_id,
        event_type                               AS typ,
        CAST(2 AS BIGINT)                        AS n_keys,
        CAST(3 AS BIGINT)                        AS n_keys2,
-       ['type', 'uid']                          AS keys_sorted,
+       'type,uid'                               AS keys_sorted,
        value                                    AS v_roundtrip
 FROM events
 """,
@@ -140,7 +175,8 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the algebraically-expected flattened output (DuckDB MAP fetch
     shapes differ), so the check still hash-verifies every map op's result.
     Doubles round-trip map<string,string> → back to DOUBLE (rendering-safe).
-    """
+    map_keys is serialized with array_join — no array/map column in the
+    final select (driver-hash discipline)."""
     e = t(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
@@ -152,7 +188,7 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("typ"),
         F.size(m).cast("bigint").alias("n_keys"),
         F.size(m2).cast("bigint").alias("n_keys2"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m2, "v").cast("double").alias("v_roundtrip"),
     )
 

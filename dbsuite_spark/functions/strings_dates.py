@@ -89,7 +89,7 @@ def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        regexp_extract(p_brand, 'Brand#(\\d+)', 1)      AS brand_num,
        regexp_replace(p_type, '[aeiou]', '', 'g')      AS no_vowels,
-       string_split(p_type, ' ')                       AS toks,
+       array_to_string(string_split(p_type, ' '), '|') AS toks,
        string_split(p_type, ' ')[1]                    AS tok1,
        CAST(len(string_split(p_type, ' ')) AS BIGINT)  AS n_toks
 FROM part
@@ -98,14 +98,16 @@ FROM part
 )
 def fn_string_regex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGEXP_EXTRACT / REGEXP_REPLACE / SPLIT. NB Spark regexp_replace is
-    global by default; DuckDB needs the 'g' flag (probed)."""
+    global by default; DuckDB needs the 'g' flag (probed). The split array
+    is serialized with '|' in the final select — raw array columns crash
+    the driver's pandas canonicalizer (round-1 red key)."""
     p = t(spark, sf_dir, "part")
     toks = F.split(F.col("p_type"), " ")
     return p.select(
         "p_partkey",
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
         F.regexp_replace("p_type", "[aeiou]", "").alias("no_vowels"),
-        toks.alias("toks"),
+        F.array_join(toks, "|").alias("toks"),
         F.element_at(toks, 1).alias("tok1"),
         F.size(toks).cast("bigint").alias("n_toks"),
     )

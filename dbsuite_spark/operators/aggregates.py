@@ -348,7 +348,8 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT l_orderkey,
-       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                  ORDER BY l_linenumber) AS line_numbers,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 GROUP BY l_orderkey
@@ -356,10 +357,18 @@ GROUP BY l_orderkey
     category="D",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped array collection, deterministically sorted (LISTAGG analog)."""
+    """Grouped array collection, deterministically sorted (LISTAGG analog).
+    The collected array is sorted numerically then serialized with ',' —
+    raw array columns crash the driver's pandas canonicalizer."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_numbers"),
         F.count("*").alias("n_lines"),
     )
 

@@ -30,7 +30,9 @@ MAXABS_HI = 0.32
     oracle="""
 SELECT d.doc_id, d.lang, e.label, d.n_chars,
        CAST(len(e.embedding) AS BIGINT) AS dim,
-       list_slice(e.embedding, 1, 3) AS head3
+       CAST(e.embedding[1] AS DOUBLE) AS h3_1,
+       CAST(e.embedding[2] AS DOUBLE) AS h3_2,
+       CAST(e.embedding[3] AS DOUBLE) AS h3_3
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """,
     category="L",
@@ -48,13 +50,16 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.col("lang"), F.col("embedding"), F.col("label")
         ),
     )
+    rec_emb = F.col("record.embedding")
     return joined.select(
         "doc_id",
         F.col("record.lang").alias("lang"),
         F.col("record.label").alias("label"),
         "n_chars",
-        F.size("record.embedding").cast("bigint").alias("dim"),
-        F.slice("record.embedding", 1, 3).alias("head3"),
+        F.size(rec_emb).cast("bigint").alias("dim"),
+        F.element_at(rec_emb, 1).cast("double").alias("h3_1"),
+        F.element_at(rec_emb, 2).cast("double").alias("h3_2"),
+        F.element_at(rec_emb, 3).cast("double").alias("h3_3"),
     )
 
 

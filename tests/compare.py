@@ -3,6 +3,17 @@
 multisets exactly. Exact float equality is deliberate — queries must be
 designed (decimal-exact sums, explicit rounding) so both engines produce
 bit-identical doubles; anything looser would hide driver hash mismatches.
+
+Driver-faithfulness (round-2 hardening): the real driver builds a pandas
+frame from the raw rows and ``sort_values``/hashes it. That path *crashes*
+on list/map/struct values (``TypeError: unhashable type: 'list'``) and
+hashes ``Decimal`` objects by their engine-specific rendering — both
+confirmed as round-1 red keys (CORRECTNESS_r01.json). The round-1 version
+of this module silently canonicalized those values (lists → joined strings,
+Decimal → float), so the local sim was green where the driver was red.
+This version REFUSES them instead: a Decimal, list, tuple, dict, or
+numpy array in any final value raises ``HashUnsafeValue``, so local green
+implies driver green.
 """
 
 from __future__ import annotations
@@ -10,6 +21,12 @@ from __future__ import annotations
 import datetime as _dt
 import math
 from decimal import Decimal
+
+
+class HashUnsafeValue(TypeError):
+    """A final-projection value the driver's canonicalizer cannot hash
+    portably: Decimal (engine-specific rendering) or any nested container
+    (pandas sort_values crash). Fix the query, not the comparator."""
 
 
 def canon(v) -> str:
@@ -22,20 +39,30 @@ def canon(v) -> str:
             return "f:nan"
         return f"f:{v!r}"
     if isinstance(v, Decimal):
-        return f"f:{float(v)!r}"
+        raise HashUnsafeValue(
+            "Decimal in final projection — cast to DOUBLE (driver hashes "
+            "Decimals by engine-specific rendering; round-1 red key)"
+        )
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, _dt.datetime):
         return f"ts:{v.replace(tzinfo=None).isoformat()}"
     if isinstance(v, _dt.date):
         return f"d:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        items = sorted((str(k), canon(x)) for k, x in v.items())
-        return "{" + ",".join(f"{k}={x}" for k, x in items) + "}"
+    if isinstance(v, (list, tuple, dict, set)):
+        raise HashUnsafeValue(
+            f"nested {type(v).__name__} in final projection — serialize or "
+            "explode it (driver's pandas canonicalizer crashes on it; "
+            "round-1 red keys)"
+        )
     if isinstance(v, (bytes, bytearray)):
         return f"x:{bytes(v).hex()}"
+    if type(v).__module__ == "numpy":  # ndarray or numpy scalar leaking out
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            raise HashUnsafeValue("numpy array in final projection")
+        return canon(v.item())
     return f"s:{v}"
 
 

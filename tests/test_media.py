@@ -25,9 +25,10 @@ def test_features_deterministic_and_typed(spark, sf_dir):
     assert a == b and len(a) > 0
     assert all(r[1] == 64 for r in a)
     schema = dict(df.dtypes)
-    assert schema["histo8"] == "array<double>"
+    assert all(schema[f"h{k}"] == "double" for k in range(8))
     row = df.first()
-    assert sum(row.histo8) == 64.0  # histogram covers every byte
+    # histogram covers every byte of the 64-byte payload
+    assert sum(row[f"h{k}"] for k in range(8)) == 64.0
 
 
 def test_frame_sample_contract(spark, sf_dir):

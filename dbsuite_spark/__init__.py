@@ -17,6 +17,12 @@ from dbsuite_spark import (  # noqa: F401  (importing registers every key)
     streaming,
     udx,
 )
+from dbsuite_spark import _order, registry
 from dbsuite_spark.registry import all_specs, oracle_sql, queries  # noqa: F401
+
+# The driver verifies keys in registration order under a per-round budget —
+# put not-yet-driver-verified keys first, round-1-green keys last
+# (see _order.py for the rotation discipline).
+registry.reorder(_order.VERIFY_FIRST, _order.VERIFY_LAST)
 
 __all__ = ["queries", "oracle_sql", "all_specs"]

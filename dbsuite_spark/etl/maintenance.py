@@ -94,13 +94,14 @@ Z_FILES = 8
 
 def _zvalue(x, y, minx, maxx, miny, maxy):
     """Morton/Z-value of two columns quantized to Z_BITS bits each; ``y``
-    takes the odd (higher) bit positions. A constant column (max == min)
-    quantizes to 0 rather than dividing by zero."""
+    takes the odd (higher) bit positions. Bounds are Columns (from a
+    broadcast 1-row stats aggregate — no driver-side collect). A constant
+    column (max == min) quantizes to 0 rather than dividing by zero."""
     qx = F.floor(
-        (x - F.lit(minx)) * ((1 << Z_BITS) - 1) / F.lit(max(maxx - minx, 1))
+        (x - minx) * ((1 << Z_BITS) - 1) / F.greatest(maxx - minx, F.lit(1))
     ).cast("long")
     qy = F.floor(
-        (y - F.lit(miny)) * ((1 << Z_BITS) - 1) / F.lit(max(maxy - miny, 1))
+        (y - miny) * ((1 << Z_BITS) - 1) / F.greatest(maxy - miny, F.lit(1))
     ).cast("long")
     z = F.lit(0).cast("long")
     for i in range(Z_BITS):
@@ -130,23 +131,32 @@ def etl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans filtered on either key, which a single-column sort gives you for
     only one key. This is the multi-dimensional layout discipline (DB2 MDC
     tables' analog) for 100 TB fact tables with two hot filter columns.
-    The two quantization bounds are fetched as scalars up front (the same
-    two numbers ANALYZE would hold); content equality is the oracle, the
-    per-file rectangle property is asserted in tests/test_extras.py."""
+    The quantization bounds come from a 1-row min/max aggregate broadcast
+    back onto the table (the numbers ANALYZE would hold) — no driver-side
+    collect, the whole plan stays on executors; content equality is the
+    oracle, the per-file rectangle property is asserted in
+    tests/test_extras.py."""
     cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
     li = t(spark, sf_dir, "lineitem").select(*cols)
-    b = li.agg(
-        F.min("l_partkey"),
-        F.max("l_partkey"),
-        F.min("l_suppkey"),
-        F.max("l_suppkey"),
-    ).collect()[0]
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+    )
     z = _zvalue(
-        F.col("l_partkey"), F.col("l_suppkey"), b[0], b[1], b[2], b[3]
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("minp"),
+        F.col("maxp"),
+        F.col("mins"),
+        F.col("maxs"),
     )
     out = artifact_path(sf_dir, "zorder_lineitem")
     (
-        li.withColumn("zval", z)
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("zval", z)
+        .drop("minp", "maxp", "mins", "maxs")
         .repartitionByRange(Z_FILES, "zval")
         .sortWithinPartitions("zval")
         .drop("zval")

@@ -10,9 +10,10 @@ threshold is pinned at 0.5.
 Scale design (100 TB):
 - ``dedup_exact`` is one hash-window pass — the always-cheap first stage.
 - ``dedup_exact_jaccard`` self-joins the shingle index: exact, but the
-  join explodes on high-frequency shingles; it is the small-scale truth
-  used to validate recall. At fleet scale, cap shingle document-frequency
-  (drop stop-shingles) before the join.
+  join explodes on high-frequency shingles, so stop-shingles (document
+  frequency > DF_CAP) are dropped before the join (``cap_stop_shingles``)
+  — bounding any shingle's join contribution at DF_CAP² while leaving
+  fixture recall untouched (asserted in tests/test_pipeline.py).
 - ``dedup_near_minhash`` is the scale path: 24 MinHashes → 12 bands of 2 →
   candidates only where a band collides (one shuffle on band key), then
   exact Jaccard verification on candidates only. With the fixture's
@@ -34,6 +35,7 @@ from dbsuite_spark.tables import t
 JACCARD_THRESHOLD = 0.5
 N_HASHES = 24
 BAND_SIZE = 2  # 12 bands
+DF_CAP = 100  # stop-shingle document-frequency cap for the exact path
 
 
 def shingles(text_col: Column, n: int = 3) -> Column:
@@ -78,6 +80,45 @@ JOIN sizes s1 ON d1 = s1.doc_id
 JOIN sizes s2 ON d2 = s2.doc_id
 WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}
 """
+
+# Same computation over the DF-capped shingle index (stop-shingles with
+# document frequency > DF_CAP removed before the self-join) — the operator
+# semantics of dedup_exact_jaccard.
+_JACCARD_CAPPED_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks),
+stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2,
+       CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}
+"""
+
+
+def cap_stop_shingles(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
+    """Drop stop-shingles (document frequency > cap) from the (doc_id, s)
+    index. The stop set is tiny by construction (only ultra-common
+    shingles exceed the cap), so it broadcasts — the anti-join adds no
+    shuffle beyond the df aggregation. This bounds the worst shingle's
+    self-join contribution at cap², which is what keeps the exact path
+    from exploding on a 100 TB corpus's boilerplate n-grams."""
+    stop = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return sh.join(F.broadcast(stop), "s", "left_anti")
 
 
 def _jaccard_on(
@@ -150,12 +191,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_exact_jaccard", oracle=_JACCARD_ORACLE, category="L")
+@query("dedup_exact_jaccard", oracle=_JACCARD_CAPPED_ORACLE, category="L")
 def dedup_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise shingle-Jaccard ≥ 0.5 (small-scale ground truth for
-    the MinHash path). jaccard = ni/(n1+n2-ni) is a single division of
-    exact integers — bit-identical across engines."""
-    return _jaccard_on(None, _shingle_rows(spark, sf_dir))
+    """Exact pairwise shingle-Jaccard ≥ 0.5 over the DF-capped shingle
+    index (stop-shingles with document frequency > DF_CAP dropped before
+    the self-join — the scale guard the docstring above describes; the
+    oracle applies the same cap). jaccard = ni/(n1+n2-ni) is a single
+    division of exact integers — bit-identical across engines. Pair recall
+    vs the uncapped index is asserted unchanged in tests/test_pipeline.py."""
+    return _jaccard_on(
+        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    )
 
 
 @query("dedup_near_minhash", oracle=_JACCARD_ORACLE, category="L")

@@ -60,6 +60,22 @@ def query(
     return deco
 
 
+def reorder(first: list[str], last: list[str]) -> None:
+    """Rebuild registration order: ``first`` keys lead (in list order),
+    unlisted keys keep their original relative order in the middle, and
+    ``last`` keys trail. The driver walks keys in registration order under
+    a per-round budget (round 1 stopped at 50 of 156), so keys that most
+    need a real driver run must register first; already-driver-green keys
+    go last. Unknown names fail loudly so the lists can't drift."""
+    global _REGISTRY
+    unknown = [k for k in [*first, *last] if k not in _REGISTRY]
+    if unknown:
+        raise KeyError(f"reorder: unknown keys {unknown}")
+    listed = set(first) | set(last)
+    middle = [k for k in _REGISTRY if k not in listed]
+    _REGISTRY = {k: _REGISTRY[k] for k in [*first, *middle, *last]}
+
+
 def spec(name: str) -> QuerySpec:
     return _REGISTRY[name]
 

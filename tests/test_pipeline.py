@@ -4,7 +4,12 @@ Jaccard (both deterministic — seeded hashes/planes)."""
 
 from __future__ import annotations
 
-from dbsuite_spark.pipeline.dedup import dedup_exact_jaccard, dedup_near_minhash
+from dbsuite_spark.pipeline.dedup import (
+    _jaccard_on,
+    _shingle_rows,
+    dedup_exact_jaccard,
+    dedup_near_minhash,
+)
 from dbsuite_spark.pipeline.similarity import (
     sim_search_ann_ivf,
     sim_search_ann_lsh,
@@ -37,6 +42,20 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4 (nprobe=4/16)"
+
+
+def test_stop_shingle_cap_preserves_recall(spark, sf_dir):
+    """The DF_CAP stop-shingle filter (scale guard on the exact path) must
+    not change which pairs clear the Jaccard threshold on the fixture."""
+    uncapped = {
+        (r.d1, r.d2)
+        for r in _jaccard_on(None, _shingle_rows(spark, sf_dir)).collect()
+    }
+    capped = {
+        (r.d1, r.d2) for r in dedup_exact_jaccard(spark, sf_dir).collect()
+    }
+    assert uncapped, "no near-dup pairs found — fixture expectation broken"
+    assert capped == uncapped
 
 
 def test_minhash_finds_all_exact_pairs(spark, sf_dir):

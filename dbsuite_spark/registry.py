@@ -47,9 +47,20 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
+
+        def tuned_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver may call any query against a vanilla session
+            # (200-wide shuffles, no UTC pin); tune once per session.
+            from dbsuite_spark.session import ensure_tuned
+
+            ensure_tuned(spark)
+            return fn(spark, sf_dir)
+
+        tuned_fn.__name__ = fn.__name__
+        tuned_fn.__doc__ = fn.__doc__
         _REGISTRY[name] = QuerySpec(
             name=name,
-            fn=fn,
+            fn=tuned_fn,
             oracle=oracle,
             category=category,
             doc=(fn.__doc__ or "").strip(),

@@ -40,11 +40,39 @@ def get_spark(
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable correctness configs to an externally-created
-    session (the driver owns the session for ``entry()``/``queries()``)."""
+    """Apply runtime-settable correctness + performance configs to an
+    externally-created session (the driver owns the session for
+    ``entry()``/``queries()``). Everything here is a runtime conf: a
+    vanilla session defaults to 200 shuffle partitions, which at test
+    scale means 6x-too-wide shuffles and, for stateful streaming, 200
+    state-store commits per micro-batch."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # static conf in some deployments; harmless
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", shuffle),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", "64m"),
+        ("spark.sql.cbo.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # static conf in some deployments; harmless
+    return spark
+
+
+_TUNED_FLAG = "spark.dbsuite.tuned"
+
+
+def ensure_tuned(spark: SparkSession) -> SparkSession:
+    """Idempotently tune a session; memoized via a session conf flag so
+    the per-query cost after the first call is one conf read. Registered
+    queries call this on entry because the driver may run ``queries()``
+    against a session that never went through ``entry()``/``get_spark``."""
+    if spark.conf.get(_TUNED_FLAG, "0") != "1":
+        tune_session(spark)
+        spark.conf.set(_TUNED_FLAG, "1")
     return spark

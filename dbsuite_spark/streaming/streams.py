@@ -24,6 +24,7 @@ the driver.
 
 from __future__ import annotations
 
+import contextlib
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,23 @@ def _read_stream(
     )
 
 
+@contextlib.contextmanager
+def _stream_width(spark: SparkSession, width: int = 8):
+    """Pin shuffle width for the duration of a streaming run.
+
+    Every shuffle partition of a stateful query commits a state store per
+    micro-batch; at the session default (32 here, 200 vanilla) that is
+    pure commit-file overhead for a test-scale stream. The width is fixed
+    into the query's checkpoint at start, so pin-and-restore around
+    ``start()`` is safe. On a cluster you'd size this to executor count."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, mode: str
 ) -> DataFrame:
@@ -84,14 +102,15 @@ def _run_to_memory(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_width(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -372,14 +391,15 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        _read_stream(spark, path, src.schema)
-        .writeStream.foreachBatch(upsert_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_width(spark):
+        q = (
+            _read_stream(spark, path, src.schema)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -470,15 +490,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded; semantics are unchanged.
 
     State-store width: each shuffle partition commits two state stores per
-    micro-batch; at the default 200 partitions that's pure file-IO overhead
-    for a test-scale stream, so the width is pinned to 16 for this query
-    (and restored after) — on a cluster you'd size it to executor count."""
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        return _stream_stream_join_run(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    micro-batch — pinned narrow by ``_stream_width`` inside the runner; on
+    a cluster you'd size it to executor count."""
+    return _stream_stream_join_run(spark, sf_dir)
 
 
 def _stream_stream_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,6 +1,6 @@
 """Simulate the driver's verify gates against __spark_entry__.py.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only PREFIX[,PREFIX...]]
 
 Runs, exactly as the driver would (vanilla SparkSession, no project
 session factory):
@@ -27,7 +27,13 @@ from tests.compare import duckdb_rows, spark_rows
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: list[str] = []
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("driver-sim")
@@ -49,6 +55,9 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items()
+              if any(k.startswith(p) for p in only)}
     n_pass = n_fail = 0
     for key in sorted(qs):
         start = time.perf_counter()

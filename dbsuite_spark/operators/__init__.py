@@ -2,6 +2,7 @@
 
 from dbsuite_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     cte,
     extras,
     joins,

@@ -1,0 +1,149 @@
+"""Behavioral / distribution analytics extensions beyond the 120-key
+contract: batch sessionization, exact heavy-hitters, and an equi-width
+numeric histogram.
+
+Reference scope: clickstream-style session rollups and value-distribution
+summaries are standard warehouse workloads the reference's SQL dialect
+serves [PUBLIC, module-level; checkout empty — SURVEY §0].
+
+Scale design (100 TB):
+- ``win_sessionize`` is ONE shuffle on ``user_id``: both window passes
+  (gap flag, running session counter) share the same (partition, order)
+  spec so Catalyst plans a single exchange+sort, and the per-session
+  rollup then partial-aggregates map-side. State per user is O(1) — this
+  is the batch twin of ``stream_session_window`` and scales linearly in
+  events.
+- ``topk_frequent_items`` is the exact heavy-hitters path: map-side
+  partial counts, one shuffle to final counts, then
+  ``TakeOrderedAndProject`` (per-partition top-k, single merge of
+  k·partitions rows — never a global sort).
+- ``agg_histogram_numeric`` buckets with pure row-local arithmetic and
+  hash-aggregates: one shuffle of (bucket → partial stats), output rows
+  bounded by bucket count regardless of input size.
+
+Determinism: gap timestamps compare in exact integer microseconds
+(``unix_micros`` ≡ DuckDB ``epoch_us``); money sums go through
+DECIMAL(18,6) (``exact.dsum``); every top-k tie-breaks on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+TOPK_ITEMS = 25
+HIST_WIDTH = 25_000.0
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+              <= {SESSION_GAP_US} THEN 0 ELSE 1 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {BIGCOUNT("*")} AS n_events,
+       {DSUM("value")} AS total_value
+FROM sess GROUP BY user_id, session_seq
+""",
+    category="E",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when a user is
+    idle > 30 minutes. Classic two-window idiom — lag() marks session
+    starts, a running sum numbers them — then a per-session rollup.
+    Both windows share one (user_id; ts, event_id) spec → a single
+    exchange+sort at any scale; the rollup partial-aggregates map-side."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap <= SESSION_GAP_US, F.lit(0)).otherwise(F.lit(1)).alias(
+            "new_s"
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_s").over(w).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
+    "topk_frequent_items",
+    oracle=f"""
+SELECT l_partkey, {BIGCOUNT("*")} AS cnt
+FROM lineitem GROUP BY l_partkey
+ORDER BY cnt DESC, l_partkey LIMIT {TOPK_ITEMS}
+""",
+    category="F",
+)
+def topk_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: the 25 most frequent part keys. Partial counts
+    map-side, one shuffle, then TakeOrderedAndProject (per-partition
+    top-k + single k·P merge — no global sort). Ties at the boundary
+    break on the key itself, so the result multiset is deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(TOPK_ITEMS)
+    )
+
+
+@query(
+    "agg_histogram_numeric",
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       {BIGCOUNT("*")} AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders GROUP BY 1
+""",
+    category="D",
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram of order totals (bucket = floor(x/25k)):
+    row-local bucketing + hash aggregation, output bounded by bucket
+    count. MIN/MAX return raw fixture doubles (no arithmetic) and the
+    bucket id is integer floor division — engine-exact on both sides."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

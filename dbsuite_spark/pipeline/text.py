@@ -182,3 +182,63 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(txt, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+         CAST(len(regexp_extract_all(txt, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+         regexp_replace(regexp_replace(txt, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g') AS clean
+  FROM enriched
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM redacted
+""",
+    category="L",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex-redact emails and phone
+    numbers, report per-doc match counts plus an md5 probe of the cleaned
+    text. The fixtures carry no real PII, so deterministic synthetic PII
+    is appended per doc before redaction — the redaction path is what's
+    exercised. Pure row-local JVM regex (codegen, no shuffle, no Python);
+    at 100 TB this is a map-only pass that pushes only doc_id+text through
+    the scan. Patterns stay in the Java∩RE2 common subset so Spark and
+    DuckDB match identically."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(txt, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(txt, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

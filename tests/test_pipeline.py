@@ -14,6 +14,7 @@ from dbsuite_spark.pipeline.similarity import (
     sim_search_ann_ivf,
     sim_search_ann_lsh,
     sim_search_cosine_topk,
+    sim_embed_quantize,
 )
 
 
@@ -65,3 +66,19 @@ def test_minhash_finds_all_exact_pairs(spark, sf_dir):
     mh = {(r.d1, r.d2) for r in dedup_near_minhash(spark, sf_dir).collect()}
     assert exact, "no near-dup pairs found — fixture expectation broken"
     assert mh == exact
+
+
+def test_quantized_recall_vs_exact(spark, sf_dir):
+    """int8 quantization at scale trades millimetric precision for 4x
+    smaller vectors; on the fixture it should barely perturb top-k."""
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in sim_search_cosine_topk(spark, sf_dir).collect()
+    }
+    quant = {
+        (r.qid, r.neighbor_id)
+        for r in sim_embed_quantize(spark, sf_dir).collect()
+    }
+    assert exact, "exact top-k is empty"
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall:.2f} < 0.8"

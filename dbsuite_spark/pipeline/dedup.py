@@ -254,3 +254,92 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _jaccard_on(candidates, sh)
     return out
+
+
+CC_MAX_ROUNDS = 12  # ≥ fixture cluster diameter; see docstring
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks),
+stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni)
+                >= {JACCARD_THRESHOLD}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
+FROM comp
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE, category="L")
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation — the last stage of the dedup pipeline:
+    near-dup PAIRS (capped exact-Jaccard, same substrate as
+    ``dedup_exact_jaccard``) become connected components via iterative
+    min-label propagation; component id = min doc_id in the cluster.
+
+    Scale design: each round is one join + one partial-aggregated groupBy
+    on the edge list (exactly GraphX/GraphFrames' propagation step);
+    lineage is cut per round with ``localCheckpoint`` so plans stay flat.
+    Convergence is detected from the label-sum (monotone non-increasing,
+    equal ⇔ fixpoint) — one scalar action per round, the standard
+    iterative-algorithm pattern. Near-dup clusters are shallow by nature
+    (dozens of docs, diameter ≪ rounds); ``CC_MAX_ROUNDS`` bounds the
+    worst case, and the fixpoint is asserted in tests/test_pipeline.py.
+    The DuckDB oracle computes the same components with a recursive CTE."""
+    pairs = _jaccard_on(
+        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    ).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(edges.dst.alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl").alias("s")).first()["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w_comp = Window.partitionBy("component")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("component")
+    ).withColumn("comp_size", F.count("*").over(w_comp).cast("bigint"))

@@ -82,3 +82,27 @@ def test_quantized_recall_vs_exact(spark, sf_dir):
     assert exact, "exact top-k is empty"
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"quantized recall {recall:.2f} < 0.8"
+
+
+def test_cc_is_fixpoint_and_covers_pairs(spark, sf_dir):
+    """Labels must be a propagation fixpoint (every edge endpoint pair
+    shares a component) — catches an under-iterated loop."""
+    from dbsuite_spark.pipeline.dedup import (
+        _jaccard_on,
+        _shingle_rows,
+        cap_stop_shingles,
+        dedup_connected_components,
+    )
+
+    comp = {
+        r.doc_id: r.component
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    pairs = _jaccard_on(
+        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    ).select("d1", "d2").collect()
+    assert pairs, "no near-dup pairs on fixture"
+    for r in pairs:
+        assert comp[r.d1] == comp[r.d2], (
+            f"pair ({r.d1},{r.d2}) split across components"
+        )

@@ -341,3 +341,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.o_orderkey").alias("k1"),
         F.col("b.o_orderkey").alias("k2"),
     )
+
+
+RANGE_BIN_US = 600 * 1_000_000  # 10-minute proximity window = bin width
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS delta_us
+FROM events p, events c
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {RANGE_BIN_US}
+""",
+    category="C",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key (every purchase × every click
+    within 10 minutes), made shuffle-joinable by time binning: bin width =
+    the proximity window, the build side replicated to its bin ± 1, probe
+    side kept at its own bin — so the pair lands in exactly one bucket
+    (no dedup pass) and the join is a plain hash join on bin id.
+    This turns an O(N·M) theta join into O(N + M + output) with
+    density-bounded buckets — the standard 100 TB answer when no equi key
+    exists (the equi-key-carried variant is ``join_interval_overlap``).
+    Microsecond integer deltas keep both engines bit-identical."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("p_us"),
+        (F.col("us") / F.lit(RANGE_BIN_US)).cast("bigint").alias("bin"),
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("us").alias("c_us"),
+            F.explode(
+                F.array(F.lit(-1), F.lit(0), F.lit(1))
+            ).alias("shift"),
+        )
+        .select(
+            "click_id",
+            "c_us",
+            (
+                (F.col("c_us") / F.lit(RANGE_BIN_US)).cast("bigint")
+                + F.col("shift")
+            ).alias("bin"),
+        )
+    )
+    return (
+        p.join(c, "bin")
+        .filter(
+            F.abs(F.col("c_us") - F.col("p_us")) <= F.lit(RANGE_BIN_US)
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            (F.col("c_us") - F.col("p_us")).alias("delta_us"),
+        )
+    )

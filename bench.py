@@ -37,6 +37,11 @@ HEADLINE = [
     "text_tfidf_topterms",
     "etl_scd2_dimension",
     "stream_session_window",
+    # round 2 additions — one per new capability cluster
+    "win_sessionize",
+    "join_range_binned",
+    "dedup_connected_components",
+    "sim_embed_quantize",
 ]
 
 

@@ -148,3 +148,36 @@ def test_analyze_stats_feeds_catalog(spark, sf_dir):
         .collect()
     )
     assert stats and re.search(r"\d+ rows", stats[0]["data_type"])
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both window passes AND the per-session rollup must share one
+    user_id exchange: the windows use the same (partition, order) spec,
+    and grouping on (user_id, session_seq) is satisfied by the existing
+    hash(user_id) distribution — a second shuffle is a scale regression."""
+    plan = plan_of(spark, sf_dir, "win_sessionize")
+    assert plan.count("Exchange (") == 1, plan.count("Exchange (")
+    assert plan.count("(") and plan.count("Window") >= 2
+
+
+def test_range_binned_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bin±1 replication must turn the pure range predicate into an
+    equi hash/SMJ join on bin id; a BroadcastNestedLoopJoin or
+    CartesianProduct means the rewrite regressed to O(N·M)."""
+    plan = plan_of(spark, sf_dir, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_items_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_frequent_items")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, "counts must partial+final"
+
+
+def test_quantize_broadcasts_query_side(spark, sf_dir):
+    """The quantized top-k must keep the exact path's shape: broadcast the
+    bounded query set, never shuffle the corpus against itself."""
+    plan = plan_of(spark, sf_dir, "sim_embed_quantize")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -93,12 +93,30 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_fraction", category="F", tags=("weak",))
+@query(
+    "sample_fraction",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE CAST('0x' || substr(md5(concat_ws('_', l_orderkey, l_linenumber)),
+           1, 15) AS BIGINT) % 100 < 10
+""",
+    category="F",
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE-style seeded Bernoulli sampling (profiling path). The
-    sampled set is engine-specific → rows-only check; tests assert the
-    fraction is within binomial bounds."""
+    """TABLESAMPLE-style 10% Bernoulli sampling, made *deterministic* by
+    hashing the row key (md5 → 60-bit int % 100) instead of an RNG — at
+    100 TB a reproducible sample is what you actually want (same rows on
+    every run, any partitioning, any engine), and it lets the sample be
+    hash-verified against the oracle exactly. Fraction bounds are also
+    asserted in tests."""
     li = t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", "l_orderkey", "l_linenumber")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return li.filter(hv % 100 < 10).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )

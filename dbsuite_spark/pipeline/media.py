@@ -101,7 +101,26 @@ def _decode_payload(fmt: str, payload: bytes) -> bytes:
     return payload  # 'fake' = already-raw bytes
 
 
-@query("media_decode_features", oracle=None, category="L")
+_HEXVAL = "strpos('0123456789abcdef', substr(hx, 2*i + {o}, 1)) - 1"
+_BYTE_SQL = f"({_HEXVAL.format(o=1)}) * 16 + ({_HEXVAL.format(o=2)})"
+
+_FEATURES_ORACLE = f"""
+WITH p AS (SELECT doc_id,
+                  md5(text) || {" || ".join(f"md5(text || '{i}')" for i in range(1, PAYLOAD_BLOCKS))} AS hx
+           FROM documents),
+b AS (SELECT doc_id, {_BYTE_SQL} AS v
+      FROM p, generate_series(0, 63) t(i))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS byte_len,
+       CAST(SUM(v) AS DOUBLE) / 64 AS byte_mean,
+       CAST(MIN(v) AS SMALLINT) AS byte_min,
+       CAST(MAX(v) AS SMALLINT) AS byte_max,
+       {", ".join(f"CAST(SUM(CASE WHEN v // 32 = {k} THEN 1 ELSE 0 END) AS DOUBLE) AS h{k}" for k in range(8))}
+FROM b GROUP BY doc_id
+"""
+
+
+@query("media_decode_features", oracle=_FEATURES_ORACLE, category="L")
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas``: per-payload byte
     statistics and an 8-bin byte-histogram 'embedding' (stand-ins for
@@ -109,8 +128,9 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final select is driver-hash-safe. The feature math is vectorized
     numpy (one frombuffer + bincount per batch, no per-byte Python loops)
     — at 100 TB this is the per-batch Arrow fast path, not a row loop.
-    Weak oracle (byte folds aren't SQL-friendly); determinism + schema
-    asserted in tests/test_media.py."""
+    Full SQL oracle: DuckDB re-derives each payload byte from its hex
+    pair and aggregates the same stats (mean = int-sum / 64, a power of
+    two → bit-exact), so the whole Arrow decode path is hash-verified."""
     m = attach_media(spark, sf_dir)
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,13 +175,26 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_frame_sample", oracle=None, category="L")
+_FRAMES_ORACLE = f"""
+WITH p AS (SELECT doc_id,
+                  md5(text) || {" || ".join(f"md5(text || '{i}')" for i in range(1, PAYLOAD_BLOCKS))} AS hx
+           FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       substr(hx, 16*i + 1, 16) AS frame_hex
+FROM p, generate_series(0, 7) t(i)
+WHERE i % 2 = 0
+"""
+
+
+@query("media_frame_sample", oracle=_FRAMES_ORACLE, category="L")
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for 'video' payloads: the 64-byte payload is treated
-    as 8 frames of 8 bytes; every 2nd frame is emitted as its own row
-    (doc_id, frame_idx, frame). One input row → 4 output rows, exploded
-    inside the Arrow batch — the shape a real frame sampler has. Weak
-    oracle; row-count contract asserted in tests/test_media.py."""
+    as 8 frames of 8 bytes; every 2nd frame is emitted as its own row.
+    One input row → 4 output rows, exploded inside the Arrow batch — the
+    shape a real frame sampler has. The binary frames stay bytes through
+    the Arrow boundary; the final select hex-serializes them so the
+    DuckDB oracle (hex-substring of the same payload) hash-verifies every
+    sampled frame byte-for-byte."""
     m = attach_media(spark, sf_dir)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,6 +219,11 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return m.mapInPandas(
+    frames = m.mapInPandas(
         sample, "doc_id bigint, frame_idx int, frame binary"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_hex"),
     )

@@ -134,3 +134,13 @@ def test_zorder_files_are_rectangles_in_both_dims(spark, sf_dir):
     # single-column sort (span ≈ 1.0 in the other dim) still fails.
     assert sum(part_spans) / len(files) <= 0.7 * g_part
     assert sum(supp_spans) / len(files) <= 0.45 * g_supp
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    """Deterministic hash-sampling should land near 10% (binomial ±2%)."""
+    from dbsuite_spark.operators.sorting import sample_fraction
+    from dbsuite_spark.tables import t
+
+    n_all = t(spark, sf_dir, "lineitem").count()
+    n_smp = sample_fraction(spark, sf_dir).count()
+    assert 0.08 <= n_smp / n_all <= 0.12, n_smp / n_all

@@ -36,4 +36,4 @@ def test_frame_sample_contract(spark, sf_dir):
     frames = media_frame_sample(spark, sf_dir)
     assert frames.count() == n_docs * 4  # 8 frames, stride 2
     r = frames.first()
-    assert len(r.frame) == 8 and r.frame_idx % 2 == 0
+    assert len(r.frame_hex) == 16 and r.frame_idx % 2 == 0

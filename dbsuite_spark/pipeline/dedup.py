@@ -343,3 +343,58 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("component")
     ).withColumn("comp_size", F.count("*").over(w_comp).cast("bigint"))
+
+
+BENCH_MOD = 50  # doc_id % 50 == 0 → the held-out "benchmark" docs
+CONTAM_PCT = 10  # contaminated when overlap ≥ 10% of a doc's shingles
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       FROM toks),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (SELECT c.doc_id, COUNT(*) AS n_overlap
+         FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+SELECT z.doc_id, CAST(z.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) * 100 >= z.n_shingles * {CONTAM_PCT}
+           AS contaminated
+FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+"""
+
+
+@query("docs_contamination_check", oracle=_CONTAM_ORACLE, category="L")
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: flag corpus docs whose shingle
+    overlap with a held-out benchmark set reaches 10%. The benchmark
+    shingle set is tiny relative to the corpus (eval suites always are),
+    so it broadcasts — the corpus is scanned once, semi-joined map-side,
+    and aggregated partial+final; no shuffle of corpus shingles against
+    each other. The contamination predicate is pure integer arithmetic
+    (overlap·100 ≥ n·10) → engine-exact."""
+    sh = _shingle_rows(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    sizes = corpus.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (
+            F.coalesce(F.col("n_overlap"), F.lit(0)) * 100
+            >= F.col("n_shingles") * CONTAM_PCT
+        ).alias("contaminated"),
+    )

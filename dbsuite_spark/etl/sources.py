@@ -196,3 +196,25 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.mode("overwrite").jdbc(url, "nation_jdbc", properties=props)
     df = spark.read.jdbc(url, "nation_jdbc", properties=props)
     return df.select([F.col(c).alias(c.lower()) for c in df.columns])
+
+
+@query(
+    "scan_orc",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity < 10
+""",
+    category="A",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the second columnar format DB2 LOAD ecosystems
+    commonly exchange): write a lineitem projection as ORC, read it back
+    with a quantity predicate — Spark's ORC reader pushes the filter into
+    stripe/row-group elimination exactly as Parquet does (search-argument
+    pushdown), so format choice doesn't change the 100 TB scan story."""
+    path = artifact_path(sf_dir, "lineitem_orc")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("l_quantity") < 10)

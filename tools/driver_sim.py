@@ -59,7 +59,9 @@ def main() -> int:
         qs = {k: v for k, v in qs.items()
               if any(k.startswith(p) for p in only)}
     n_pass = n_fail = 0
-    for key in sorted(qs):
+    # Registration order, NOT sorted: the round driver walks keys in dict
+    # order under a budget, so this order is part of what we simulate.
+    for key in qs:
         start = time.perf_counter()
         try:
             df = qs[key](spark, sf_dir)

@@ -42,6 +42,10 @@ HEADLINE = [
     "join_range_binned",
     "dedup_connected_components",
     "sim_embed_quantize",
+    # composite TPC-H-shaped workloads
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_volume",
 ]
 
 

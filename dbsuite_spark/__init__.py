@@ -16,6 +16,7 @@ from dbsuite_spark import (  # noqa: F401  (importing registers every key)
     pipeline,
     streaming,
     udx,
+    workloads,
 )
 from dbsuite_spark import _order, registry
 from dbsuite_spark.registry import all_specs, oracle_sql, queries  # noqa: F401

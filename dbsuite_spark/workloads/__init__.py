@@ -1,0 +1,5 @@
+"""Composite workload queries — multi-operator TPC-H-shaped analytics
+(SURVEY §2N): what a reference user's *real* reports look like, end to end.
+"""
+
+from dbsuite_spark.workloads import tpch  # noqa: F401

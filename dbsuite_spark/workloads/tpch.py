@@ -571,3 +571,46 @@ def tpch_q19_discounted_revenue(
         )
     )
     return j.filter(branch).agg(dsum(_rev()).alias("revenue"))
+
+
+@query(
+    "tpch_q16_supplier_relation",
+    oracle="""
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    category="N",
+)
+def tpch_q16_supplier_relation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 (adapted: lineitem stands in for the absent partsupp relation,
+    and the complaints filter becomes negative account balance): distinct
+    supplier counts per brand/size slice. The excluded-supplier set is a
+    broadcast anti-join; the distinct count is the expand+two-level
+    aggregation Catalyst plans for COUNT(DISTINCT) — both partial-
+    aggregate map-side."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -181,3 +181,23 @@ def test_quantize_broadcasts_query_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sim_embed_quantize")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [") >= 3, "date/segment filters must reach scans"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_broadcasts_dim_chain(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2, "region->nation->supplier must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pure_scan_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "global sum must partial+final"

@@ -147,3 +147,30 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT)    AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT)  AS g_priority,
+       {BIGCOUNT("*")} AS n,
+       {DSUM("o_totalprice")} AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    category="D",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a rollup — how reports tell a
+    real NULL group from a subtotal row (DB2 exposes the same GROUPING
+    column function). Rollup plans as a single Expand + hash aggregation;
+    the indicators are computed, not re-scanned."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )

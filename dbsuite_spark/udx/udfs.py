@@ -193,3 +193,36 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e, LATERAL parse_props(e.props) p
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(floor(o_totalprice / 1000) * 1000 AS DOUBLE) AS price_bucket,
+       upper(o_orderpriority) AS prio_uc
+FROM orders
+""",
+    category="J",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (``useArrow=True``): scalar
+    semantics like the classic row UDF but with Arrow-batch transfer —
+    the recommended replacement when pandas-UDF typing is overkill.
+    Bucketing math is floor/multiply in IEEE double → engine-exact; the
+    oracle proves SQL-expressibility (what a hot path should use)."""
+
+    @F.udf(returnType="double", useArrow=True)
+    def price_bucket(p: float) -> float:
+        return float(p // 1000) * 1000.0
+
+    @F.udf(returnType="string", useArrow=True)
+    def prio_uc(s: str) -> str:
+        return s.upper()
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        price_bucket("o_totalprice").alias("price_bucket"),
+        prio_uc("o_orderpriority").alias("prio_uc"),
+    )

@@ -137,17 +137,86 @@ def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(fix_days), "event_date", "left_semi"
     ).withColumn("value", F.col("value") * 2.0)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        corrections.select(
-            "event_id", "user_id", "event_type", "value", "event_date"
-        )
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(tbl)
+    # Pin-and-restore: leaving dynamic mode set would silently change the
+    # overwrite semantics of every later partitioned write on this session.
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            corrections.select(
+                "event_id", "user_id", "event_type", "value", "event_date"
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tbl)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
     back = spark.read.parquet(tbl)
     return back.select(
         "event_id", "user_id", "event_type", "value",
         F.col("event_date").cast("date").alias("event_date"),
+    )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey,
+       CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 500.0
+            ELSE s_acctbal END AS s_acctbal
+FROM supplier WHERE s_suppkey % 13 <> 0
+UNION ALL
+SELECT s_suppkey + 500000 AS s_suppkey, 'NEW ' || s_name AS s_name,
+       s_nationkey, 0.0 AS s_acctbal
+FROM supplier WHERE s_suppkey % 11 = 0
+""",
+    category="K",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application with full I/U/D semantics (the piece
+    ``etl_merge_upsert`` lacks: deletes): a deterministic ordered change
+    log — updates (seq 1), deletes (seq 2), inserts (seq 3) — applies to
+    the snapshot by latest-op-per-key: one window over (key, seq DESC),
+    keep rank 1, drop keys whose latest op is D. One shuffle on the key;
+    log replay is idempotent and order-exact at any scale (this is how a
+    Debezium/DMS feed lands on plain columnar storage). The oracle is the
+    algebraic end-state of the same log."""
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    s = t(spark, sf_dir, "supplier").select(*cols)
+    snap = s.select(
+        *cols, F.lit(0).alias("seq"), F.lit("S").alias("op")
+    )
+    updates = (
+        s.filter(F.col("s_suppkey") % 7 == 0)
+        .withColumn("s_acctbal", F.col("s_acctbal") + 500.0)
+        .select(*cols, F.lit(1).alias("seq"), F.lit("U").alias("op"))
+    )
+    deletes = s.filter(F.col("s_suppkey") % 13 == 0).select(
+        *cols, F.lit(2).alias("seq"), F.lit("D").alias("op")
+    )
+    inserts = (
+        s.filter(F.col("s_suppkey") % 11 == 0)
+        .select(
+            (F.col("s_suppkey") + 500000).alias("s_suppkey"),
+            F.concat(F.lit("NEW "), F.col("s_name")).alias("s_name"),
+            F.col("s_nationkey"),
+            F.lit(0.0).alias("s_acctbal"),
+        )
+        .select(*cols, F.lit(3).alias("seq"), F.lit("I").alias("op"))
+    )
+    combined = snap.unionByName(updates).unionByName(deletes).unionByName(
+        inserts
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_suppkey").orderBy(F.desc("seq"))
+    return (
+        combined.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(*cols)
     )

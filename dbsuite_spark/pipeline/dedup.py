@@ -290,25 +290,15 @@ FROM comp
 """
 
 
-@query("dedup_connected_components", oracle=_CC_ORACLE, category="L")
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster formation — the last stage of the dedup pipeline:
-    near-dup PAIRS (capped exact-Jaccard, same substrate as
-    ``dedup_exact_jaccard``) become connected components via iterative
-    min-label propagation; component id = min doc_id in the cluster.
-
-    Scale design: each round is one join + one partial-aggregated groupBy
-    on the edge list (exactly GraphX/GraphFrames' propagation step);
-    lineage is cut per round with ``localCheckpoint`` so plans stay flat.
-    Convergence is detected from the label-sum (monotone non-increasing,
-    equal ⇔ fixpoint) — one scalar action per round, the standard
-    iterative-algorithm pattern. Near-dup clusters are shallow by nature
-    (dozens of docs, diameter ≪ rounds); ``CC_MAX_ROUNDS`` bounds the
-    worst case, and the fixpoint is asserted in tests/test_pipeline.py.
-    The DuckDB oracle computes the same components with a recursive CTE."""
-    pairs = _jaccard_on(
-        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
-    ).select("d1", "d2")
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(id, lbl) connected-component labels for an undirected pair list,
+    via iterative min-label propagation. Each round is one join + one
+    partial-aggregated groupBy on the edge list (exactly GraphX/
+    GraphFrames' propagation step); lineage is cut per round with
+    ``localCheckpoint`` so plans stay flat. Convergence is detected from
+    the label-sum (monotone non-increasing, equal ⇔ fixpoint) — one
+    scalar action per round, the standard iterative-algorithm pattern.
+    ``CC_MAX_ROUNDS`` bounds the worst case."""
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst").localCheckpoint()
@@ -342,6 +332,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE, category="L")
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation — near-dup PAIRS (capped exact-Jaccard,
+    same substrate as ``dedup_exact_jaccard``) become connected components
+    via ``connected_components`` min-label propagation; component id = min
+    doc_id in the cluster. Near-dup clusters are shallow by nature
+    (diameter ≪ rounds); the fixpoint is asserted in tests/
+    test_pipeline.py. The DuckDB oracle computes the same components with
+    a recursive CTE."""
+    pairs = _jaccard_on(
+        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    ).select("d1", "d2")
+    labels = connected_components(pairs)
     w_comp = Window.partitionBy("component")
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("component")
@@ -400,4 +406,71 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_overlap"), F.lit(0)) * 100
             >= F.col("n_shingles") * CONTAM_PCT
         ).alias("contaminated"),
+    )
+
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE
+keep1 AS (SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(substr(text, 1, 60)) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM keep1),
+sh0 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks),
+stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni)
+                >= {JACCARD_THRESHOLD}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+noncanon AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(lbl))
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM keep1 WHERE doc_id NOT IN (SELECT id FROM noncanon)
+"""
+
+
+@query("pipeline_dedup_corpus", oracle=_PIPELINE_ORACLE, category="L")
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end to end — what a training-data run
+    actually executes: (1) exact dedup by normalized-text hash window,
+    (2) near-dup pairs over the survivors (DF-capped exact Jaccard; at
+    corpus scale the MinHash candidate pass slots in front, same pairs),
+    (3) connected components, (4) keep only each cluster's canonical
+    (min doc_id) member. Stages compose the already-verified operators;
+    the oracle recomputes the identical end-state with a recursive CTE."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        F.md5(F.substring(F.col("text"), 1, 60))
+    ).orderBy("doc_id")
+    keep1 = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    sh = keep1.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+    pairs = _jaccard_on(None, cap_stop_shingles(sh)).select("d1", "d2")
+    noncanon = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("lbl"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return keep1.join(noncanon, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )

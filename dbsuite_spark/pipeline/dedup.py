@@ -256,7 +256,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-CC_MAX_ROUNDS = 12  # ≥ fixture cluster diameter; see docstring
+CC_MAX_ROUNDS = 50  # safety bound well above any near-dup cluster diameter
 
 _CC_ORACLE = f"""
 WITH RECURSIVE
@@ -330,9 +330,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("lbl").alias("s")).first()["s"]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    # Convergence already broke out above; falling through means labels
+    # are NOT a fixpoint — wrong components. Fail loudly, never silently.
+    raise RuntimeError(
+        f"connected_components did not converge in {CC_MAX_ROUNDS} rounds"
+    )
 
 
 @query("dedup_connected_components", oracle=_CC_ORACLE, category="L")

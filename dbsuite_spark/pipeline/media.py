@@ -140,19 +140,45 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f, p in zip(pdf["fmt"], pdf["payload"])
             ]
             if decoded:
-                # Fixed-width payloads → one (n, width) uint8 matrix per
-                # Arrow batch; all stats are single vectorized reductions.
-                mat = np.frombuffer(b"".join(decoded), dtype=np.uint8).reshape(
-                    len(decoded), -1
-                )
-                lens = np.full(len(decoded), mat.shape[1], dtype=np.int64)
-                means = mat.mean(axis=1)
-                mins = mat.min(axis=1).astype(np.int16)
-                maxs = mat.max(axis=1).astype(np.int16)
-                bins = mat >> 5  # byte // 32 → 8 histogram bins
-                histo = np.stack(
-                    [(bins == k).sum(axis=1) for k in range(8)], axis=1
-                ).astype(np.float64)
+                widths = {len(d) for d in decoded}
+                if len(widths) == 1:
+                    # Fixed-width payloads → one (n, width) uint8 matrix
+                    # per Arrow batch; stats are vectorized reductions.
+                    mat = np.frombuffer(
+                        b"".join(decoded), dtype=np.uint8
+                    ).reshape(len(decoded), -1)
+                    lens = np.full(
+                        len(decoded), mat.shape[1], dtype=np.int64
+                    )
+                    means = mat.mean(axis=1)
+                    mins = mat.min(axis=1).astype(np.int16)
+                    maxs = mat.max(axis=1).astype(np.int16)
+                    bins = mat >> 5  # byte // 32 → 8 histogram bins
+                    histo = np.stack(
+                        [(bins == k).sum(axis=1) for k in range(8)], axis=1
+                    ).astype(np.float64)
+                else:
+                    # Real codecs produce per-row widths; fall back to a
+                    # per-payload numpy pass (still vectorized per row —
+                    # the stub contract 'swap the codec, nothing else
+                    # changes' holds for ragged outputs too).
+                    arrs = [
+                        np.frombuffer(d, dtype=np.uint8) for d in decoded
+                    ]
+                    lens = np.array([a.size for a in arrs], dtype=np.int64)
+                    means = np.array([a.mean() for a in arrs])
+                    mins = np.array(
+                        [a.min() for a in arrs], dtype=np.int16
+                    )
+                    maxs = np.array(
+                        [a.max() for a in arrs], dtype=np.int16
+                    )
+                    histo = np.stack(
+                        [
+                            np.bincount(a >> 5, minlength=8)[:8]
+                            for a in arrs
+                        ]
+                    ).astype(np.float64)
             else:
                 lens = means = mins = maxs = np.array([])
                 histo = np.zeros((0, 8))

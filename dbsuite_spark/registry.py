@@ -82,6 +82,12 @@ def reorder(first: list[str], last: list[str]) -> None:
     unknown = [k for k in [*first, *last] if k not in _REGISTRY]
     if unknown:
         raise KeyError(f"reorder: unknown keys {unknown}")
+    overlap = set(first) & set(last)
+    if overlap:
+        # The rotation's likely drift mode: a newly-green key added to
+        # `last` without removal from `first` would otherwise silently
+        # keep its front-of-budget slot.
+        raise KeyError(f"reorder: keys in both first and last: {overlap}")
     listed = set(first) | set(last)
     middle = [k for k in _REGISTRY if k not in listed]
     _REGISTRY = {k: _REGISTRY[k] for k in [*first, *middle, *last]}

@@ -214,7 +214,12 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType="double", useArrow=True)
     def price_bucket(p: float) -> float:
-        return float(p // 1000) * 1000.0
+        # math.floor(p / 1000), not p // 1000: floordiv computes via fmod
+        # (exact) while SQL floor(x/1000) floors the IEEE quotient — they
+        # disagree for doubles an ulp below a multiple of 1000.
+        import math
+
+        return math.floor(p / 1000) * 1000.0
 
     @F.udf(returnType="string", useArrow=True)
     def prio_uc(s: str) -> str:

@@ -4,8 +4,11 @@ registered key's final projection. The real driver canonicalizes results
 through a pandas frame + sort_values + value hash; nested types crash it
 and Decimal/float32 render engine-specifically — all five round-1 red keys
 were exactly this failure mode. This test builds every registered query
-lazily (schema only, no execution beyond the scan) and fails on the first
-unsafe output column, so a regression never reaches the driver.
+and inspects its output schema, failing on the first unsafe column, so a
+regression never reaches the driver. Building is lazy for pure
+DataFrame keys; execution-eager keys (streaming runs, sink round-trips,
+iterative CC) do execute here a second time — the double coverage is the
+accepted cost of gating ALL 186 keys with zero exemptions.
 """
 
 from __future__ import annotations

@@ -31,6 +31,9 @@ def main() -> int:
     only: list[str] = []
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            print("usage: driver_sim.py [sf_dir] [--only PREFIX[,PREFIX]]")
+            return 2
         only = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

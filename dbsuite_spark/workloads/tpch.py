@@ -4,11 +4,16 @@ runs — each one exercises several §2 operators in one plan (multi-join +
 filter + aggregate + top-k), with the same decimal-sum/alias discipline as
 the unit keys, so every query carries a full DuckDB value-hash oracle.
 
-Adaptations to the fixture schema (documented per query): no ``partsupp``
-table and no commit/receipt dates or comment/phone columns, so Q2/9/11/
-20/21/22 are out of scope and Q4's lateness test uses shipdate vs
-orderdate + 60 days. Nation names are the fixture's ``NATION_<k>``;
-date pivots are chosen inside the fixture's 1995–2001 span.
+Adaptations to the fixture schema (documented per query): there is no
+``partsupp`` table and no commit/receipt dates or comment/phone columns,
+so queries that need them are *adapted*, not skipped — Q2/Q11/Q20 derive
+the part–supplier relation from lineitem shipment history, Q9 uses
+``p_retailprice`` as the cost basis, Q4/Q12/Q21 define lateness from
+shipdate vs orderdate, and Q22's phone-prefix filter becomes a nation-key
+slice. Q1 is the flagship ``agg_groupby_basic`` (operators/aggregates.py),
+so all 22 classic queries have a fixture-shaped equivalent. Nation names
+are the fixture's ``NATION_<k>``; date pivots are chosen inside the
+fixture's 1995–2001 span.
 
 Scale notes: every plan here is the classic warehouse shape — selective
 filters pushed to scans, bounded dims (region/nation/part-slices)
@@ -613,4 +618,366 @@ def tpch_q16_supplier_relation(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eligible AS (
+  SELECT l_partkey, unit_cost, s_name, s_acctbal, n_name
+  FROM cost
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM eligible JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25 AND p_type = 'ECONOMY'
+  AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                   WHERE e2.l_partkey = part.p_partkey)
+""",
+    category="N",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (adapted: no partsupp, so the part-supplier offer is derived from
+    shipment history — unit cost = MIN(extendedprice/quantity) per
+    (part, supplier)): cheapest EUROPE supplier per part in a size/type
+    slice. The correlated MIN decorrelates to a window over the
+    region-filtered offers; region→nation dims broadcast. Per-row IEEE
+    division and MIN are order-free, so the double compares exactly."""
+    cost = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eligible = cost.join(s, cost.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    best = eligible.withColumn(
+        "min_cost", F.min("unit_cost").over(w)
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "ECONOMY")
+    )
+    return best.join(
+        F.broadcast(p), best.l_partkey == p.p_partkey
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+             "unit_cost")
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {DSUM("l_extendedprice * (1 - l_discount)"
+             " - p_retailprice * l_quantity * 0.1")} AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+""",
+    category="N",
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (adapted: no partsupp supplycost — unit cost modeled as 10% of
+    ``p_retailprice``): profit on one product line by supplier nation and
+    order year. Part filter broadcasts; lineitem joins orders on the
+    shuffle key; nation broadcast at the end."""
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    profit = (
+        _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             AS vdec
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 1
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, CAST(vdec AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(vdec AS DOUBLE) >
+      0.0001 * (SELECT CAST(SUM(vdec) AS DOUBLE) FROM val)
+""",
+    category="N",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (adapted: stock value per part = shipped revenue through one
+    nation's suppliers, since there is no partsupp availqty): parts whose
+    value exceeds a fraction of the national total. The scalar-subquery
+    threshold is a 1-row broadcast; both the per-part and global sums stay
+    in exact decimal until the final double cast, so the > comparison is
+    engine-identical."""
+    s = t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 1
+    ).select("s_suppkey")
+    li = t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev().cast("decimal(18,6)")).alias("vdec"))
+    )
+    total = val.agg(
+        F.sum("vdec").cast("double").alias("total_value")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("vdec").cast("double") > 0.0001 * F.col("total_value")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("vdec").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+SELECT l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY ship_class
+""",
+    category="N",
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (adapted: ``l_linestatus`` stands in for the absent shipmode and
+    lateness = shipped >60 days after order): priority mix of late lines
+    per shipping class — the classic conditional-count pivot."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_inventory",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped)
+""",
+    category="N",
+)
+def tpch_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (adapted: 'excess availability' = shipped more than 50 units of
+    one 'small%' part in a year, since there is no partsupp availqty):
+    NATION_2 suppliers with heavy shipments of the targeted parts. The
+    part-name filter broadcasts into the fact scan; the HAVING pre-pass
+    yields a tiny supplier set consumed by a semi-join."""
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+WITH ostat AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+         COUNT(DISTINCT l_suppkey) AS nsupp
+  FROM lineitem GROUP BY l_orderkey),
+latest AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM lineitem li JOIN ostat ON li.l_orderkey = ostat.l_orderkey
+  WHERE li.l_shipdate = ostat.max_ship),
+sole AS (
+  SELECT l_orderkey FROM latest GROUP BY l_orderkey HAVING COUNT(*) = 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM latest
+JOIN sole   ON latest.l_orderkey = sole.l_orderkey
+JOIN ostat  ON latest.l_orderkey = ostat.l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE ostat.nsupp >= 2 AND n_name = 'NATION_0'
+GROUP BY s_name
+""",
+    category="N",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (adapted: 'kept the order waiting' = this supplier alone shipped
+    on the order's latest ship date and the order used ≥2 suppliers, since
+    commit/receipt dates don't exist): per-NATION_0-supplier count of
+    multi-supplier orders they finished last. The EXISTS/NOT-EXISTS pair
+    of the classic query decorrelates to per-order aggregates (max
+    shipdate, distinct-supplier count) joined back on the shuffle key —
+    one fact shuffle, no correlated re-scans."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ostat = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    latest = (
+        li.join(ostat, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey", "nsupp")
+        .distinct()
+    )
+    sole = (
+        latest.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_latest"))
+        .filter(F.col("n_latest") == 1)
+        .select("l_orderkey")
+    )
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        latest.filter(F.col("nsupp") >= 2)
+        .join(sole, "l_orderkey", "left_semi")
+        .join(s, latest.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (0, 1, 2, 3)),
+thresh AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS avg_bal
+  FROM pool WHERE c_acctbal > 0.0)
+SELECT c_nationkey, {BIGCOUNT("*")} AS numcust,
+       {DSUM("c_acctbal")} AS totacctbal
+FROM pool, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+    category="N",
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 (adapted: the phone-prefix country filter becomes a nation-key
+    slice, and 'never ordered' becomes 'no orders since 2000-01-01' so the
+    result is non-empty at every fixture SF): wealthy-but-dormant customers
+    per nation. The average is a 1-row broadcast scalar
+    (decimal sum / count, so the > threshold compares identically on both
+    engines); the no-orders test is a left-anti join, never a fan-out."""
+    pool = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    thresh = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
     )

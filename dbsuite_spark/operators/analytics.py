@@ -174,3 +174,84 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(F.col("o_totalprice")).alias("total"),
     )
+
+
+RESAMPLE_T0 = "2024-01-08 00:00:00"
+RESAMPLE_T1 = "2024-01-15 00:00:00"
+
+
+@query(
+    "ts_resample_ffill",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{RESAMPLE_T0}' AND ts < TIMESTAMP '{RESAMPLE_T1}'
+  GROUP BY event_type, date_trunc('hour', ts)),
+grid AS (
+  SELECT et.event_type, g.hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(generate_series(
+           TIMESTAMP '{RESAMPLE_T0}',
+           TIMESTAMP '{RESAMPLE_T1}' - INTERVAL 1 HOUR,
+           INTERVAL 1 HOUR)) AS hour_ts) g)
+SELECT grid.event_type, grid.hour_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM grid LEFT JOIN buckets
+  ON grid.event_type = buckets.event_type
+ AND grid.hour_ts = buckets.hour_ts
+""",
+    category="E",
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: hourly buckets over one week per event
+    type, densified to a complete grid (sequence + explode — no gaps even
+    for silent hours) with forward-filled values (``last`` IGNORE NULLS
+    over the time order). Hours before the first observation stay NULL.
+
+    Scale: the bucket aggregation is one decimal-exact shuffle bounded by
+    (types × hours); the grid is generated, not scanned (type-count ×
+    168 rows); the forward-fill window partitions by type so state is one
+    value per partition. At 100 TB the same plan holds with the grid's
+    span parameterized — output is bounded by the grid, not the input."""
+    e = t(spark, sf_dir, "events")
+    t0 = F.lit(RESAMPLE_T0).cast("timestamp")
+    t1 = F.lit(RESAMPLE_T1).cast("timestamp")
+    buckets = (
+        e.filter((F.col("ts") >= t0) & (F.col("ts") < t1))
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        t0,
+                        t1 - F.expr("INTERVAL 1 HOUR"),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("hour_ts")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy(grid.event_type)
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(buckets, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )

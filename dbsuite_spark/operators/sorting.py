@@ -120,3 +120,40 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(hv % 100 < 10).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+           AS BIGINT) % 100 <
+      CASE o_orderpriority WHEN '1-URGENT' THEN 50
+                           WHEN '2-HIGH' THEN 20
+                           ELSE 5 END
+""",
+    category="F",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (URGENT 50%, HIGH 20%,
+    rest 5%) — the downsample-the-common-class primitive of training-data
+    curation. Like ``sample_fraction``, membership is decided by hashing
+    the row key, not an RNG, so the sample is identical on every run, any
+    partitioning, any engine (hash-verifiable), and the filter is a pure
+    row-local predicate — no shuffle, no state, embarrassingly parallel
+    at any scale."""
+    o = t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+        .when(F.col("o_orderpriority") == "2-HIGH", 20)
+        .otherwise(5)
+    )
+    return o.filter(hv % 100 < rate).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )

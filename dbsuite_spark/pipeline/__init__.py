@@ -4,6 +4,7 @@ dedup, similarity search, text analysis, multimodal columns."""
 from dbsuite_spark.pipeline import (  # noqa: F401
     dedup,
     dedup_extra,
+    graph,
     media,
     multimodal,
     similarity,

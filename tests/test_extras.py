@@ -144,3 +144,76 @@ def test_sample_fraction_bounds(spark, sf_dir):
     n_all = t(spark, sf_dir, "lineitem").count()
     n_smp = sample_fraction(spark, sf_dir).count()
     assert 0.08 <= n_smp / n_all <= 0.12, n_smp / n_all
+
+
+def test_sample_stratified_rates(spark, sf_dir):
+    """Per-stratum hash-sampling rates must land near 50/20/5%."""
+    from dbsuite_spark.operators.sorting import sample_stratified_hash
+    from dbsuite_spark.tables import t
+
+    from pyspark.sql import functions as F
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_all"))
+    )
+    smp = (
+        sample_stratified_hash(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_smp"))
+    )
+    rates = {
+        r["o_orderpriority"]: r["n_smp"] / r["n_all"]
+        for r in base.join(smp, "o_orderpriority").collect()
+    }
+    assert 0.45 <= rates["1-URGENT"] <= 0.55, rates
+    assert 0.16 <= rates["2-HIGH"] <= 0.24, rates
+    assert 0.03 <= rates["3-MEDIUM"] <= 0.07, rates
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
+    """Integer PageRank: total rank mass stays ~10^15 (floor-division
+    leakage only) and every event-type hub outranks every user node
+    (hubs aggregate all user edges in the bipartite graph)."""
+    from dbsuite_spark.pipeline.graph import _S, graph_pagerank_fixed
+
+    from pyspark.sql import functions as F
+
+    pr = graph_pagerank_fixed(spark, sf_dir).cache()
+    total = pr.agg(F.sum("rank_units")).first()[0]
+    assert 0.99 * _S <= total <= _S, total
+    min_hub = (
+        pr.filter(F.col("node").startswith("e"))
+        .agg(F.min("rank_units"))
+        .first()[0]
+    )
+    max_user = (
+        pr.filter(F.col("node").startswith("u"))
+        .agg(F.max("rank_units"))
+        .first()[0]
+    )
+    pr.unpersist()
+    assert min_hub > max_user, (min_hub, max_user)
+
+
+def test_resample_grid_is_dense_and_ffilled(spark, sf_dir):
+    """The resampled series must cover every (type, hour) cell of the week
+    and contain no NULL after the first observed hour per type."""
+    from dbsuite_spark.operators.analytics import ts_resample_ffill
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = ts_resample_ffill(spark, sf_dir).cache()
+    n_types = df.select("event_type").distinct().count()
+    assert df.count() == n_types * 168
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    holes = (
+        df.withColumn("seen", F.count("v_filled").over(w))
+        .filter(F.col("seen") > 0)
+        .filter(F.col("v_filled").isNull())
+        .count()
+    )
+    df.unpersist()
+    assert holes == 0

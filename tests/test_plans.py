@@ -201,3 +201,66 @@ def test_tpch_q6_pure_scan_aggregate(spark, sf_dir):
     assert "PushedFilters: [" in plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2, "global sum must partial+final"
+
+
+def test_tpch_q2_window_min_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "Window" in plan, "correlated MIN must decorrelate to a window"
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, "region/nation/part broadcast"
+
+
+def test_tpch_q9_broadcast_part_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 2, "part + nation broadcast"
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, "profit sum must partial+final"
+
+
+def test_tpch_q11_scalar_threshold_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan, "1-row threshold must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q12_pushed_dates_single_agg_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q12_shipmode_priority")
+    assert "PushedFilters: [" in plan
+    assert plan.count("HashAggregate") >= 2, "conditional counts partial+final"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_semi_join_consumes_having(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q20_excess_inventory")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_no_correlated_rescan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan, "sole-latest filter must be a semi-join"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_scalar_broadcast_and_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q22_global_sales_opportunity")
+    assert "BroadcastNestedLoopJoin" in plan, "avg-balance scalar broadcast"
+    assert "LeftAnti" in plan, "dormancy test must be an anti-join"
+
+
+def test_pagerank_no_cartesian_broadcast_scalar_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "graph_pagerank_fixed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "node-count scalar broadcast"
+
+
+def test_stratified_sample_is_scan_local(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_stratified_hash")
+    assert "Exchange" not in plan, "hash-sampling must not shuffle"
+    assert "Join" not in plan
+
+
+def test_resample_single_window_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ts_resample_ffill")
+    assert plan.count("Window (") == 1
+    assert "CartesianProduct" not in plan

@@ -255,3 +255,80 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+FUNNEL_HOP = "INTERVAL 6 HOUR"
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t1 AND e.ts <= v.t1 + {FUNNEL_HOP}
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t2 AND e.ts <= c.t2 + {FUNNEL_HOP}
+  GROUP BY e.user_id)
+SELECT 'step1_view' AS step, {BIGCOUNT("*")} AS users FROM v
+UNION ALL SELECT 'step2_click', {BIGCOUNT("*")} FROM c
+UNION ALL SELECT 'step3_purchase', {BIGCOUNT("*")} FROM p
+""",
+    category="E",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase, each hop within
+    6 hours of the previous step's first occurrence): users reaching each
+    step *in order* — the sequential-pattern query MATCH_RECOGNIZE-style
+    engines run, decorrelated to a chain of per-user MIN aggregations.
+
+    Scale: each stage is one hash aggregation keyed on ``user_id``; the
+    stage joins reuse that same key, so Catalyst co-partitions the chain
+    (and AQE collapses the later, shrinking sides to broadcasts). No
+    window over the raw event stream, no per-user state beyond one
+    timestamp per stage."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(FUNNEL_HOP))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(FUNNEL_HOP))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(label).alias("step"), "users"
+        )
+
+    return (
+        _count(v, "step1_view")
+        .unionAll(_count(c, "step2_click"))
+        .unionAll(_count(p, "step3_purchase"))
+    )

@@ -264,3 +264,9 @@ def test_resample_single_window_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ts_resample_ffill")
     assert plan.count("Window (") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_stage_chain_on_user_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6, "3 stages x partial+final"

@@ -46,6 +46,11 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q18_large_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_waiting_suppliers",
+    # late round-2 additions
+    "graph_pagerank_fixed",
+    "events_funnel_conversion",
 ]
 
 

@@ -243,3 +243,63 @@ def etl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.select(F.lit("orders").alias("table_name"), "n_rows")
+
+
+@query(
+    "join_bloom_filtered",
+    oracle="""
+SELECT l_orderkey, l_extendedprice, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+""",
+    category="C",
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join accelerated by Catalyst's runtime bloom-filter
+    injection (InjectRuntimeFilter): the selective orders side builds a
+    ``bloom_filter_agg`` subquery whose ``might_contain`` predicate is
+    pushed into the lineitem scan, filtering the big side *before* the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only probable matches. Results are
+    identical to the plain join (bloom filters only skip non-matches).
+
+    The driver's session has broadcast enabled and default thresholds
+    (which suppress injection at fixture sizes), so the plan is forced
+    eagerly under temporarily-adjusted confs and the session is restored
+    before returning — the physical plan is cached on the DataFrame, so
+    execution keeps the bloom shape. ``tests/test_plans.py`` pins
+    ``might_contain`` in the scan filter."""
+    tweaks = {
+        # disable broadcast so the join shuffles (the 100 TB shape, where
+        # bloom filters matter; at fixture scale orders would broadcast)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # fixture tables are far below the default 10 MB creation /
+        # 10 GB application thresholds — scale them to fixture size
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaks}
+    for k, v in tweaks.items():
+        spark.conf.set(k, v)
+    try:
+        o = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey", "o_totalprice")
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        df = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        # Force physical planning NOW, while the confs are in effect; the
+        # QueryExecution caches the plan for later actions.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

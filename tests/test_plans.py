@@ -270,3 +270,13 @@ def test_funnel_stage_chain_on_user_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_funnel_conversion")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 6, "3 stages x partial+final"
+
+
+def test_bloom_filter_join_injects_might_contain(spark, sf_dir):
+    """The runtime bloom filter must reach the fact-side scan filter, and
+    the temporarily-tweaked confs must be restored afterwards."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    plan = plan_of(spark, sf_dir, "join_bloom_filtered")
+    assert "might_contain" in plan, "bloom filter not injected"
+    assert "bloom_filter_agg" in plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

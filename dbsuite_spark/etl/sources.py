@@ -218,3 +218,73 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li.write.mode("overwrite").orc(path)
     return spark.read.orc(path).filter(F.col("l_quantity") < 10)
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+SELECT i AS row_id,
+       CAST((i * 37) % 1000 AS DOUBLE) / 10.0 AS score,
+       'p' || CAST(i % 4 AS VARCHAR) AS part_tag
+FROM range(0, 2000) t(i)
+WHERE (i * 37) % 1000 >= 500
+""",
+    category="A",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API — the extensibility path for custom
+    connectors (the analog of the reference's pluggable input readers):
+    a DataSource subclass declares the schema and a partition-parallel
+    reader; each InputPartition generates its slice independently, so the
+    source scales out like any file format. Rows are a deterministic
+    arithmetic sequence, making the source fully hash-verifiable against
+    a ``range()``-based oracle. Per-partition generation is pure Python
+    yielding tuples — Spark batches them through Arrow."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    n_rows, n_parts = 2000, 4
+
+    class _SyntheticReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(n_parts)]
+
+        def read(self, partition):
+            # Partition p owns rows where i % n_parts == p: deterministic,
+            # disjoint, order-free — the same rows on any executor layout.
+            for i in range(partition.value, n_rows, n_parts):
+                yield (i, float((i * 37) % 1000) / 10.0, f"p{i % n_parts}")
+
+    class SyntheticSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dbsuite_synthetic"
+
+        def schema(self):
+            return StructType(
+                [
+                    StructField("row_id", LongType()),
+                    StructField("score", DoubleType()),
+                    StructField("part_tag", StringType()),
+                ]
+            )
+
+        def reader(self, schema):
+            return _SyntheticReader()
+
+    spark.dataSource.register(SyntheticSource)
+    return (
+        spark.read.format("dbsuite_synthetic")
+        .load()
+        .filter(F.col("score") >= 50.0)
+    )

@@ -288,3 +288,166 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("score") >= 50.0)
     )
+
+
+# Neutral type names shared by the catalog_document key and its oracle —
+# the Spark side DERIVES these from the live schema (so fixture type
+# drift breaks the hash loudly), the oracle hard-codes the expectation.
+_NEUTRAL_TYPES = {
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "array<float>": "array<float32>",
+}
+
+_DOC_SCHEMA: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int32"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int32"),
+        ("n_name", "string"),
+        ("n_regionkey", "int32"),
+    ],
+    "customer": [
+        ("c_custkey", "int64"),
+        ("c_name", "string"),
+        ("c_nationkey", "int32"),
+        ("c_acctbal", "float64"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "int64"),
+        ("s_name", "string"),
+        ("s_nationkey", "int32"),
+        ("s_acctbal", "float64"),
+    ],
+    "part": [
+        ("p_partkey", "int64"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int32"),
+        ("p_retailprice", "float64"),
+    ],
+    "orders": [
+        ("o_orderkey", "int64"),
+        ("o_custkey", "int64"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "float64"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int64"),
+        ("l_partkey", "int64"),
+        ("l_suppkey", "int64"),
+        ("l_linenumber", "int32"),
+        ("l_quantity", "float64"),
+        ("l_extendedprice", "float64"),
+        ("l_discount", "float64"),
+        ("l_tax", "float64"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "int64"),
+        ("ts", "timestamp"),
+        ("user_id", "int64"),
+        ("event_type", "string"),
+        ("value", "float64"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "int64"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "int64"),
+    ],
+    "embeddings": [
+        ("vec_id", "int64"),
+        ("embedding", "array<float32>"),
+        ("label", "int32"),
+    ],
+}
+
+
+def _catalog_document_oracle() -> str:
+    parts = []
+    for tbl, cols in _DOC_SCHEMA.items():
+        for i, (col, ntype) in enumerate(cols, start=1):
+            parts.append(f"""
+SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+       {i} AS ordinal, '{ntype}' AS data_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT "{col}") AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN "{col}" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_count
+FROM {tbl}""")
+    return "\nUNION ALL".join(parts)
+
+
+@query(
+    "catalog_document",
+    oracle=_catalog_document_oracle(),
+    category="A",
+)
+def catalog_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full schema-documentation dataset — the dbmakedoc analog: one row
+    per column of every fixture table with its neutral type name, table
+    row count, exact distinct count, and null count. The type column is
+    DERIVED from the live Spark schema (fixture type drift breaks the
+    hash loudly, same spirit as tests/test_fixture_schemas.py).
+
+    Scale: one single-pass aggregation per table computes all per-column
+    distinct/null counts map-side (Catalyst's multi-distinct expand);
+    the per-column rows are then exploded from that 1-row aggregate —
+    no per-column re-scans, no driver-side data movement."""
+    frames = []
+    for tbl in TABLES:
+        df = t(spark, sf_dir, tbl)
+        fields = df.schema.fields
+        agg = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.countDistinct(f.name).alias(f"__d_{f.name}")
+                for f in fields
+            ],
+            *[
+                F.sum(
+                    F.when(F.col(f.name).isNull(), 1).otherwise(0)
+                ).alias(f"__z_{f.name}")
+                for f in fields
+            ],
+        )
+        per_col = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tbl).alias("table_name"),
+                            F.lit(f.name).alias("column_name"),
+                            F.lit(i + 1).alias("ordinal"),
+                            F.lit(
+                                _NEUTRAL_TYPES[f.dataType.simpleString()]
+                            ).alias("data_type"),
+                            F.col("__n").alias("n_rows"),
+                            F.col(f"__d_{f.name}").alias("n_distinct"),
+                            F.col(f"__z_{f.name}")
+                            .cast("bigint")
+                            .alias("null_count"),
+                        )
+                        for i, f in enumerate(fields)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        frames.append(per_col)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out

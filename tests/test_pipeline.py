@@ -106,3 +106,29 @@ def test_cc_is_fixpoint_and_covers_pairs(spark, sf_dir):
         assert comp[r.d1] == comp[r.d2], (
             f"pair ({r.d1},{r.d2}) split across components"
         )
+
+
+def test_kmeans_partition_and_membership(spark, sf_dir):
+    """Final centroids: K clusters x DIM rows, members partition the
+    corpus exactly, and every centroid coordinate is finite."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.clustering import DIM, K_CLUSTERS
+    from dbsuite_spark.tables import t
+
+    import dbsuite_spark
+
+    df = dbsuite_spark.all_specs()["ml_kmeans_fixed"].fn(spark, sf_dir)
+    rows = df.cache()
+    assert rows.count() == K_CLUSTERS * DIM
+    n_vec = t(spark, sf_dir, "embeddings").count()
+    per_cluster = rows.filter(F.col("pos") == 1).select(
+        "cluster", "n_members"
+    )
+    assert (
+        per_cluster.agg(F.sum("n_members")).first()[0] == n_vec
+    ), "members must partition the corpus"
+    assert rows.filter(
+        F.isnan("c_val") | F.col("c_val").isNull()
+    ).count() == 0
+    rows.unpersist()

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbsuite_spark.pipeline.vectors import COSINE, L2NORM, cosine, dot, l2_norm
+from dbsuite_spark.pipeline.vectors import (
+    COSINE,
+    DOT,
+    L2NORM,
+    cosine,
+    dot,
+    l2_norm,
+)
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
@@ -161,15 +168,61 @@ def _hyperplanes() -> np.ndarray:
     return rng.standard_normal((N_TABLES, N_BITS, DIM))
 
 
-@query("sim_search_ann_lsh", oracle=None, category="L")
+def _lsh_oracle() -> str:
+    """Full SQL oracle for the LSH key: the 2048 seeded hyperplane
+    coefficients become a 32-row VALUES relation of literal vectors
+    (``repr`` round-trips doubles exactly on both parsers); every
+    projection is the same sequential fold as the Spark side, so buckets
+    — and therefore the candidate set and the exact re-rank — match
+    bit-for-bit."""
+    planes = _hyperplanes()
+    rows = ", ".join(
+        f"({tc}, {b}, [{', '.join(repr(float(c)) for c in planes[tc, b])}])"
+        for tc in range(N_TABLES)
+        for b in range(N_BITS)
+    )
+    return f"""
+WITH planes(tbl, bit, pvec) AS (VALUES {rows}),
+bits AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN {DOT("e.embedding", "p.pvec")} > 0
+              THEN '1' ELSE '0' END AS b
+  FROM embeddings e CROSS JOIN planes p),
+buckets AS (
+  SELECT vec_id, 't' || tbl || ':' || string_agg(b, '' ORDER BY bit)
+           AS bucket
+  FROM bits GROUP BY vec_id, tbl),
+corpus AS (SELECT vec_id AS neighbor_id, bucket FROM buckets),
+q AS (SELECT vec_id AS qid, bucket FROM buckets
+      WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT q.qid, corpus.neighbor_id
+  FROM corpus JOIN q USING (bucket)
+  WHERE corpus.neighbor_id <> q.qid),
+pairs AS (
+  SELECT cand.qid, cand.neighbor_id,
+         {COSINE("qe.embedding", "ne.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+SELECT qid, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs) WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_search_ann_lsh", oracle=_lsh_oracle(), category="L")
 def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k neighbors via sign-random-projection LSH (the LSH
     family for cosine): 4 tables × 8 hyperplane sign bits bucket the
     corpus; candidates = same-bucket rows in any table; exact cosine +
-    top-k on candidates only. Seeded hyperplanes → deterministic output;
-    weak oracle (bucketing isn't SQL-expressible), recall vs the exact key
-    asserted ≥0.6 in tests/test_pipeline.py. This is the path that replaces
-    the broadcast brute force when the query set stops fitting memory."""
+    top-k on candidates only. Seeded hyperplanes → deterministic output
+    with a FULL hash oracle (the hyperplanes are inlined as SQL literals
+    and the projections fold in the same order on both engines); recall
+    vs the exact key additionally asserted ≥0.6 in tests/test_pipeline.py.
+    This is the path that replaces the broadcast brute force when the
+    query set stops fitting memory."""
     planes = _hyperplanes()
     e = t(spark, sf_dir, "embeddings")
 
@@ -244,16 +297,53 @@ N_CELLS = 16  # IVF inverted-list count
 N_PROBE = 4  # cells probed per query
 
 
-@query("sim_search_ann_ivf", oracle=None, category="L")
+def _ivf_cells_sql(filt: str, id_alias: str, n: int) -> str:
+    return f"""(
+  SELECT {id_alias}, cell FROM (
+    SELECT e.vec_id AS {id_alias}, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {COSINE("e.embedding", "c.ce")} DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cents c{filt}) WHERE rn <= {n})"""
+
+
+def _ivf_oracle() -> str:
+    """Full SQL oracle for the IVF key: same seed centroids (lowest-id
+    vectors), same fold-cosine argmax assignment with cell tie-break,
+    same nprobe expansion and exact re-rank — deterministic end to end."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}),
+corpus_cells AS {_ivf_cells_sql("", "neighbor_id", 1)},
+query_cells AS {_ivf_cells_sql(
+    f" WHERE e.vec_id % {QUERY_MOD} = 0", "qid", N_PROBE)},
+cand AS (
+  SELECT DISTINCT q.qid, cc.neighbor_id
+  FROM corpus_cells cc JOIN query_cells q USING (cell)
+  WHERE cc.neighbor_id <> q.qid),
+pairs AS (
+  SELECT cand.qid, cand.neighbor_id,
+         {COSINE("qe.embedding", "ne.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+SELECT qid, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs) WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_search_ann_ivf", oracle=_ivf_oracle(), category="L")
 def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: 16 seed
     centroids (the lowest-id vectors — deterministic, no RNG), every
     vector assigned to its nearest centroid (one broadcast argmax pass),
     queries probe their 4 nearest cells and rank candidates exactly.
     Candidate volume ≈ nprobe/cells of the corpus (~25% here) — the
-    classic recall/cost dial; a k-means refinement of the seeds changes
-    recall, not the plan. Weak oracle; recall vs the exact key asserted in
-    tests/test_pipeline.py."""
+    classic recall/cost dial; ``ml_kmeans_fixed`` is the centroid
+    refinement. Deterministic end to end → FULL hash oracle; recall vs
+    the exact key additionally asserted in tests/test_pipeline.py."""
     e = t(spark, sf_dir, "embeddings")
     cents = (
         e.orderBy("vec_id")

@@ -182,14 +182,19 @@ def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, column_name string")
 
 
-@query("scan_jdbc", oracle=None, category="A")
+@query(
+    "scan_jdbc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="A",
+)
 def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External-RDBMS access (dbsuite's native mode was a DB2 client
     connection): write ``nation`` into the embedded Derby engine bundled
-    with Spark, then ``spark.read.jdbc`` it back. Weak (rows-only) check:
-    Derby uppercases unquoted identifiers, so the read-back schema is
-    normalized here rather than hash-compared. On a real cluster the same
-    reader parallelizes with partitionColumn/numPartitions."""
+    with Spark, then ``spark.read.jdbc`` it back. Derby uppercases
+    unquoted identifiers, so the read-back columns are re-lowered —
+    after which the round-trip is lossless and carries a FULL hash oracle
+    (the nation table itself). On a real cluster the same reader
+    parallelizes with partitionColumn/numPartitions."""
     url = f"jdbc:derby:{artifact_path(sf_dir, 'derby_db')};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = t(spark, sf_dir, "nation")

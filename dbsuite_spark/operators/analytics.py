@@ -332,3 +332,75 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_count(c, "step2_click"))
         .unionAll(_count(p, "step3_purchase"))
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type,
+         list(hour_ts ORDER BY hour_ts) AS hours,
+         list(v ORDER BY hour_ts) AS vals
+  FROM b GROUP BY event_type)
+SELECT event_type, hours[i] AS hour_ts, vals[i] AS v,
+       list_reduce(vals[1:i],
+                   (acc, x) -> CAST({EWMA_ALPHA} AS DOUBLE) * x
+                               + CAST({1 - EWMA_ALPHA} AS DOUBLE) * acc)
+           AS ewma
+FROM l, range(1, 2000) t(i)
+WHERE i <= len(vals)
+""",
+    category="E",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each type's hourly
+    series — the recursive smoother (ewma_t = α·v_t + (1−α)·ewma_{t−1},
+    seeded with the first value) that plain window frames cannot express.
+    Evaluated as a prefix fold over the hour-ordered value list, the same
+    sequential order on both engines (DuckDB ``list_reduce(vals[1:i])`` ≡
+    Spark ``aggregate(slice(vals, 2, i−1), vals[1], …)``), so every
+    prefix value is bit-identical — same discipline as
+    ``pipeline/clustering.py``.
+
+    Scale: series are bounded (≤744 hourly points per type-month), so the
+    per-group list and the O(n²) prefix folds are small constants; the
+    bucket aggregation below them is the usual decimal-exact single
+    shuffle. For unbounded series you'd segment by month first."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    lst = b.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_ts", "v"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda x: x["v"])
+    a, na = F.lit(EWMA_ALPHA), F.lit(1 - EWMA_ALPHA)
+    zipped = F.arrays_zip(
+        F.transform(F.col("pairs"), lambda x: x["hour_ts"]).alias("h"),
+        vals.alias("val"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(vals)),
+            lambda i: F.aggregate(
+                F.slice(vals, F.lit(2), i - 1),
+                F.element_at(vals, 1),
+                lambda acc, x: a * x + na * acc,
+            ),
+        ).alias("ew"),
+    )
+    return (
+        lst.select("event_type", F.explode(zipped).alias("z"))
+        .select(
+            "event_type",
+            F.col("z.h").alias("hour_ts"),
+            F.col("z.val").alias("v"),
+            F.col("z.ew").alias("ewma"),
+        )
+    )

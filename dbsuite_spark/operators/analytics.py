@@ -404,3 +404,65 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z.ew").alias("ewma"),
         )
     )
+
+
+MEDIAN_FRAME = 24  # sliding frame width in hours
+
+
+@query(
+    "win_sliding_median",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+framed AS (
+  SELECT event_type, hour_ts, v,
+         list_sort(list(v) OVER (
+             PARTITION BY event_type ORDER BY hour_ts
+             ROWS BETWEEN {MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW))
+           AS fr
+  FROM b)
+SELECT event_type, hour_ts, v,
+       CASE WHEN len(fr) % 2 = 1 THEN fr[(len(fr) + 1) // 2]
+            ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1]) / 2.0
+       END AS med24
+FROM framed
+""",
+    category="E",
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median over a 24-hour sliding frame per event type — the
+    moving-median smoother rank functions cannot express (PERCENTILE_CONT
+    isn't a windowed aggregate in either engine). The frame's values are
+    collected per row (bounded: ≤24 doubles), sorted, and the middle
+    element (odd) or mean of the middle two (even) extracted — identical
+    double ops on both engines, so the series hash-matches exactly.
+
+    Scale: one shuffle for the hourly buckets, one window pass with O(24)
+    state per row; frame width is a constant, so memory per partition is
+    flat no matter the series length."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-(MEDIAN_FRAME - 1), Window.currentRow)
+    )
+    fr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(fr)
+    med = F.when(
+        n % 2 == 1, F.element_at(fr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(fr, (n / 2).cast("int"))
+            + F.element_at(fr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return b.select(
+        "event_type", "hour_ts", "v", med.alias("med24")
+    )

@@ -182,3 +182,76 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.md5("s")).alias("fp_max"),
         F.count("*").alias("n_shingles"),
     )
+
+
+KEEP_LANGS = ("en", "de", "fr")
+MIN_TOKENS, MAX_TOKENS = 20, 2000
+MIN_TTR = 0.3
+
+
+@query(
+    "pipeline_quality_corpus",
+    oracle=f"""
+WITH pool AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE lang IN {KEEP_LANGS!r}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM pool),
+stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+  FROM tok GROUP BY doc_id),
+quality AS (
+  SELECT pool.doc_id, pool.lang, pool.text, stats.n_tokens,
+         CAST(n_types AS DOUBLE) / n_tokens AS ttr
+  FROM pool JOIN stats ON pool.doc_id = stats.doc_id
+  WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND CAST(n_types AS DOUBLE) / n_tokens >= {MIN_TTR}),
+dedup AS (
+  SELECT doc_id, lang, n_tokens, ttr FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1)
+SELECT doc_id, lang, n_tokens, ttr FROM dedup
+""",
+    category="L",
+)
+def pipeline_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality curation — the filter side of a training-data
+    run, composing the verified signal operators: (1) language allowlist,
+    (2) quality gates on token count and type/token ratio (lexical
+    diversity), (3) exact dedup by full-text hash keeping the lowest
+    doc_id. Complements ``pipeline_dedup_corpus`` (the near-dup side).
+
+    Scale: the language and quality predicates are row-local (pushed to
+    the scan / one token-explode aggregation); dedup is one hash-window
+    shuffle over the already-reduced pool — stage order puts the cheapest
+    most-selective filters first so later shuffles see fewer rows."""
+    d = t(spark, sf_dir, "documents")
+    pool = d.filter(F.col("lang").isin(*KEEP_LANGS)).select(
+        "doc_id", "text", "lang"
+    )
+    tok = pool.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+    )
+    quality = (
+        pool.join(stats, "doc_id")
+        .withColumn(
+            "ttr", F.col("n_types").cast("double") / F.col("n_tokens")
+        )
+        .filter(
+            F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+            & (F.col("ttr") >= MIN_TTR)
+        )
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "ttr")
+    )

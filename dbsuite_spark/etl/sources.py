@@ -409,50 +409,70 @@ def catalog_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash loudly, same spirit as tests/test_fixture_schemas.py).
 
     Scale: one single-pass aggregation per table computes all per-column
-    distinct/null counts map-side (Catalyst's multi-distinct expand);
-    the per-column rows are then exploded from that 1-row aggregate —
-    no per-column re-scans, no driver-side data movement."""
+    distinct/null counts map-side (Catalyst's multi-distinct expand),
+    emitted as two name→count MAP columns so the ten 1-row aggregates
+    union into one tiny frame; the per-column rows come from a single
+    map-explode joined to a broadcast literal descriptor table (explode
+    over an array of structs referencing aggregate columns would
+    duplicate the whole aggregate subtree — two scans per table,
+    verified in tests/test_plans.py). No per-column re-scans, no
+    driver-side data movement."""
     frames = []
+    descriptors = []
     for tbl in TABLES:
         df = t(spark, sf_dir, tbl)
         fields = df.schema.fields
+        names = [f.name for f in fields]
+        descriptors.extend(
+            (tbl, f.name, i + 1, _NEUTRAL_TYPES[f.dataType.simpleString()])
+            for i, f in enumerate(fields)
+        )
         agg = df.agg(
             F.count(F.lit(1)).alias("__n"),
+            *[F.countDistinct(n).alias(f"__d_{n}") for n in names],
             *[
-                F.countDistinct(f.name).alias(f"__d_{f.name}")
-                for f in fields
-            ],
-            *[
-                F.sum(
-                    F.when(F.col(f.name).isNull(), 1).otherwise(0)
-                ).alias(f"__z_{f.name}")
-                for f in fields
+                F.sum(F.when(F.col(n).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__z_{n}")
+                for n in names
             ],
         )
-        per_col = agg.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(tbl).alias("table_name"),
-                            F.lit(f.name).alias("column_name"),
-                            F.lit(i + 1).alias("ordinal"),
-                            F.lit(
-                                _NEUTRAL_TYPES[f.dataType.simpleString()]
-                            ).alias("data_type"),
-                            F.col("__n").alias("n_rows"),
-                            F.col(f"__d_{f.name}").alias("n_distinct"),
-                            F.col(f"__z_{f.name}")
-                            .cast("bigint")
-                            .alias("null_count"),
-                        )
-                        for i, f in enumerate(fields)
-                    ]
-                )
-            ).alias("r")
-        ).select("r.*")
-        frames.append(per_col)
-    out = frames[0]
+        frames.append(
+            agg.select(
+                F.lit(tbl).alias("table_name"),
+                F.col("__n").alias("n_rows"),
+                F.map_from_arrays(
+                    F.array(*[F.lit(n) for n in names]),
+                    F.array(*[F.col(f"__d_{n}") for n in names]),
+                ).alias("dmap"),
+                F.map_from_arrays(
+                    F.array(*[F.lit(n) for n in names]),
+                    F.array(*[F.col(f"__z_{n}") for n in names]),
+                ).alias("zmap"),
+            )
+        )
+    stats = frames[0]
     for fr in frames[1:]:
-        out = out.unionAll(fr)
-    return out
+        stats = stats.unionAll(fr)
+    desc = spark.createDataFrame(
+        descriptors, "table_name string, column_name string, "
+        "ordinal int, data_type string"
+    )
+    exploded = stats.select(
+        "table_name",
+        "n_rows",
+        F.explode("dmap").alias("column_name", "n_distinct"),
+        "zmap",
+    ).select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        F.element_at("zmap", F.col("column_name")).alias("null_count"),
+    )
+    return exploded.join(
+        F.broadcast(desc), ["table_name", "column_name"]
+    ).select(
+        "table_name", "column_name", "ordinal", "data_type",
+        "n_rows", "n_distinct", "null_count",
+    )

@@ -280,3 +280,34 @@ def test_bloom_filter_join_injects_might_contain(spark, sf_dir):
     assert "might_contain" in plan, "bloom filter not injected"
     assert "bloom_filter_agg" in plan
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_ewma_single_shuffle_then_fold(spark, sf_dir):
+    """EWMA = bucket agg + per-type list fold: two aggregation levels,
+    no window exchange beyond the type key, no cartesian."""
+    plan = plan_of(spark, sf_dir, "ts_ewma")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sliding_median_one_window_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "win_sliding_median")
+    assert plan.count("Window (") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_corpus_pushes_lang_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pipeline_quality_corpus")
+    assert "PushedFilters: [In(lang" in plan, "lang allowlist must reach scan"
+    assert "CartesianProduct" not in plan
+
+
+def test_catalog_document_single_pass_per_table(spark, sf_dir):
+    """Each table's distinct/null stats must come from ONE aggregation
+    (multi-distinct expand), not per-column re-scans: scan count equals
+    table count."""
+    plan = plan_of(spark, sf_dir, "catalog_document")
+    # tree lines only — formatted mode repeats each node in a detail section
+    n_scans = plan.count("+- Scan parquet")
+    assert n_scans == 10, n_scans
+    assert plan.count("Generate (") == 1, "one map-explode, not per-table"

@@ -255,3 +255,43 @@ def pipeline_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_tokens", "ttr")
     )
+
+
+@query(
+    "docs_train_test_split",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN h < 90 THEN 'train'
+            WHEN h < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS h
+  FROM documents)
+""",
+    category="L",
+)
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test assignment by hashing the
+    document id — the split survives reshuffles, re-runs, engine swaps,
+    and corpus growth (a document never migrates between splits), which
+    is exactly what leakage-free training-data curation requires. Pure
+    row-local predicate: no shuffle, no RNG, no state."""
+    d = t(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < 90, "train")
+        .when(h < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

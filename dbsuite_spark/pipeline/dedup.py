@@ -478,3 +478,74 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep1.join(noncanon, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+_LEAK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks),
+stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT d1, d2, CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN h < 90 THEN 'train'
+              WHEN h < 95 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS h
+        FROM documents))
+SELECT p.d1, p.d2, s1.split AS split1, s2.split AS split2, p.jaccard
+FROM pairs p
+JOIN splits s1 ON p.d1 = s1.doc_id
+JOIN splits s2 ON p.d2 = s2.doc_id
+WHERE s1.split <> s2.split
+"""
+
+
+@query("docs_split_leakage_check", oracle=_LEAK_ORACLE, category="L")
+def docs_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity check: near-duplicate pairs that STRADDLE the
+    deterministic train/valid/test split (``docs_train_test_split``) —
+    each one is evaluation contamination (a test document with a
+    near-copy in train). Composes the capped exact-Jaccard substrate
+    with the hash split; at corpus scale the MinHash candidate pass
+    slots in front, same pairs. The split is recomputed as a row-local
+    expression on each pair endpoint — no join against a per-document
+    split table, so the check adds zero shuffles to the pair substrate.
+    The fix for every reported pair is to move the whole duplicate
+    CLUSTER to one split (components from
+    ``dedup_connected_components``)."""
+
+    def split_of(doc: F.Column) -> F.Column:
+        h = (
+            F.conv(
+                F.substring(F.md5(doc.cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % 100
+        )
+        return (
+            F.when(h < 90, "train").when(h < 95, "valid").otherwise("test")
+        )
+
+    pairs = _jaccard_on(
+        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    )
+    return (
+        pairs.withColumn("split1", split_of(F.col("d1")))
+        .withColumn("split2", split_of(F.col("d2")))
+        .filter(F.col("split1") != F.col("split2"))
+        .select("d1", "d2", "split1", "split2", "jaccard")
+    )

@@ -404,3 +404,82 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_us") - F.col("p_us")).alias("delta_us"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+SELECT event_id,
+       CASE
+         WHEN prev_ts IS NULL THEN next_ts
+         WHEN next_ts IS NULL THEN prev_ts
+         WHEN epoch_us(ts) - epoch_us(prev_ts)
+              <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+         ELSE next_ts
+       END AS nearest_click_ts
+FROM (
+  SELECT p.event_id, p.ts,
+         (SELECT MAX(c.ts) FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts < p.ts) AS prev_ts,
+         (SELECT MIN(c.ts) FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts > p.ts) AS next_ts
+  FROM events p WHERE p.event_type = 'purchase')
+""",
+    category="C",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase matched to the CLOSEST
+    click of the same user in either direction (backward on ties). Same
+    union-the-roles single-shuffle pattern as ``join_asof``, with two
+    window passes over one user_id exchange: the backward pass orders
+    same-timestamp clicks AFTER purchases (so 'strictly prior' holds) and
+    the forward pass orders them BEFORE (so 'strictly later' holds) —
+    strictness on both sides without any range join. Distances compare
+    in exact integer microseconds."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("role"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("role"),
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("role").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("role").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn(
+            "prev_ts", F.last("click_ts", ignorenulls=True).over(w_bwd)
+        )
+        .withColumn(
+            "next_ts", F.first("click_ts", ignorenulls=True).over(w_fwd)
+        )
+    )
+    back_dist = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    fwd_dist = F.unix_micros("next_ts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(back_dist <= fwd_dist, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return merged.filter(F.col("role") == 0).select(
+        "event_id", nearest.alias("nearest_click_ts")
+    )

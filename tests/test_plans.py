@@ -311,3 +311,11 @@ def test_catalog_document_single_pass_per_table(spark, sf_dir):
     n_scans = plan.count("+- Scan parquet")
     assert n_scans == 10, n_scans
     assert plan.count("Generate (") == 1, "one map-explode, not per-table"
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Both direction passes must share ONE user_id exchange (different
+    sort orders, same partitioning) — a second shuffle is a regression."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert plan.count("Exchange (") == 1, plan.count("Exchange (")
+    assert plan.count("Window (") == 2

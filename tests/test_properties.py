@@ -134,3 +134,88 @@ def test_sessionize_gap_invariants(spark, sf_dir):
     assert n_events == t(spark, sf_dir, "events").count()
     # every session's span is consistent with its event count
     assert all(r.session_start <= r.session_end for r in sess)
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_dir):
+    """For every matched purchase, no same-user click may be strictly
+    closer than the reported nearest, and the match must exist in the
+    click set."""
+    import dbsuite_spark
+    from dbsuite_spark.tables import t
+
+    res = dbsuite_spark.all_specs()["join_asof_nearest"].fn(spark, sf_dir)
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("pts"), "user_id"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = res.join(p, "event_id")
+    dist = F.abs(F.unix_micros("pts") - F.unix_micros("nearest_click_ts"))
+    closer = (
+        joined.join(c, joined.user_id == c.cu)
+        .filter(F.col("cts") != F.col("pts"))
+        .filter(
+            F.abs(F.unix_micros("pts") - F.unix_micros("cts")) < dist
+        )
+    )
+    assert closer.count() == 0, "a strictly closer click exists"
+    matched = joined.filter(F.col("nearest_click_ts").isNotNull())
+    valid = matched.join(
+        c,
+        (matched.user_id == c.cu)
+        & (matched.nearest_click_ts == c.cts),
+        "left_semi",
+    )
+    assert valid.count() == matched.count(), "match not an actual click"
+
+
+def test_ewma_bounded_by_series_extremes(spark, sf_dir):
+    """Every EWMA prefix value must lie within [min, max] of its series —
+    the convex-combination invariant of the recursion."""
+    import dbsuite_spark
+
+    df = dbsuite_spark.all_specs()["ts_ewma"].fn(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    out = df.select(
+        "event_type",
+        "ewma",
+        F.min("v").over(w).alias("lo"),
+        F.max("v").over(w).alias("hi"),
+    ).filter((F.col("ewma") < F.col("lo")) | (F.col("ewma") > F.col("hi")))
+    assert out.count() == 0
+
+
+def test_sliding_median_within_frame_bounds(spark, sf_dir):
+    """med24 must lie within [min, max] of the 24-row frame it summarizes."""
+    import dbsuite_spark
+
+    df = dbsuite_spark.all_specs()["win_sliding_median"].fn(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    out = df.select(
+        "med24",
+        F.min("v").over(w).alias("lo"),
+        F.max("v").over(w).alias("hi"),
+    ).filter(
+        (F.col("med24") < F.col("lo")) | (F.col("med24") > F.col("hi"))
+    )
+    assert out.count() == 0
+
+
+def test_split_partitions_and_leak_check_consistent(spark, sf_dir):
+    """Splits partition the corpus (every doc exactly one split) and every
+    reported leaking pair really straddles two different splits."""
+    import dbsuite_spark
+    from dbsuite_spark.tables import t
+
+    specs = dbsuite_spark.all_specs()
+    split = specs["docs_train_test_split"].fn(spark, sf_dir)
+    assert split.count() == t(spark, sf_dir, "documents").count()
+    assert split.select("doc_id").distinct().count() == split.count()
+    leaks = specs["docs_split_leakage_check"].fn(spark, sf_dir)
+    assert leaks.filter(F.col("split1") == F.col("split2")).count() == 0

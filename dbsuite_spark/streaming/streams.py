@@ -6,8 +6,11 @@ every streaming query's transformation is written once and applied to a
 streaming source; where the final result is deterministic regardless of
 micro-batch boundaries (complete-mode aggregations, stateless passes,
 single-batch stateful runs) the key carries a full DuckDB oracle via its
-batch-equivalent SQL; genuinely batching-dependent keys (watermark append,
-multi-batch emission) are weak-checked, as the driver supports.
+batch-equivalent SQL. Even append-mode watermarking is fully
+oracle-checked: under ``availableNow`` the final no-data micro-batch
+advances the watermark to max(event time) − delay, so the emitted set has
+the closed form ``window_end <= max(ts) − delay`` (see
+``stream_watermark_append``).
 
 Mechanics: each key lands the events table (µs timestamps, via ``t()``) as
 one or more Parquet files in the scratch area, reads them back with
@@ -548,3 +551,52 @@ def _stream_stream_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
     )
     return _run_to_memory(spark, joined, "mem_ssjoin", "append")
+
+
+@query(
+    "stream_checkpoint_resume",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    category="I",
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart from a checkpoint — the operational property
+    the other streaming keys don't exercise: phase 1 streams the first 3
+    landed files into a Parquet sink, the query STOPS, 3 more files land,
+    and phase 2 restarts from the SAME checkpoint — the file-source log
+    ensures only the new files are processed and the sink's
+    ``_spark_metadata`` commits each batch atomically. The read-back
+    equals the batch projection of ALL events exactly once (full hash
+    oracle — any reprocessing would double rows and break the hash).
+    On a cluster this is the crash/redeploy recovery path."""
+    import glob
+    import os
+
+    path_all, src = _land_events(spark, sf_dir, "ckptres_all", n_files=6)
+    live = artifact_path(sf_dir, "ckptres_live")
+    out_dir = artifact_path(sf_dir, "ckptres_out")
+    ckpt = artifact_path(sf_dir, "ckptres_ckpt")
+    for d in (live, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(live)
+    parts = sorted(glob.glob(os.path.join(path_all, "part-*.parquet")))
+
+    def run_phase() -> None:
+        with _stream_width(spark):
+            q = (
+                _read_stream(spark, live, src.schema)
+                .select("event_id", "user_id", "event_type", "value")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    for i, f in enumerate(parts[:3]):
+        shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
+    run_phase()
+    for i, f in enumerate(parts[3:], start=3):
+        shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
+    run_phase()
+    return spark.read.parquet(out_dir)

@@ -204,3 +204,44 @@ def fn_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("h_md5"),
         F.sha2("text", 256).alias("h_sha256"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / NULLIF(o_custkey % 5, 0) AS safe_ratio,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+       TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+       CAST(NULL AS BIGINT) AS overflow_add,
+       string_split(o_orderpriority, '-')[5] AS missing_tok
+FROM orders
+""",
+    category="H",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling battery — the TRY_* family that returns
+    NULL instead of failing the job (division by zero, bad casts, bigint
+    overflow, out-of-range element access). At 100 TB this is the
+    difference between one poison row killing a 6-hour job and a NULL you
+    can audit afterwards. Oracle mirrors each case with DuckDB's native
+    NULL-on-error forms (NULLIF guard, TRY_CAST, out-of-range list index;
+    the bigint overflow probe is provably NULL for every fixture row)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.col("o_custkey") % 5
+        ).alias("safe_ratio"),
+        F.expr(
+            "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
+        ).alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"),
+            F.col("o_orderkey") + 1,  # keys are >= 0 → always overflows
+        ).alias("overflow_add"),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"), F.lit(5)
+        ).alias("missing_tok"),
+    )

@@ -231,3 +231,69 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_bucket("o_totalprice").alias("price_bucket"),
         prio_uc("o_orderpriority").alias("prio_uc"),
     )
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    oracle="""
+SELECT event_id, 'event_type' AS col_name, event_type AS col_value
+FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT event_id, 'user_id', CAST(user_id AS VARCHAR)
+FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT event_id, 'value', CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+FROM events WHERE event_id % 10 = 0
+""",
+    category="J",
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF: the ``analyze()`` static method computes
+    the output schema FROM THE CALL SITE (here: which columns to unpivot,
+    passed as a constant), the table-function analog of DB2's generic
+    table functions. The UDTF melts the selected columns to
+    (col_name, col_value) rows; the value normalization (decimal-string
+    for doubles) keeps the strings engine-portable.
+
+    Scale: per-row generation inside Arrow batches, no shuffle; schema
+    resolution happens once at analysis time, not per row."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class MeltColumns:
+        @staticmethod
+        def analyze(row: AnalyzeArgument, cols: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for f in row.dataType.fields:
+                if f.name == "event_id":
+                    schema = schema.add("event_id", f.dataType)
+            schema = schema.add("col_name", "string")
+            schema = schema.add("col_value", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, cols: str):
+            from decimal import Decimal as _D
+
+            for name in cols.split(","):
+                v = row[name]
+                if isinstance(v, float):
+                    # decimal-string rendering, identical to the oracle's
+                    # CAST(CAST(v AS DECIMAL(18,6)) AS VARCHAR)
+                    sv = format(_D(str(v)).quantize(_D("0.000001")), "f")
+                else:
+                    sv = str(v)
+                yield row["event_id"], name, sv
+
+    spark.udtf.register("melt_columns", MeltColumns)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT m.event_id, m.col_name, m.col_value
+        FROM (SELECT * FROM events WHERE event_id % 10 = 0) e,
+             LATERAL melt_columns(struct(e.event_id, e.event_type,
+                                         e.user_id, e.value),
+                                  'event_type,user_id,value') m
+        """
+    )

@@ -466,3 +466,60 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "event_type", "hour_ts", "v", med.alias("med24")
     )
+
+
+@query(
+    "win_streak_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days),
+streaks AS (
+  SELECT user_id, MIN(d) AS streak_start,
+         CAST(COUNT(*) AS BIGINT) AS streak_days
+  FROM grp GROUP BY user_id, island)
+SELECT user_id, streak_start, streak_days FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY streak_days DESC, streak_start) AS rn
+  FROM streaks) WHERE rn = 1
+""",
+    category="E",
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (earliest such run on ties) — the classic pattern where
+    ``date − row_number()`` is constant within an island, so one window
+    pass turns consecutive dates into a grouping key. Complements
+    ``win_sessionize`` (which detects gaps by time delta): islands are
+    the integer-sequence dual.
+
+    Scale: one distinct pass (map-side partial), one window + one
+    aggregation sharing the user_id shuffle, and a rank-1 window over
+    per-user streaks (rows bounded by active days). No joins, no
+    cartesian."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.min("d").alias("streak_start"),
+        F.count("*").alias("streak_days"),
+    )
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_start", "streak_days")
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 from dbsuite_spark.etl.io import artifact_path
 from dbsuite_spark.exact import DSUM
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import TABLES, t
+from dbsuite_spark.tables import FIXTURE_SCHEMA, TABLES, t
 
 ORDERS_SCHEMA = T.StructType(
     [
@@ -309,75 +309,12 @@ _NEUTRAL_TYPES = {
     "array<float>": "array<float32>",
 }
 
+# Derived from the single canonical descriptor in tables.FIXTURE_SCHEMA
+# (ADVICE r02: the schema-drift canary and this oracle must not be two
+# hand-maintained copies that can drift apart).
 _DOC_SCHEMA: dict[str, list[tuple[str, str]]] = {
-    "region": [("r_regionkey", "int32"), ("r_name", "string")],
-    "nation": [
-        ("n_nationkey", "int32"),
-        ("n_name", "string"),
-        ("n_regionkey", "int32"),
-    ],
-    "customer": [
-        ("c_custkey", "int64"),
-        ("c_name", "string"),
-        ("c_nationkey", "int32"),
-        ("c_acctbal", "float64"),
-        ("c_mktsegment", "string"),
-    ],
-    "supplier": [
-        ("s_suppkey", "int64"),
-        ("s_name", "string"),
-        ("s_nationkey", "int32"),
-        ("s_acctbal", "float64"),
-    ],
-    "part": [
-        ("p_partkey", "int64"),
-        ("p_name", "string"),
-        ("p_brand", "string"),
-        ("p_type", "string"),
-        ("p_size", "int32"),
-        ("p_retailprice", "float64"),
-    ],
-    "orders": [
-        ("o_orderkey", "int64"),
-        ("o_custkey", "int64"),
-        ("o_orderstatus", "string"),
-        ("o_totalprice", "float64"),
-        ("o_orderdate", "timestamp"),
-        ("o_orderpriority", "string"),
-    ],
-    "lineitem": [
-        ("l_orderkey", "int64"),
-        ("l_partkey", "int64"),
-        ("l_suppkey", "int64"),
-        ("l_linenumber", "int32"),
-        ("l_quantity", "float64"),
-        ("l_extendedprice", "float64"),
-        ("l_discount", "float64"),
-        ("l_tax", "float64"),
-        ("l_returnflag", "string"),
-        ("l_linestatus", "string"),
-        ("l_shipdate", "timestamp"),
-    ],
-    "events": [
-        ("event_id", "int64"),
-        ("ts", "timestamp"),
-        ("user_id", "int64"),
-        ("event_type", "string"),
-        ("value", "float64"),
-        ("props", "string"),
-    ],
-    "documents": [
-        ("doc_id", "int64"),
-        ("text", "string"),
-        ("lang", "string"),
-        ("source", "string"),
-        ("n_chars", "int64"),
-    ],
-    "embeddings": [
-        ("vec_id", "int64"),
-        ("embedding", "array<float32>"),
-        ("label", "int32"),
-    ],
+    tbl: [(col, _NEUTRAL_TYPES[st]) for col, st in cols]
+    for tbl, cols in FIXTURE_SCHEMA.items()
 }
 
 

@@ -355,8 +355,7 @@ SELECT event_type, hours[i] AS hour_ts, vals[i] AS v,
                    (acc, x) -> CAST({EWMA_ALPHA} AS DOUBLE) * x
                                + CAST({1 - EWMA_ALPHA} AS DOUBLE) * acc)
            AS ewma
-FROM l, range(1, 2000) t(i)
-WHERE i <= len(vals)
+FROM l, unnest(generate_series(1, len(vals))) t(i)
 """,
     category="E",
 )

@@ -268,7 +268,16 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     eagerly under temporarily-adjusted confs and the session is restored
     before returning — the physical plan is cached on the DataFrame, so
     execution keeps the bloom shape. ``tests/test_plans.py`` pins
-    ``might_contain`` in the scan filter."""
+    ``might_contain`` in the scan filter.
+
+    Known limitation: the pinned shape lives on THIS DataFrame's cached
+    QueryExecution only. Any downstream transformation (e.g. a harness
+    wrapping the result in a hash aggregation) re-plans under the
+    restored session confs and silently drops the bloom injection —
+    results stay identical either way (bloom filters only skip
+    non-matches); only the demonstrated plan shape is lost. Holding the
+    tweaked confs across the caller's action would leak them into
+    subsequent queries on the shared session, which is worse."""
     tweaks = {
         # disable broadcast so the join shuffles (the 100 TB shape, where
         # bloom filters matter; at fixture scale orders would broadcast)

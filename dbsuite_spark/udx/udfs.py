@@ -242,7 +242,7 @@ UNION ALL
 SELECT event_id, 'user_id', CAST(user_id AS VARCHAR)
 FROM events WHERE event_id % 10 = 0
 UNION ALL
-SELECT event_id, 'value', CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR)
+SELECT event_id, 'value', CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)
 FROM events WHERE event_id % 10 = 0
 """,
     category="J",
@@ -252,8 +252,11 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output schema FROM THE CALL SITE (here: which columns to unpivot,
     passed as a constant), the table-function analog of DB2's generic
     table functions. The UDTF melts the selected columns to
-    (col_name, col_value) rows; the value normalization (decimal-string
-    for doubles) keeps the strings engine-portable.
+    (col_name, col_value) rows; doubles are rendered as floored
+    micro-unit integers (``floor(v * 1e6)``) because the IEEE product and
+    floor are bit-identical in Python and DuckDB, whereas double→DECIMAL
+    casts round ties differently across engines. NULLs melt to SQL NULL,
+    not the string 'None'.
 
     Scale: per-row generation inside Arrow batches, no shuffle; schema
     resolution happens once at analysis time, not per row."""
@@ -274,14 +277,18 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, row, cols: str):
-            from decimal import Decimal as _D
+            import math as _m
 
             for name in cols.split(","):
                 v = row[name]
-                if isinstance(v, float):
-                    # decimal-string rendering, identical to the oracle's
-                    # CAST(CAST(v AS DECIMAL(18,6)) AS VARCHAR)
-                    sv = format(_D(str(v)).quantize(_D("0.000001")), "f")
+                if v is None:
+                    sv = None  # SQL NULL, not the string 'None'
+                elif isinstance(v, float):
+                    # floored micro-units: v * 1e6 is the same IEEE
+                    # product on both engines and floor is exact, so the
+                    # rendering is bit-identical to the oracle's
+                    # CAST(floor(value * 1000000) AS BIGINT)
+                    sv = str(_m.floor(v * 1_000_000))
                 else:
                     sv = str(v)
                 yield row["event_id"], name, sv

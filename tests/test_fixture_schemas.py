@@ -19,78 +19,13 @@ from __future__ import annotations
 
 import pytest
 
-from dbsuite_spark.tables import TABLES, t
+from dbsuite_spark.tables import FIXTURE_SCHEMA, TABLES, t
 
-EXPECTED = {
-    "region": {"r_regionkey": "int", "r_name": "string"},
-    "nation": {
-        "n_nationkey": "int",
-        "n_name": "string",
-        "n_regionkey": "int",
-    },
-    "customer": {
-        "c_custkey": "bigint",
-        "c_name": "string",
-        "c_nationkey": "int",
-        "c_acctbal": "double",
-        "c_mktsegment": "string",
-    },
-    "supplier": {
-        "s_suppkey": "bigint",
-        "s_name": "string",
-        "s_nationkey": "int",
-        "s_acctbal": "double",
-    },
-    "part": {
-        "p_partkey": "bigint",
-        "p_name": "string",
-        "p_brand": "string",
-        "p_type": "string",
-        "p_size": "int",
-        "p_retailprice": "double",
-    },
-    "orders": {
-        "o_orderkey": "bigint",
-        "o_custkey": "bigint",
-        "o_orderstatus": "string",
-        "o_totalprice": "double",
-        "o_orderdate": "timestamp_ntz",
-        "o_orderpriority": "string",
-    },
-    "lineitem": {
-        "l_orderkey": "bigint",
-        "l_partkey": "bigint",
-        "l_suppkey": "bigint",
-        "l_linenumber": "int",
-        "l_quantity": "double",
-        "l_extendedprice": "double",
-        "l_discount": "double",
-        "l_tax": "double",
-        "l_returnflag": "string",
-        "l_linestatus": "string",
-        "l_shipdate": "timestamp_ntz",
-    },
-    "events": {
-        "event_id": "bigint",
-        "ts": "timestamp",  # tables.t() normalizes nanos/micros/NTZ here
-        "user_id": "bigint",
-        "event_type": "string",
-        "value": "double",
-        "props": "string",
-    },
-    "documents": {
-        "doc_id": "bigint",
-        "text": "string",
-        "lang": "string",
-        "source": "string",
-        "n_chars": "bigint",
-    },
-    "embeddings": {
-        "vec_id": "bigint",
-        "embedding": "array<float>",
-        "label": "int",
-    },
-}
+# The canonical descriptor lives in tables.FIXTURE_SCHEMA (also feeds the
+# catalog_document oracle via etl/sources._DOC_SCHEMA) — one copy, so the
+# canary and the oracle cannot be updated inconsistently (ADVICE r02).
+EXPECTED = {tbl: dict(cols) for tbl, cols in FIXTURE_SCHEMA.items()}
+
 
 
 @pytest.mark.parametrize("table", TABLES)

@@ -26,11 +26,16 @@ hash-safety contract forbids array columns in final projections).
 
 Scale (100 TB): the ordered-fold mean materializes each (cluster, dim)
 member list — bounded by cluster size, the cost of cross-engine
-verifiability. A production run at scale would use plain double sums
-(order-dependent in the last ulp, harmless for clustering) or the
-integer-units trick of ``graph_pagerank_fixed``; the assignment passes
-are already the scalable shape (broadcast K centroids, one scan, no
-shuffle of the corpus)."""
+verifiability; ``ml_kmeans_fixed`` keeps that path as the exactness
+reference. ``ml_kmeans_scalable`` is the production shape (VERDICT r02
+ask #4): centroid updates are plain partial+final SUMs of
+**integer-quantized units** (``floor(v · 2^20)`` as BIGINT — the
+``graph_pagerank_fixed`` trick). Integer addition is associative, so the
+sum is partition- and order-invariant, map-side combinable, and still
+bit-exactly reproducible in the DuckDB oracle — no per-member
+``collect_list`` anywhere in its plan (pinned in tests/test_plans.py).
+The assignment passes are already the scalable shape in both variants
+(broadcast K centroids, one scan, no shuffle of the corpus)."""
 
 from __future__ import annotations
 
@@ -133,6 +138,24 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _to_centroid_arrays(cent_rows: DataFrame) -> DataFrame:
+    """(cell, pos, cval) rows → (cell, ce: array<double>) sorted by pos.
+
+    The collect_list here gathers the K·DIM *centroid* coordinates (8×64
+    fixed), never corpus members — bounded at any data scale."""
+    return (
+        cent_rows.groupBy("cell")
+        .agg(
+            F.collect_list(F.struct("pos", F.col("cval").alias("v")))
+            .alias("pc")
+        )
+        .select(
+            "cell",
+            F.transform(F.array_sort("pc"), lambda x: x["v"]).alias("ce"),
+        )
+    )
+
+
 @query("ml_kmeans_fixed", oracle=KMEANS_ORACLE, category="L")
 def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means (K=8, cosine assignment) with the
@@ -147,23 +170,152 @@ def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     )
     a1 = _assign(e, seeds)
-    ce1 = (
-        _centroid_rows(a1)
-        .groupBy("cell")
-        .agg(
-            F.collect_list(F.struct("pos", F.col("cval").alias("v")))
-            .alias("pc")
-        )
-        .select(
-            "cell",
-            F.transform(F.array_sort("pc"), lambda x: x["v"]).alias("ce"),
-        )
-    )
+    ce1 = _to_centroid_arrays(_centroid_rows(a1))
     a2 = _assign(e, ce1)
     final = _centroid_rows(a2)
     return final.select(
         F.col("cell").alias("cluster"),
         "pos",
         F.col("cval").alias("c_val"),
+        F.col("n").cast("bigint").alias("n_members"),
+    )
+
+
+# 2^20 — a power of two, so v * KMEANS_UNIT is an EXACT double product
+# (only the exponent changes); floor() of it is then a deterministic
+# integer on every engine. int64 headroom: |unit| ≤ 2^20 per member, so
+# sums stay exact up to 2^43 ≈ 8.8e12 members per (cluster, dim) —
+# comfortably past a 100 TB corpus.
+KMEANS_UNIT = float(1 << 20)
+
+_UNITS_SQL = (
+    "CAST(SUM(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1048576.0) "
+    "AS BIGINT)) AS BIGINT)"
+)
+
+KMEANS_SCALABLE_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {K_CLUSTERS}),
+a1 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {COSINE("e.embedding", "s.ce")} DESC, s.cell) AS rn
+    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+c1 AS (
+  SELECT cell, pos, {_UNITS_SQL} AS units, COUNT(*) AS n
+  FROM a1, range(1, {DIM + 1}) t(pos) GROUP BY cell, pos),
+ce1 AS (
+  SELECT cell,
+         list(CAST(units AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS ce
+  FROM c1 GROUP BY cell),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {COSINE("e.embedding", "s.ce")} DESC, s.cell) AS rn
+    FROM embeddings e CROSS JOIN ce1 s) WHERE rn = 1),
+f AS (
+  SELECT a2.cell AS cluster, pos, {_UNITS_SQL} AS c_units,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id,
+       range(1, {DIM + 1}) t(pos)
+  GROUP BY a2.cell, pos)
+SELECT cluster, pos, c_units,
+       CAST(c_units AS DOUBLE) / n_members / 1048576.0 AS c_val,
+       n_members
+FROM f
+"""
+
+
+def _centroid_units_rows(assigned: DataFrame) -> DataFrame:
+    """(cell, pos, units, n): partial+final SUM of integer-quantized
+    member coordinates — associative, partition-invariant, no member
+    lists. This is the 100 TB centroid update."""
+    return (
+        assigned.select(
+            "cell", F.posexplode("embedding").alias("p0", "valf")
+        )
+        .groupBy("cell", (F.col("p0") + 1).alias("pos"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("valf").cast("double") * F.lit(KMEANS_UNIT)
+                ).cast("bigint")
+            ).alias("units"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _units_cval(units: Column, n: Column) -> Column:
+    """units/n/2^20 with the exact division order of the oracle."""
+    return units.cast("double") / n / F.lit(KMEANS_UNIT)
+
+
+def kmeans_assignments(
+    spark: SparkSession, sf_dir: str, scalable: bool
+) -> DataFrame:
+    """Final (vec_id, cell) assignments after two Lloyd iterations, for
+    either centroid-update path — shared by both keys' tests to assert
+    the quantized update does not flip any membership on the fixtures."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    )
+    a1 = _assign(e, seeds)
+    if scalable:
+        c1 = _centroid_units_rows(a1).select(
+            "cell",
+            "pos",
+            _units_cval(F.col("units"), F.col("n")).alias("cval"),
+        )
+    else:
+        c1 = _centroid_rows(a1)
+    return _assign(e, _to_centroid_arrays(c1)).select("vec_id", "cell")
+
+
+@query("ml_kmeans_scalable", oracle=KMEANS_SCALABLE_ORACLE, category="L")
+def ml_kmeans_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations (K=8, cosine assignment) with the
+    PRODUCTION centroid update: per-(cluster, dim) SUM of
+    ``floor(v · 2^20)`` BIGINT units (map-side combinable, order- and
+    partition-invariant because integer addition is associative) instead
+    of ``ml_kmeans_fixed``'s ordered fold over per-member lists. Still a
+    full hash oracle: exact integer sums reproduce bit-identically in
+    DuckDB, and the derived double centroid (units/n/2^20) uses one
+    pinned division order.
+
+    Scale: no per-member ``collect_list`` in the plan (pinned in
+    tests/test_plans.py); each update is one partial+final hash
+    aggregation over (K·DIM) keys; assignments broadcast the K centroid
+    arrays and scan the corpus once per iteration. Quantization error is
+    ≤ 2^-20 per coordinate — negligible against k-means' own iteration
+    noise (and empirically flips no fixture membership; see
+    tests/test_pipeline.py)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    )
+    a1 = _assign(e, seeds)
+    ce1 = _to_centroid_arrays(
+        _centroid_units_rows(a1).select(
+            "cell",
+            "pos",
+            _units_cval(F.col("units"), F.col("n")).alias("cval"),
+        )
+    )
+    a2 = _assign(e, ce1)
+    final = _centroid_units_rows(a2)
+    return final.select(
+        F.col("cell").alias("cluster"),
+        "pos",
+        F.col("units").alias("c_units"),
+        _units_cval(F.col("units"), F.col("n")).alias("c_val"),
         F.col("n").cast("bigint").alias("n_members"),
     )

@@ -132,3 +132,50 @@ def test_kmeans_partition_and_membership(spark, sf_dir):
         F.isnan("c_val") | F.col("c_val").isNull()
     ).count() == 0
     rows.unpersist()
+
+
+def test_kmeans_scalable_matches_fold_path(spark, sf_dir):
+    """VERDICT r02 ask #4: the integer-units centroid update (the 100 TB
+    path) must produce the same memberships as the ordered-fold exactness
+    path on the fixtures, with centroids within the quantization bound."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.clustering import (
+        KMEANS_UNIT,
+        kmeans_assignments,
+    )
+
+    import dbsuite_spark
+
+    a_fold = kmeans_assignments(spark, sf_dir, scalable=False)
+    a_unit = kmeans_assignments(spark, sf_dir, scalable=True)
+    diff = (
+        a_fold.withColumnRenamed("cell", "c1")
+        .join(a_unit.withColumnRenamed("cell", "c2"), "vec_id", "full")
+        .filter(
+            F.col("c1").isNull()
+            | F.col("c2").isNull()
+            | (F.col("c1") != F.col("c2"))
+        )
+        .count()
+    )
+    assert diff == 0, f"{diff} memberships flipped by quantization"
+
+    specs = dbsuite_spark.all_specs()
+    fixed = specs["ml_kmeans_fixed"].fn(spark, sf_dir).select(
+        "cluster", "pos", F.col("c_val").alias("v_fold"), "n_members"
+    )
+    scal = specs["ml_kmeans_scalable"].fn(spark, sf_dir).select(
+        "cluster", "pos", F.col("c_val").alias("v_unit"),
+        F.col("n_members").alias("n_unit"),
+    )
+    j = fixed.join(scal, ["cluster", "pos"]).cache()
+    assert j.count() == fixed.count() == scal.count()
+    assert j.filter(F.col("n_members") != F.col("n_unit")).count() == 0
+    # floor() drops < 1 unit per member, so the mean differs by < 1/2^20
+    # (plus fold-vs-sum double noise far below that)
+    bad = j.filter(
+        F.abs(F.col("v_fold") - F.col("v_unit")) > 1.5 / KMEANS_UNIT
+    ).count()
+    assert bad == 0, "centroid drift beyond quantization bound"
+    j.unpersist()

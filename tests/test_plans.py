@@ -319,3 +319,34 @@ def test_asof_nearest_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_asof_nearest")
     assert plan.count("Exchange (") == 1, plan.count("Exchange (")
     assert plan.count("Window (") == 2
+
+
+def test_kmeans_scalable_centroid_update_is_partial_sum(spark, sf_dir):
+    """The 100 TB centroid update must be a map-side-combinable integer
+    SUM with no per-member collect_list (VERDICT r02 ask #4). Pinned on
+    the isolated update stage: the full key's plan also builds the K*DIM
+    centroid arrays, whose bounded collect_list is fine."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.clustering import (
+        _assign,
+        _centroid_units_rows,
+    )
+    from dbsuite_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    df = _centroid_units_rows(_assign(e, seeds))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "collect_list" not in plan, (
+        "member values must never be materialized into per-cluster lists"
+    )
+    assert plan.count("HashAggregate") >= 2, (
+        "centroid sum must run partial+final (map-side combine)"
+    )

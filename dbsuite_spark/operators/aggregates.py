@@ -157,18 +157,43 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct", category="D", tags=("weak",))
+@query(
+    "agg_approx_count_distinct",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact_parts,
+       {BIGCOUNT()} AS n_rows,
+       TRUE AS approx_within_3rsd
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="D",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT). No oracle (estimate is engine-specific); tests assert
-    within ±5% of exact (SURVEY §2D)."""
-    return (
+    COUNT(DISTINCT). The estimate itself is engine-specific, so the
+    hashed projection carries its *verdict* instead (VERDICT r02 ask #5):
+    ``approx_within_3rsd`` is TRUE iff the estimate lands within 3·rsd of
+    the exact count (rsd 0.02 → ±6%; HLL++ is deterministic for a given
+    dataset, so the boolean is stable). The oracle asserts TRUE — an
+    estimator drifting outside its advertised bound now FAILS the hash
+    gate instead of hiding behind a rows-only check."""
+    g = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("n_exact_parts"),
             F.count("*").alias("n_rows"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "n_exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("approx") - F.col("n_exact_parts"))
+            <= 3 * 0.02 * F.col("n_exact_parts")
+        ).alias("approx_within_3rsd"),
     )
 
 
@@ -330,17 +355,40 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx", category="D", tags=("weak",))
+@query(
+    "agg_percentile_approx",
+    oracle=f"""
+SELECT o_orderstatus, {BIGCOUNT()} AS n_rows,
+       TRUE AS approx_within_rank_bound
+FROM orders GROUP BY o_orderstatus
+""",
+    category="D",
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the 100 TB percentile
-    path: mergeable sketch, single shuffle, bounded memory. Tested vs exact
-    within accuracy bound; no SQL oracle (sketch is engine-specific)."""
+    path: mergeable sketch, single shuffle, bounded memory. The sketch
+    value is engine-specific, so the hashed projection carries its
+    *verdict* (VERDICT r02 ask #5): with accuracy 10000 the guaranteed
+    rank error is 1e-4·n, so the estimate must lie between the exact
+    interpolated percentiles at 0.5∓0.003 (30× slack absorbs
+    interpolation off-by-ones); the oracle asserts TRUE. GK is
+    deterministic for a given dataset, so the boolean is stable — and a
+    sketch violating its advertised bound now fails the hash gate."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    g = o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
-            "p50_approx"
+            "p50a"
         ),
+        F.percentile("o_totalprice", F.lit(0.497)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.503)).alias("hi"),
         F.count("*").alias("n_rows"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "n_rows",
+        (
+            (F.col("p50a") >= F.col("lo")) & (F.col("p50a") <= F.col("hi"))
+        ).alias("approx_within_rank_bound"),
     )
 
 

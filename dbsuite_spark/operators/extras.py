@@ -101,7 +101,16 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge", oracle=None, category="D")
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_total,
+       CAST(COUNT(DISTINCT c_nationkey) AS INT) AS n_sketches,
+       TRUE AS approx_within_3rsd
+FROM customer
+""",
+    category="D",
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (Apache DataSketches via Spark 3.5+
     ``hll_sketch_agg``/``hll_union_agg``): build one customer-key sketch per
@@ -110,17 +119,31 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches merge associatively; only tiny sketch bytes cross the shuffle,
     never raw keys, and sketches can be persisted for incremental rollup).
 
-    Weak oracle (estimate); tests/test_extras.py asserts the estimate is
-    within 5% of the exact distinct count."""
+    The estimate is engine-specific, so the hashed projection carries its
+    *verdict* (VERDICT r02 ask #5): lgConfigK=14 → rsd ≈ 1.04/√2^14 ≈
+    0.81%, and ``approx_within_3rsd`` asserts the merged estimate lands
+    within 3·rsd (±2.4%) of the exact global distinct (custkeys are
+    globally unique, so the per-nation exacts sum to it). The sketch is
+    deterministic for a given dataset, so the boolean is stable and the
+    oracle's TRUE makes bound violations fail the hash gate."""
     c = t(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey", 14).alias("sk"),
         F.countDistinct("c_custkey").alias("exact_nation"),
     )
-    return per_nation.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total"),
-        F.sum("exact_nation").alias("sum_nation_exact"),
+    g = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"),
+        F.sum("exact_nation").alias("exact_total"),
         F.count("*").cast("int").alias("n_sketches"),
+    )
+    rsd = 1.04 / (2 ** 7)  # 1.04 / sqrt(2^14)
+    return g.select(
+        F.col("exact_total").cast("bigint").alias("exact_total"),
+        "n_sketches",
+        (
+            F.abs(F.col("approx") - F.col("exact_total"))
+            <= 3 * rsd * F.col("exact_total")
+        ).alias("approx_within_3rsd"),
     )
 
 

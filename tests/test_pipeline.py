@@ -179,3 +179,57 @@ def test_kmeans_scalable_matches_fold_path(spark, sf_dir):
     ).count()
     assert bad == 0, "centroid drift beyond quantization bound"
     j.unpersist()
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Concat-and-chunk packing: offsets are contiguous per shard, every
+    start offset is inside the budget, and the stats key agrees with the
+    per-doc mapping."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbsuite_spark.pipeline.packing import SEQ_BUDGET
+
+    import dbsuite_spark
+
+    specs = dbsuite_spark.all_specs()
+    seqs = specs["docs_pack_sequences"].fn(spark, sf_dir).cache()
+    n_docs = seqs.count()
+    assert n_docs == seqs.select("doc_id").distinct().count()
+    assert seqs.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= SEQ_BUDGET)
+    ).count() == 0
+
+    # contiguity: within a shard (ordered by doc_id) the global offset
+    # seq_id*BUDGET + seq_offset advances by exactly n_tokens
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    g = seqs.withColumn(
+        "goff", F.col("seq_id") * SEQ_BUDGET + F.col("seq_offset")
+    )
+    holes = (
+        g.withColumn("prev_end", F.lag(F.col("goff") + F.col("n_tokens")).over(w))
+        .filter(
+            F.col("prev_end").isNotNull()
+            & (F.col("goff") != F.col("prev_end"))
+        )
+        .count()
+    )
+    assert holes == 0, "packing left gaps or overlaps inside a shard"
+
+    stats = specs["docs_pack_stats"].fn(spark, sf_dir)
+    agg = seqs.groupBy("shard").agg(
+        F.count("*").alias("n_docs2"),
+        F.sum("n_tokens").alias("tok2"),
+        F.sum(F.col("crosses_boundary").cast("bigint")).alias("nb2"),
+    )
+    mismatch = (
+        stats.join(agg, "shard")
+        .filter(
+            (F.col("n_docs") != F.col("n_docs2"))
+            | (F.col("total_tokens") != F.col("tok2"))
+            | (F.col("n_boundary_docs") != F.col("nb2"))
+        )
+        .count()
+    )
+    assert mismatch == 0, "stats key disagrees with per-doc mapping"
+    seqs.unpersist()

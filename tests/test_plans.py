@@ -22,6 +22,15 @@ def plan_of(spark, sf_dir, key: str) -> str:
     )
 
 
+def n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their formatted-explain detail headers
+    ("(4) Exchange") — the tree section repeats each node, so substring
+    counts double-count."""
+    import re as _re
+
+    return len(_re.findall(rf"^\(\d+\) {name}\b", plan, _re.M))
+
+
 def test_filter_pushed_to_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "filter_comparison")
     assert "PushedFilters: [" in plan
@@ -350,3 +359,83 @@ def test_kmeans_scalable_centroid_update_is_partial_sum(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, (
         "centroid sum must run partial+final (map-side combine)"
     )
+
+
+def test_running_total_single_exchange_single_sort(spark, sf_dir):
+    """E-category windows: one hash exchange on the partition key, one
+    sort, one Window — a second exchange or sort would double the
+    dominant cost at 100 TB."""
+    plan = plan_of(spark, sf_dir, "win_running_total")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Sort") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_union_all_no_shuffle(spark, sf_dir):
+    """UNION ALL is bag concatenation — any Exchange in its plan is a
+    scale bug."""
+    plan = plan_of(spark, sf_dir, "set_union_all")
+    assert "Exchange" not in plan
+
+
+def test_intersect_and_except_plan_as_joins(spark, sf_dir):
+    """INTERSECT/EXCEPT must become (semi/anti) joins + distinct, never a
+    cartesian or a nested loop."""
+    for key in ("set_intersect", "set_except"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "Join" in plan, key
+        assert "CartesianProduct" not in plan, key
+        assert plan.count("HashAggregate") >= 2, (
+            f"{key}: distinct must run partial+final"
+        )
+
+
+def test_sample_and_limit_no_shuffle(spark, sf_dir):
+    """Deterministic hash sampling is a pure row-local filter;
+    ORDER BY + LIMIT must be per-partition top-k — neither may shuffle
+    the table."""
+    assert "Exchange" not in plan_of(spark, sf_dir, "sample_fraction")
+    plan = plan_of(spark, sf_dir, "limit_fetch_first")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_dedup_exact_single_exchange(spark, sf_dir):
+    """Exact dedup is one hash-window pass: exactly one exchange on the
+    content hash."""
+    plan = plan_of(spark, sf_dir, "dedup_exact")
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """Brute-force cosine top-k must broadcast the (tiny) query side —
+    BroadcastNestedLoopJoin, never CartesianProduct — and rank with one
+    exchange."""
+    plan = plan_of(spark, sf_dir, "sim_search_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_tokenize_counts_take_ordered(spark, sf_dir):
+    """Corpus term frequencies: partial+final agg then per-partition
+    top-k — no global sort of the vocabulary."""
+    plan = plan_of(spark, sf_dir, "text_tokenize_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pandas_udf_is_arrow_vectorized(spark, sf_dir):
+    """The vectorized UDF key must plan as ArrowEvalPython (Arrow batch
+    transfer), not row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, sf_dir, "udf_pandas_vectorized")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Sequence packing is one window prefix-sum per shard: exactly one
+    exchange (on the shard key), one sort, one Window."""
+    plan = plan_of(spark, sf_dir, "docs_pack_sequences")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Window") == 1

@@ -179,3 +179,64 @@ def docs_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CHUNK_TOKENS = 64  # tokens per chunk window
+CHUNK_STRIDE = 48  # window stride (CHUNK_TOKENS - CHUNK_STRIDE overlap)
+
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least(n - i * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS BIGINT)
+         AS chunk_len,
+       array_to_string(
+         toks[i * {CHUNK_STRIDE} + 1 :
+              least(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)], ' ')
+         AS chunk_text
+FROM tok, unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) t(i)
+"""
+
+
+@query("docs_chunk_overlap", oracle=_CHUNK_ORACLE, category="L")
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-pipeline
+    complement to ``docs_pack_sequences``: each document becomes sliding
+    windows of ``CHUNK_TOKENS`` tokens advancing by ``CHUNK_STRIDE``
+    (16-token overlap preserves context across chunk boundaries), the
+    unit fed to embedding models and vector indexes
+    (``sim_search_*`` downstream).
+
+    Scale: purely row-local — tokenize, generate window indices
+    (``sequence`` + ``explode``), slice; no shuffle, no window function,
+    embarrassingly parallel over any partitioning. Chunk counts per doc
+    are ceil(n_tokens / stride), so output size is input-proportional
+    with a fixed fan-out bound."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    c = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n - 1) div {CHUNK_STRIDE}"))
+        ).alias("i"),
+    )
+    start = F.col("i") * CHUNK_STRIDE
+    return c.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.least(F.col("n") - start, F.lit(CHUNK_TOKENS))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), start + 1, F.lit(CHUNK_TOKENS))
+        ).alias("chunk_text"),
+    )

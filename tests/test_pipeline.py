@@ -233,3 +233,45 @@ def test_pack_sequences_invariants(spark, sf_dir):
     )
     assert mismatch == 0, "stats key disagrees with per-doc mapping"
     seqs.unpersist()
+
+
+def test_chunk_overlap_covers_corpus(spark, sf_dir):
+    """Chunking: every token covered (last chunk ends at n_tokens),
+    starts advance by exactly the stride, fan-out is ceil(n/stride)."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.packing import CHUNK_STRIDE
+    from dbsuite_spark.tables import t
+
+    import dbsuite_spark
+
+    chunks = (
+        dbsuite_spark.all_specs()["docs_chunk_overlap"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max(F.col("start_tok") + F.col("chunk_len")).alias("covered"),
+        F.min("start_tok").alias("first_start"),
+        F.max(F.col("start_tok") - F.col("chunk_id") * CHUNK_STRIDE)
+        .alias("stride_dev"),
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .filter(
+            (F.col("covered") != F.col("n"))
+            | (F.col("first_start") != 0)
+            | (F.col("stride_dev") != 0)
+            | (
+                F.col("n_chunks")
+                != F.floor((F.col("n") - 1) / CHUNK_STRIDE) + 1
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+    chunks.unpersist()

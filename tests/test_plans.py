@@ -439,3 +439,10 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "docs_pack_sequences")
     assert n_nodes(plan, "Exchange") == 1
     assert n_nodes(plan, "Window") == 1
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_dir):
+    """Chunking is row-local explode+slice — any Exchange is a scale
+    bug."""
+    plan = plan_of(spark, sf_dir, "docs_chunk_overlap")
+    assert n_nodes(plan, "Exchange") == 0

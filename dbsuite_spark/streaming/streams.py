@@ -600,3 +600,90 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
     run_phase()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 30 MINUTE
+                      AND p.purchase_ts),
+wm AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 20 DAY AS w FROM events)
+SELECT purchase_id, click_id, user_id, purchase_ts FROM m
+UNION ALL
+SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
+       p.user_id, p.purchase_ts
+FROM p, wm
+WHERE p.purchase_ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+""",
+    category="I",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the hard case the inner join
+    (``stream_stream_join``) sidesteps: a purchase with no same-user
+    click in its preceding 30 minutes must eventually emit with a NULL
+    click, but only once the engine can PROVE no match is coming — i.e.
+    when the watermark passes the purchase's match window. The 20-day
+    delay is deliberately SHORTER than the fixture span (unlike the inner
+    key's 35 days), so the final no-data batch advances the watermark to
+    ``max(ts) − 20 days`` and every unmatched purchase older than that
+    emits its NULL row; younger unmatched purchases stay in state,
+    exactly as they would on an unbounded feed. The closed form —
+    batch inner join ∪ unmatched purchases with
+    ``purchase_ts < max(ts) − delay`` — was verified empirically (672
+    NULL rows + 23 pairs at sf0.01) and makes this a full hash oracle.
+    Boundary note: state expiry uses strict ``<`` at the watermark; an
+    event timestamped exactly at max(ts) − 20 days could flip it, with
+    ~µs probability under fixture regeneration.
+
+    Scale: two watermarked sides + the time-range predicate bound the
+    state store to one window of events per side; eviction is what makes
+    a 100 TB/day outer attribution join runnable at all. The delay must
+    exceed arrival skew (here: one time-ranged file) so no valid match is
+    dropped — same discipline as sizing allowed-lateness in production."""
+    path, src = _land_events(spark, sf_dir, "ssoj", n_files=2)
+    purchases = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "20 days")
+    )
+    clicks = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "20 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+    )
+    return _run_to_memory(spark, joined, "mem_ssoj", "append")

@@ -32,3 +32,33 @@ def test_watermark_append_subset_of_batch_twin(spark, sf_dir):
     assert len(got) >= 0.5 * len(batch), (
         f"append emitted only {len(got)}/{len(batch)} windows"
     )
+
+
+def test_outer_join_emits_both_populations(spark, sf_dir):
+    """Left-outer stream-stream join: matched pairs AND watermark-expired
+    NULL rows must both be present, and no purchase may appear both
+    matched and NULL."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+
+    out = (
+        dbsuite_spark.all_specs()["stream_stream_outer_join"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    matched = out.filter(F.col("click_id").isNotNull())
+    nulls = out.filter(F.col("click_id").isNull())
+    assert matched.count() > 0, "no matched pairs"
+    assert nulls.count() > 0, "watermark never expired any left row"
+    overlap = (
+        out.groupBy("purchase_id")
+        .agg(
+            F.sum(F.col("click_id").isNull().cast("int")).alias("n_null"),
+            F.sum(F.col("click_id").isNotNull().cast("int")).alias("n_hit"),
+        )
+        .filter((F.col("n_null") > 0) & (F.col("n_hit") > 0))
+        .count()
+    )
+    assert overlap == 0, "a matched purchase also emitted a NULL row"
+    out.unpersist()

@@ -37,3 +37,26 @@ def test_normalized_fixture_schema(spark, sf_dir, table):
         f"with a different schema; normalize it in dbsuite_spark/tables.t() "
         f"(got {got})"
     )
+
+
+def test_embedding_dim_matches_constant(spark, sf_dir):
+    """The kmeans/similarity oracles inline range(1, DIM+1); a fixture
+    regeneration with a different embedding width would silently make
+    the oracles (not Spark) wrong. Pin it here like the schema canary."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.clustering import DIM
+    from dbsuite_spark.tables import t
+
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .agg(
+            F.min(F.size("embedding")).alias("lo"),
+            F.max(F.size("embedding")).alias("hi"),
+        )
+        .first()
+    )
+    assert row.lo == row.hi == DIM, (
+        f"embedding dim drifted to [{row.lo},{row.hi}] != {DIM}; update "
+        f"pipeline/clustering.DIM and re-check every range(1, DIM+1) oracle"
+    )

@@ -618,7 +618,12 @@ m AS (
    AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 30 MINUTE
                       AND p.purchase_ts),
 wm AS (
-  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 20 DAY AS w FROM events)
+  -- the query-wide watermark is the MIN over both sides' watermark
+  -- nodes, each seeing only its own filtered events
+  SELECT LEAST((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'purchase'),
+               (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'click')) - INTERVAL 20 DAY AS w)
 SELECT purchase_id, click_id, user_id, purchase_ts FROM m
 UNION ALL
 SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id,
@@ -640,9 +645,12 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max(ts) − 20 days`` and every unmatched purchase older than that
     emits its NULL row; younger unmatched purchases stay in state,
     exactly as they would on an unbounded feed. The closed form —
-    batch inner join ∪ unmatched purchases with
-    ``purchase_ts < max(ts) − delay`` — was verified empirically (672
-    NULL rows + 23 pairs at sf0.01) and makes this a full hash oracle.
+    batch inner join ∪ unmatched purchases with ``purchase_ts < wm``
+    where ``wm = least(max purchase ts, max click ts) − delay`` (the
+    query-wide watermark is the MIN across both sides' watermark nodes,
+    each of which sits above its event-type filter and therefore tracks
+    only its own side's max event time) — was verified empirically at
+    sf0.001 and sf0.01 and makes this a full hash oracle.
     Boundary note: state expiry uses strict ``<`` at the watermark; an
     event timestamped exactly at max(ts) − 20 days could flip it, with
     ~µs probability under fixture regeneration.

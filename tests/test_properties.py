@@ -219,3 +219,41 @@ def test_split_partitions_and_leak_check_consistent(spark, sf_dir):
     assert split.select("doc_id").distinct().count() == split.count()
     leaks = specs["docs_split_leakage_check"].fn(spark, sf_dir)
     assert leaks.filter(F.col("split1") == F.col("split2")).count() == 0
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=40),  # n_tokens per doc
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_pack_assignment_matches_python_reference(spark, toks):
+    """Concat-and-chunk packing (single shard) must agree with a direct
+    sequential Python packer for ANY token-count sequence."""
+    BUDGET = 16
+    rows = [(i, n) for i, n in enumerate(toks)]
+    d = spark.createDataFrame(rows, "doc_id int, n_tokens bigint")
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in d.withColumn(
+            "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            F.expr(f"off div {BUDGET}").alias("seq_id"),
+            (F.col("off") % BUDGET).alias("seq_offset"),
+        )
+        .collect()
+    }
+    # sequential reference: walk the docs accumulating the global offset
+    off = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (off // BUDGET, off % BUDGET), f"doc {i}"
+        off += n

@@ -12,4 +12,5 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     similarity,
     text,
     text_extra,
+    vocab,
 )

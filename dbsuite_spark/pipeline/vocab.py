@@ -1,0 +1,213 @@
+"""Corpus-vocabulary construction and LM-based quality scoring — the
+tokenizer-training / perplexity-filter stage of an LLM data pipeline
+(companion to ``pipeline/text.py``'s frequency analytics and
+``pipeline/text_extra.py``'s heuristic quality gates).
+
+Three operators:
+
+- ``docs_vocab_build`` — frequency-ranked vocabulary (unigrams + bigrams)
+  with contiguous integer ids, the precursor to any BPE/WordPiece merge
+  loop and to embedding-table sizing.
+- ``docs_unigram_logprob`` — per-document average negative log-probability
+  under the corpus unigram LM: the classic cheap perplexity proxy used to
+  rank/filter pretraining documents (high avg-NLL ≈ out-of-distribution
+  or noisy text).
+- ``docs_sample_weighted`` — deterministic weighted (Bernoulli-by-hash)
+  document sampling: keep probability proportional to document length,
+  decided row-locally from an md5 of the id, so the sample is
+  reproducible on any engine and any partitioning, with zero shuffles.
+
+Scale (100 TB): vocab is two explode→partial-agg passes (map-side
+combine) + TakeOrderedAndProject for the top-V cut; the contiguous-id
+window runs over the already-bounded V rows only — never over the corpus.
+The LM scorer is one token-count aggregation joined back to the token
+stream (shuffle on token, then on doc_id) with a 1-row broadcast for the
+total; the per-doc mean uses the decimal-sum discipline (``exact.py``) so
+partial aggregation stays bit-identical under any partitioning. The
+sampler is a pure row-local expression — a filter pushed at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.exact import DAVG, davg
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+VOCAB_SIZE = 512
+SAMPLE_TARGET_CHARS = 400.0  # docs this long (or longer) are always kept
+
+
+def _terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) stream of unigrams + bigrams, duplicates kept
+    (frequency semantics, not set semantics)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = F.size(toks) - 1
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.explode(F.concat(toks, bigrams)).alias("term")
+    )
+
+
+_TERMS_SQL = """
+SELECT doc_id, unnest(list_concat(tk,
+         list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1]))) AS term
+FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+"""
+
+
+@query(
+    "docs_vocab_build",
+    oracle=f"""
+WITH terms AS ({_TERMS_SQL}),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM terms GROUP BY term),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {VOCAB_SIZE})
+SELECT term, n,
+       CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS vocab_id
+FROM top
+""",
+    category="L",
+)
+def docs_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary over unigrams + bigrams with contiguous
+    ids 1..V (count DESC, term ASC — a unique total order, so ids are
+    deterministic).
+
+    Scale shape: the corpus-wide term count is a partial+final hash
+    aggregation; the top-V cut plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort of the term space); only THEN
+    does the single-partition ``row_number`` window run — over exactly V
+    rows, a bounded constant, which is the only safe place for a global
+    window at 100 TB. Building ids over the unbounded term space with one
+    window would be the scale mistake this operator exists to avoid."""
+    counts = (
+        _terms(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(VOCAB_SIZE)
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return counts.select(
+        "term", "n", F.row_number().over(w).cast("int").alias("vocab_id")
+    )
+
+
+@query(
+    "docs_unigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY token),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+scored AS (
+  SELECT tok.doc_id,
+         round(ln(CAST(total.n AS DOUBLE) / counts.c), 6) AS nll
+  FROM tok JOIN counts ON tok.token = counts.token CROSS JOIN total)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {DAVG('nll')} AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+    category="L",
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus
+    unigram LM (nll = ln(N/count(token))): the cheap perplexity proxy for
+    pretraining-data quality ranking. Documents made of rare tokens score
+    high (surprising); boilerplate scores low.
+
+    Cross-engine exactness: N/c is one double division of exact integers
+    and ln() of identical doubles is rounded to 6 dp before the
+    order-free decimal mean (``exact.davg``) — the same discipline as
+    ``text_tfidf_topterms``.
+
+    Scale: one token-count aggregation (map-side combine), one shuffle
+    join of the token stream against the counts (both hash-partitioned on
+    token), a 1-row broadcast for N, and one per-doc decimal mean. No
+    per-doc lists, no Python."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("c")), 6
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        davg(F.col("nll")).alias("avg_nll"),
+    )
+
+
+def _keep_hash(doc: Column) -> Column:
+    """Deterministic uniform draw in [0, 1e6): md5 of the id, first 15 hex
+    digits as an integer, mod 1e6 — engine-neutral (same construction as
+    ``docs_train_test_split``)."""
+    return (
+        F.conv(F.substring(F.md5(doc.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+
+
+@query(
+    "docs_sample_weighted",
+    oracle=f"""
+SELECT doc_id, source, n_chars,
+       least(1.0, CAST(n_chars AS DOUBLE) / {SAMPLE_TARGET_CHARS}) AS keep_p
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000
+      < CAST(floor(least(1.0, CAST(n_chars AS DOUBLE)
+                              / {SAMPLE_TARGET_CHARS}) * 1000000.0)
+             AS BIGINT)
+""",
+    category="L",
+)
+def docs_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted Bernoulli sampling: each document is
+    kept with probability min(1, n_chars/{target}) — the
+    quality/length-weighted downsampling step of corpus construction
+    (rebalancing away from short fragments), made reproducible by hashing
+    the id instead of drawing randomness.
+
+    Exactness: keep_p is one double divide + min; the threshold
+    ``floor(keep_p·1e6)`` and the md5-derived draw are exact integers on
+    both engines, so membership is bit-deterministic — no rand(), so the
+    key stays inside the no-nondeterminism contract (SURVEY §2 footer).
+
+    Scale: a pure row-local filter — no shuffle, no state; Catalyst
+    pushes the n_chars arithmetic and the hash filter straight onto the
+    scan, so this costs one pass at any corpus size. Changing the weight
+    column (quality score, language prior) keeps the same plan."""
+    d = t(spark, sf_dir, "documents")
+    keep_p = F.least(
+        F.lit(1.0), F.col("n_chars").cast("double") / SAMPLE_TARGET_CHARS
+    )
+    return d.filter(
+        _keep_hash(F.col("doc_id"))
+        < F.floor(keep_p * 1_000_000.0).cast("long")
+    ).select("doc_id", "source", "n_chars", keep_p.alias("keep_p"))

@@ -275,3 +275,90 @@ def test_chunk_overlap_covers_corpus(spark, sf_dir):
     )
     assert bad == 0
     chunks.unpersist()
+
+
+def test_vocab_ids_contiguous_and_frequency_ranked(spark, sf_dir):
+    """Vocab ids are exactly 1..V with no gaps, and a smaller id never has
+    a smaller count (frequency-ranked with term tie-break)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import dbsuite_spark
+    from dbsuite_spark.pipeline.vocab import VOCAB_SIZE
+
+    v = dbsuite_spark.all_specs()["docs_vocab_build"].fn(spark, sf_dir).cache()
+    n = v.count()
+    assert n <= VOCAB_SIZE
+    ids = v.agg(
+        F.min("vocab_id"), F.max("vocab_id"), F.countDistinct("vocab_id")
+    ).first()
+    assert ids == (1, n, n), "ids must be contiguous 1..V"
+    w = Window.orderBy("vocab_id")
+    non_monotone = (
+        v.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n") < F.col("n"))
+        .count()
+    )
+    assert non_monotone == 0, "counts must be non-increasing in id order"
+    v.unpersist()
+
+
+def test_unigram_logprob_covers_corpus_positive(spark, sf_dir):
+    """Every document scores, token counts match the raw split, and
+    avg-NLL is strictly positive (every token count < corpus total)."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.tables import t
+
+    s = (
+        dbsuite_spark.all_specs()["docs_unigram_logprob"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    assert s.count() == docs.count()
+    bad = (
+        s.join(docs, "doc_id")
+        .filter((F.col("n_tokens") != F.col("n")) | (F.col("avg_nll") <= 0))
+        .count()
+    )
+    assert bad == 0
+    s.unpersist()
+
+
+def test_weighted_sample_keeps_all_long_docs(spark, sf_dir):
+    """Docs at/above the target length have keep_p = 1 and must ALL
+    survive; overall keep rate tracks the mean keep probability."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.pipeline.vocab import SAMPLE_TARGET_CHARS
+    from dbsuite_spark.tables import t
+
+    kept = (
+        dbsuite_spark.all_specs()["docs_sample_weighted"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    d = t(spark, sf_dir, "documents")
+    n_long = d.filter(F.col("n_chars") >= SAMPLE_TARGET_CHARS).count()
+    kept_long = kept.filter(
+        F.col("n_chars") >= SAMPLE_TARGET_CHARS
+    ).count()
+    assert kept_long == n_long, "keep_p=1 docs must always be kept"
+    expected = d.agg(
+        F.sum(
+            F.least(
+                F.lit(1.0),
+                F.col("n_chars").cast("double") / SAMPLE_TARGET_CHARS,
+            )
+        )
+    ).first()[0]
+    got = kept.count()
+    assert abs(got - expected) <= 0.15 * expected + 10, (
+        f"keep rate {got} far from expectation {expected:.1f}"
+    )
+    kept.unpersist()

@@ -9,6 +9,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     media,
     multimodal,
     packing,
+    retrieval,
     similarity,
     text,
     text_extra,

@@ -362,3 +362,37 @@ def test_weighted_sample_keeps_all_long_docs(spark, sf_dir):
         f"keep rate {got} far from expectation {expected:.1f}"
     )
     kept.unpersist()
+
+
+def test_hybrid_rerank_shape_and_consistency(spark, sf_dir):
+    """Hybrid results: ranks dense 1..k per query, cosine non-increasing
+    in rank order (with id tie-break), and every reranked pair is a
+    genuine lexical candidate (shares >= 1 capped shingle, lex_score > 0)."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+
+    res = (
+        dbsuite_spark.all_specs()["sim_search_hybrid_rerank"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    per_q = res.groupBy("qid").agg(
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.count("*").alias("k"),
+    )
+    assert per_q.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("k"))
+    ).count() == 0, "ranks must be dense 1..k"
+    assert res.filter(F.col("lex_score") <= 0).count() == 0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy("rank")
+    bad = (
+        res.withColumn("prev", F.lag("cos_sim").over(w))
+        .filter(F.col("prev") < F.col("cos_sim"))
+        .count()
+    )
+    assert bad == 0, "cosine must be non-increasing along rank"
+    res.unpersist()

@@ -413,3 +413,65 @@ def catalog_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name", "column_name", "ordinal", "data_type",
         "n_rows", "n_distinct", "null_count",
     )
+
+
+BINFILE_MOD = 10  # doc_id % 10 == 0 → the media subset
+
+
+@query(
+    "scan_binaryfile",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % {BINFILE_MOD} = 0
+""",
+    category="A",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion through Spark's ``binaryFile`` source — the
+    entry point of every multimodal pipeline (images/audio land as whole
+    files; Spark lists the directory in parallel and each task reads its
+    files into a ``content: binary`` column, no Python in the scan).
+
+    The fixture media store is materialized from the documents table
+    (each selected doc's UTF-8 bytes as ``doc_<id>.bin`` — deterministic,
+    so the oracle recomputes byte length and md5 closed-form from
+    ``text``; the file writes are test scaffolding, same as
+    ``scan_jdbc``'s embedded-Derby load). The id is recovered from the
+    file path, the payload is fingerprinted JVM-side (``md5(content)``)
+    without ever decoding it — the schema/partitioning plumbing a real
+    decode stage (``pipeline/media.py``) plugs into.
+
+    Scale: directory listing is distributed and the per-file read is
+    embarrassingly parallel; ``pathGlobFilter`` prunes non-matching files
+    at listing time. Files ≫ 128 MB would need splitting upstream —
+    binaryFile reads a file per task by design."""
+    import os as _os
+    import shutil as _shutil
+
+    path = artifact_path(sf_dir, "doc_binfiles")
+    _shutil.rmtree(path, ignore_errors=True)  # drop stale generations
+    _os.makedirs(path, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BINFILE_MOD == 0)
+        .select("doc_id", "text")
+        .collect()  # bounded subset; scaffolding write, not the operator
+    )
+    for r in rows:
+        with open(_os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

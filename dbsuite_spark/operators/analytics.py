@@ -522,3 +522,67 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_start", "streak_days")
     )
+
+
+SEQ_PATTERN = "view,click,purchase"  # the funnel as a contiguous run
+
+
+@query(
+    "events_pattern_regex",
+    oracle=f"""
+WITH seqs AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(event_type, ',' ORDER BY ts) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS BIGINT)
+         AS n_matches,
+       CAST(strpos(seq, '{SEQ_PATTERN}') AS BIGINT) AS first_pos
+FROM seqs
+WHERE len(regexp_extract_all(seq, '{SEQ_PATTERN}')) > 0
+""",
+    category="E",
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sequence pattern matching — the MATCH_RECOGNIZE analog Spark
+    lacks as a native operator: per user, the time-ordered event-type
+    sequence is folded to a delimited string and a *contiguous* pattern
+    (view → click → purchase with nothing in between — stricter than
+    ``events_funnel_conversion``'s 6-hour-hop MIN chain) is counted with
+    ordinary regex machinery. Both engines scan left-to-right
+    non-overlapping, and the event-type alphabet is comma-free, so match
+    counts and the first match position agree exactly.
+
+    Scale: one shuffle on user_id; the per-user string is bounded by that
+    user's activity (fixture max 86 events — for unbounded histories,
+    sessionize first with ``win_sessionize`` and match within sessions,
+    same plan one level down). The ordered fold uses array_sort over
+    (ts, type) structs — deterministic because (user, ts) is unique,
+    pinned by the fixture canary."""
+    e = t(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("seq"),
+    )
+    n_matches = F.size(
+        F.expr(f"regexp_extract_all(seq, '{SEQ_PATTERN}', 0)")
+    ).cast("bigint")
+    return (
+        seqs.select(
+            "user_id",
+            "n_events",
+            n_matches.alias("n_matches"),
+            F.instr(F.col("seq"), SEQ_PATTERN).cast("bigint")
+            .alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

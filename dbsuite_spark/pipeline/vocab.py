@@ -211,3 +211,102 @@ def docs_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _keep_hash(F.col("doc_id"))
         < F.floor(keep_p * 1_000_000.0).cast("long")
     ).select("doc_id", "source", "n_chars", keep_p.alias("keep_p"))
+
+
+DSIR_DOMAIN = ("src0", "src1")  # the in-domain slice (10% of sources)
+
+
+@query(
+    "docs_importance_weight",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+dom AS (SELECT t2.token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok t2 JOIN documents d ON t2.doc_id = d.doc_id
+        WHERE d.source IN ('{DSIR_DOMAIN[0]}', '{DSIR_DOMAIN[1]}')
+        GROUP BY t2.token),
+alltok AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY token),
+consts AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM dom) AS n_dom,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM alltok) AS n_all,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM alltok) AS v),
+scored AS (
+  SELECT tok.doc_id,
+         round(ln(CAST(COALESCE(dom.c, 0) + 1 AS DOUBLE)
+                  / (consts.n_dom + consts.v))
+               - ln(CAST(alltok.c + 1 AS DOUBLE)
+                    / (consts.n_all + consts.v)), 6) AS lr
+  FROM tok
+  JOIN alltok ON tok.token = alltok.token
+  LEFT JOIN dom ON tok.token = dom.token
+  CROSS JOIN consts)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {DAVG('lr')} AS imp_weight
+FROM scored GROUP BY doc_id
+""",
+    category="L",
+)
+def docs_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method): each
+    document's weight is its average per-token log-likelihood ratio
+    between an in-domain unigram LM (here: the src0/src1 slice) and the
+    general-corpus LM, with add-one smoothing. Positive weight ≈ looks
+    like the target domain; downstream selection keeps the top mass
+    (``docs_sample_weighted`` is the matching sampler).
+
+    Exactness: both probabilities are double divisions of exact integer
+    counts, the log-ratio is rounded to 6 dp per token, and the per-doc
+    mean uses the order-free decimal discipline — hash-identical on both
+    engines.
+
+    Scale: two token-count aggregations (corpus + domain, both map-side
+    combined), one 1-row broadcast of the normalizing constants, one join
+    of the token stream against the (token, lr) table — the same plan at
+    any corpus size; the domain table is small by construction and its
+    counts broadcast."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    alltok = tok.groupBy("token").agg(F.count("*").alias("c_all"))
+    dom = (
+        tok.filter(F.col("source").isin(*DSIR_DOMAIN))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_dom"))
+    )
+    consts = alltok.agg(
+        F.sum("c_all").alias("n_all"), F.count("*").alias("v")
+    ).crossJoin(
+        dom.agg(F.sum("c_dom").alias("n_dom"))
+    )
+    lr_tbl = (
+        alltok.join(dom, "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_dom"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_dom") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_all") + 1).cast("double")
+                    / (F.col("n_all") + F.col("v"))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(lr_tbl, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            davg(F.col("lr")).alias("imp_weight"),
+        )
+    )

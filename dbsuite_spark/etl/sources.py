@@ -475,3 +475,55 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+XML_MOD = 100  # o_orderkey % 100 == 0 → the XML exchange slice
+
+
+@query(
+    "scan_xml",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % {XML_MOD} = 0
+""",
+    category="A",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML exchange round-trip — Spark 4's built-in XML source (the
+    ``rowTag`` reader previously in spark-xml), the B2B/legacy-feed
+    format a DB2 shop's IMPORT pipelines commonly carry. A typed slice of
+    orders is written as XML rows and read back under a DECLARED schema
+    (inference over XML is an extra full scan at 100 TB, same rule as
+    CSV/JSON here).
+
+    Scale: XML files split per-file (not by byte range), so upstream
+    should shard into many row-group-sized files — the write side here
+    does that naturally via task parallelism; the read distributes one
+    file per task."""
+    path = artifact_path(sf_dir, "orders_xml")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % XML_MOD == 0)
+        .select(*[f.name for f in schema])
+    )
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(schema)
+        .load(path)
+    )

@@ -586,3 +586,186 @@ def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "events_retention_cohort",
+    oracle=f"""
+WITH firstseen AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('week', f.t0) AS TIMESTAMP) AS cohort_week,
+         (epoch_us(date_trunc('day', e.ts))
+          - epoch_us(date_trunc('day', f.t0))) // {_WEEK_US} AS week_offset
+  FROM events e JOIN firstseen f ON e.user_id = f.user_id)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+""",
+    category="E",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    once per (cohort, whole-week offset) they were active in — the
+    product-analytics staple behind every retention curve. Week offsets
+    are exact integer arithmetic on epoch microseconds (floor division of
+    non-negative day deltas — identical on both engines); the cohort key
+    is Monday-anchored ``date_trunc('week')`` on both.
+
+    Scale: one shuffle for first-seen (map-side MIN), one join of events
+    against the per-user cohort (both hash-partitioned on user_id — a
+    single co-partitioned exchange), then a distinct + count over a
+    matrix bounded by cohorts × offsets, not by events."""
+    e = t(spark, sf_dir, "events")
+    firstseen = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    act = (
+        e.join(firstseen, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("t0")).alias("cohort_week"),
+            (
+                (
+                    F.unix_micros(F.date_trunc("day", F.col("ts")))
+                    - F.unix_micros(F.date_trunc("day", F.col("t0")))
+                )
+                / F.lit(_WEEK_US)
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{RESAMPLE_T0}' AND ts < TIMESTAMP '{RESAMPLE_T1}'
+  GROUP BY event_type, date_trunc('hour', ts)),
+grid AS (
+  SELECT et.event_type, g.hour_ts
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(generate_series(
+           TIMESTAMP '{RESAMPLE_T0}',
+           TIMESTAMP '{RESAMPLE_T1}' - INTERVAL 1 HOUR,
+           INTERVAL 1 HOUR)) AS hour_ts) g),
+j AS (
+  SELECT grid.event_type, grid.hour_ts, buckets.v
+  FROM grid LEFT JOIN buckets
+    ON grid.event_type = buckets.event_type
+   AND grid.hour_ts = buckets.hour_ts),
+ctx AS (
+  SELECT event_type, hour_ts, v,
+         last_value(v IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+           OVER wb AS ph,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hour_ts END IGNORE NULLS)
+           OVER wf AS nh
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hour_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hour_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, hour_ts, v,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              round(pv + (nv - pv)
+                    * (CAST(epoch_us(hour_ts) - epoch_us(ph) AS DOUBLE)
+                       / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE)), 6)
+            ELSE NULL END AS v_interp,
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+FROM ctx
+""",
+    category="E",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap interpolation — the forward-fill's sibling: silent hours on the
+    dense grid get the LINEAR blend of the nearest observed values on
+    either side (pv + (nv−pv)·frac over exact integer-microsecond hour
+    distances); hours outside the observed range stay NULL, and the
+    ``interpolated`` flag marks synthesized points. The blend is one
+    double expression with a pinned op order and a 6-dp round, so both
+    engines produce the identical value.
+
+    Scale: same plan as ``ts_resample_ffill`` plus one extra window pass
+    in the opposite frame direction — two (type-partitioned) window
+    sorts over a generated grid bounded by types × hours, never by
+    events."""
+    e = t(spark, sf_dir, "events")
+    t0 = F.lit(RESAMPLE_T0).cast("timestamp")
+    t1 = F.lit(RESAMPLE_T1).cast("timestamp")
+    buckets = (
+        e.filter((F.col("ts") >= t0) & (F.col("ts") < t1))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        t0,
+                        t1 - F.expr("INTERVAL 1 HOUR"),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("hour_ts")
+            )
+        )
+    )
+    j = grid.join(buckets, ["event_type", "hour_ts"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
+    ctx = j.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (
+        (F.unix_micros("hour_ts") - F.unix_micros("ph")).cast("double")
+        / (F.unix_micros("nh") - F.unix_micros("ph")).cast("double")
+    )
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.round(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6
+            ),
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        v_interp.alias("v_interp"),
+        (
+            F.col("v").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("interpolated"),
+    )

@@ -189,3 +189,56 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format(d, "yyyy-MM-dd HH:mm").alias("fmt"),
     )
+
+
+@query(
+    "fn_collation_ci",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+              ELSE upper(o_orderpriority) END AS prio_mixed,
+         o_totalprice
+  FROM orders)
+SELECT upper(prio_mixed) AS prio,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM mixed GROUP BY upper(prio_mixed)
+""",
+    category="H",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support (DB2's collating-sequence semantics): a
+    deliberately case-mangled priority column is grouped under the
+    ``UTF8_LCASE`` collation — the engine-level case-insensitive
+    comparison, not an ``upper()`` rewrite (collations also drive joins,
+    ORDER BY, and DISTINCT, and at 100 TB a collated comparison avoids
+    materializing a normalized shadow column). The oracle normalizes
+    with upper(), equivalent on this ASCII domain; the output key is
+    re-canonicalized so the projection stays collation-free and
+    hash-safe.
+
+    Scale: one partial+final hash aggregation; the collated key hashes
+    case-folded, so the shuffle distributes exactly like the normalized
+    rewrite."""
+    o = t(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.lower("o_orderpriority")
+        )
+        .otherwise(F.upper("o_orderpriority"))
+        .alias("prio_mixed"),
+        "o_totalprice",
+    )
+    return (
+        mixed.groupBy(
+            F.collate(F.col("prio_mixed"), "UTF8_LCASE").alias("k")
+        )
+        .agg(
+            F.upper(F.max("prio_mixed")).alias("prio"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select("prio", "n", "total")
+    )

@@ -769,3 +769,59 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("nv").isNotNull()
         ).alias("interpolated"),
     )
+
+
+DAU_FRAME = 24  # trailing window width in hourly buckets
+
+
+@query(
+    "win_sliding_distinct_users",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         list_distinct(list(user_id)) AS uset,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour_ts, n_events,
+       CAST(len(list_distinct(flatten(list(uset) OVER (
+           PARTITION BY event_type ORDER BY hour_ts
+           ROWS BETWEEN {DAU_FRAME - 1} PRECEDING AND CURRENT ROW))))
+         AS BIGINT) AS du24
+FROM b
+""",
+    category="E",
+)
+def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user count (24-hour trailing window per event
+    type) — the DAU-style metric windowed COUNT(DISTINCT) can't express
+    in either engine. Per-hour user sets are pre-aggregated once (the
+    cardinality reducer), then the frame flattens ≤24 small sets and
+    takes the distinct size — set algebra, so per-hour set order never
+    matters and the count is exact.
+
+    Scale: the bucket aggregation shuffles once on (type, hour) with
+    map-side combine; window state is ≤24 hourly sets whose size is
+    bounded by the hour's active users — for genuinely unbounded hourly
+    cardinality you'd swap the exact sets for mergeable HLL sketches
+    (``agg_hll_sketch_merge`` is that substrate) at the cost of
+    exactness."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.collect_set("user_id").alias("uset"),
+        F.count("*").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-(DAU_FRAME - 1), Window.currentRow)
+    )
+    return b.select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("uset").over(w)))
+        ).cast("bigint").alias("du24"),
+    )

@@ -446,3 +446,47 @@ def test_chunk_overlap_no_shuffle(spark, sf_dir):
     bug."""
     plan = plan_of(spark, sf_dir, "docs_chunk_overlap")
     assert n_nodes(plan, "Exchange") == 0
+
+
+def test_vocab_build_take_ordered_before_window(spark, sf_dir):
+    """The top-V cut must be per-partition heaps; the only global window
+    runs AFTER the bounded cut."""
+    plan = plan_of(spark, sf_dir, "docs_vocab_build")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, "term count must be partial+final"
+
+
+def test_sample_weighted_filter_is_scan_level(spark, sf_dir):
+    """The hash-sampling predicate is row-local: no Exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "docs_sample_weighted")
+    assert n_nodes(plan, "Exchange") == 0, "sampler must not shuffle"
+
+
+def test_hybrid_rerank_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_search_hybrid_rerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_cohort_single_user_exchange(spark, sf_dir):
+    """first-seen agg and the events⋈cohort join share the user_id
+    hash partitioning — at most one exchange on user_id plus the final
+    matrix aggregation's."""
+    plan = plan_of(spark, sf_dir, "events_retention_cohort")
+    assert n_nodes(plan, "Exchange") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_regex_single_exchange(spark, sf_dir):
+    """One shuffle on user_id; the regex scan is row-local on the
+    aggregated sequence."""
+    plan = plan_of(spark, sf_dir, "events_pattern_regex")
+    assert n_nodes(plan, "Exchange") <= 1
+
+
+def test_interpolate_windows_share_sort_order(spark, sf_dir):
+    """Both direction frames sort by (event_type, hour_ts) — Catalyst
+    must not add a second sort for the forward frame."""
+    plan = plan_of(spark, sf_dir, "ts_interpolate_linear")
+    assert n_nodes(plan, "Window") <= 2
+    assert n_nodes(plan, "Sort") <= 2

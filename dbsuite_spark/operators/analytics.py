@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
+from dbsuite_spark.exact import BIGCOUNT, DSUM, DSUM_WIDE, dsum, dsum_wide
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
@@ -824,4 +824,68 @@ def win_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.array_distinct(F.flatten(F.collect_list("uset").over(w)))
         ).cast("bigint").alias("du24"),
+    )
+
+
+ZSCORE_SIGMA = 3.0  # flag hours beyond 3 standard deviations
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+         {DSUM("v")} / COUNT(*) AS mu,
+         sqrt({DSUM_WIDE("v * v")} / COUNT(*)
+              - ({DSUM("v")} / COUNT(*)) * ({DSUM("v")} / COUNT(*)))
+           AS sigma
+  FROM b GROUP BY event_type)
+SELECT b.event_type, b.hour_ts, b.v,
+       round((b.v - s.mu) / s.sigma, 6) AS zscore
+FROM b JOIN stats s ON b.event_type = s.event_type
+WHERE abs(b.v - s.mu) > {ZSCORE_SIGMA} * s.sigma
+""",
+    category="E",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series anomaly flagging: hourly buckets whose value sits more than
+    3 population standard deviations from the per-type mean — the
+    monitoring/alerting staple. Mean and variance come from exact decimal
+    sums (Σv and Σv² in DECIMAL(38,12), so the moments commute across
+    partitionings), combined into doubles with one pinned op order; the
+    reported z-score is rounded to 6 dp.
+
+    Scale: two aggregations over the bucket table (itself one shuffle of
+    events) and a broadcast-able per-type stats join — the two-pass exact
+    formulation; a one-pass Welford variant trades the second pass for
+    non-commutative state and cross-engine drift, the wrong trade when
+    the bucket table is already tiny relative to the corpus."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    mu = dsum(F.col("v")) / F.count("*")
+    stats = b.groupBy("event_type").agg(
+        mu.alias("mu"),
+        F.sqrt(
+            dsum_wide(F.col("v") * F.col("v")) / F.count("*") - mu * mu
+        ).alias("sigma"),
+    )
+    return (
+        b.join(F.broadcast(stats), "event_type")
+        .filter(
+            F.abs(F.col("v") - F.col("mu"))
+            > ZSCORE_SIGMA * F.col("sigma")
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "v",
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6)
+            .alias("zscore"),
+        )
     )

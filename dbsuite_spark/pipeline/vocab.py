@@ -310,3 +310,74 @@ def docs_importance_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("lr")).alias("imp_weight"),
         )
     )
+
+
+MIX_BUDGET = 250  # total document budget for the mixed corpus
+MIX_ALPHA = 0.5  # temperature exponent: share_s ∝ count_s^alpha
+
+
+@query(
+    "pipeline_mix_sources",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source),
+shares AS (
+  SELECT source, n,
+         pow(CAST(n AS DOUBLE), {MIX_ALPHA})
+         / (SELECT SUM(pow(CAST(n AS DOUBLE), {MIX_ALPHA})) FROM counts)
+           AS share
+  FROM counts),
+rates AS (
+  SELECT source,
+         least(1.0, share * {MIX_BUDGET} / n) AS rate
+  FROM shares)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000
+      < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+""",
+    category="L",
+)
+def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (the multilingual-LM sampling
+    scheme — share_s ∝ count_s^α with α = 0.5, as popularized by
+    mBERT/XLM-R/mT5 training recipes, all public): each source's target
+    share is its tempered mass, converted to a per-source keep rate
+    against a fixed document budget, and membership is decided by the
+    same md5 hash draw as ``docs_sample_weighted`` — so the mixed corpus
+    is bit-reproducible with no RNG.
+
+    Exactness: counts are exact integers; pow/x^0.5, the share division,
+    and the rate are identical doubles on both engines; the integer
+    threshold comparison then makes membership exact.
+
+    Scale: one per-source count (map-side combine over however few
+    sources exist), a broadcast of the tiny rate table onto the corpus
+    scan, and a row-local filter — the corpus is never shuffled. This is
+    the sampling half of a DoReMi-style loop; re-weighting just replaces
+    the rate table."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), MIX_ALPHA)).alias("z")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("n").cast("double"), MIX_ALPHA)
+            / F.col("z")
+            * MIX_BUDGET
+            / F.col("n"),
+        ).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            _keep_hash(F.col("doc_id"))
+            < F.floor(F.col("rate") * 1_000_000.0).cast("long")
+        )
+        .select("doc_id", "source", "rate")
+    )

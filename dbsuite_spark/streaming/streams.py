@@ -695,3 +695,53 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
     )
     return _run_to_memory(spark, joined, "mem_ssoj", "append")
+
+
+@query(
+    "stream_windowed_distinct_users",
+    oracle=f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+           AS window_end,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+""",
+    category="I",
+)
+def stream_windowed_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming per-window distinct-user counts — the composition
+    Structured Streaming can't do in one stateful operator (windowed
+    COUNT(DISTINCT) is unsupported): a watermarked
+    ``dropDuplicates`` on (window-hour, type, user) collapses each
+    user's repeats first, then an ordinary windowed count aggregates the
+    survivors — two stateful operators chained in one query, each seeing
+    bounded state (dedup holds one row per active (hour, type, user)
+    inside the watermark; the count holds one row per window pane).
+
+    Complete output mode pins the final answer regardless of micro-batch
+    boundaries, so the batch COUNT(DISTINCT) twin is a full oracle. At
+    cluster scale both operators partition by their state key and the
+    watermark evicts state hourly — the standard production shape for
+    streaming DAU."""
+    path, src = _land_events(spark, sf_dir, "wdistinct", n_files=3)
+    deduped = (
+        _read_stream(spark, path, src.schema)
+        .withColumn("hour_ts", F.date_trunc("hour", "ts"))
+        .withWatermark("hour_ts", "2 hours")
+        .dropDuplicates(["hour_ts", "event_type", "user_id"])
+    )
+    sdf = (
+        deduped.groupBy(F.window("hour_ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_users",
+        )
+    )
+    return _run_to_memory(spark, sdf, "mem_wdistinct", "complete")

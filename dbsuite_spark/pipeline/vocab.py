@@ -3,7 +3,7 @@ tokenizer-training / perplexity-filter stage of an LLM data pipeline
 (companion to ``pipeline/text.py``'s frequency analytics and
 ``pipeline/text_extra.py``'s heuristic quality gates).
 
-Three operators:
+Five operators:
 
 - ``docs_vocab_build`` — frequency-ranked vocabulary (unigrams + bigrams)
   with contiguous integer ids, the precursor to any BPE/WordPiece merge
@@ -16,6 +16,11 @@ Three operators:
   document sampling: keep probability proportional to document length,
   decided row-locally from an md5 of the id, so the sample is
   reproducible on any engine and any partitioning, with zero shuffles.
+- ``docs_importance_weight`` — DSIR-style in-domain vs corpus unigram
+  log-likelihood-ratio weighting (the published importance-resampling
+  data-selection method).
+- ``pipeline_mix_sources`` — temperature-scaled (α = 0.5) source mixing
+  against a fixed budget, membership by the same deterministic hash draw.
 
 Scale (100 TB): vocab is two explode→partial-agg passes (map-side
 combine) + TakeOrderedAndProject for the top-V cut; the contiguous-id

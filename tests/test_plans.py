@@ -490,3 +490,17 @@ def test_interpolate_windows_share_sort_order(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ts_interpolate_linear")
     assert n_nodes(plan, "Window") <= 2
     assert n_nodes(plan, "Sort") <= 2
+
+
+def test_mix_sources_broadcasts_rates_no_corpus_shuffle(spark, sf_dir):
+    """The rate table broadcasts onto the corpus scan; only the tiny
+    per-source count aggregation may exchange."""
+    plan = plan_of(spark, sf_dir, "pipeline_mix_sources")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "corpus must not shuffle for the join"
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

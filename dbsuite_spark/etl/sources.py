@@ -527,3 +527,82 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .load(path)
     )
+
+
+CSV_CORRUPT_MOD = 10  # every 10th exported row is malformed
+
+
+@query(
+    "scan_csv_corrupt_permissive",
+    oracle=f"""
+WITH sliced AS (
+  SELECT o_orderkey, o_totalprice,
+         (o_orderkey % {CSV_CORRUPT_MOD} = 0) AS corrupt
+  FROM orders WHERE o_orderkey % 20 = 0)
+SELECT CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_parsed,
+       CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS n_corrupt,
+       {DSUM('CASE WHEN NOT corrupt THEN o_totalprice END')} AS total_price
+FROM sliced
+""",
+    category="A",
+)
+def scan_csv_corrupt_permissive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-input tolerance — DB2 IMPORT's rejected-row handling,
+    Spark-style: a CSV feed where every {mod}th row carries an unparsable
+    price is read in PERMISSIVE mode with ``columnNameOfCorruptRecord``;
+    bad rows surface as (NULL-typed fields + raw line) instead of failing
+    the load, and the summary separates parsed mass from the reject
+    count. FAILFAST on the same file is the load-abort variant;
+    DROPMALFORMED the silent one — PERMISSIVE is the only mode that
+    preserves the evidence for a reject-side table at 100 TB.
+
+    The corrupt file is generated deterministically from the orders slice
+    (scaffolding write, like scan_jdbc's Derby load), so the oracle
+    recomputes both populations closed-form."""
+    import os as _os
+    import shutil as _shutil
+
+    path = artifact_path(sf_dir, "orders_corrupt_csv")
+    _shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    with open(_os.path.join(path, "feed.csv"), "w") as f:
+        f.write("o_orderkey,o_totalprice\n")
+        for r in rows:
+            if r.o_orderkey % CSV_CORRUPT_MOD == 0:
+                f.write(f"{r.o_orderkey},NOT_A_PRICE,extra\n")
+            else:
+                f.write(f"{r.o_orderkey},{r.o_totalprice!r}\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_parsed"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(), F.col("o_totalprice")
+            ).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("total_price"),
+    )

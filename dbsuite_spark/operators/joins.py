@@ -483,3 +483,65 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("role") == 0).select(
         "event_id", nearest.alias("nearest_click_ts")
     )
+
+
+@query(
+    "join_null_safe_equi",
+    oracle="""
+WITH l AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE c_nationkey END AS nk
+  FROM customer),
+r AS (
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+              ELSE n_nationkey END AS nk,
+         n_name
+  FROM nation)
+SELECT COALESCE(CAST(l.nk AS VARCHAR), 'NULL') AS key_repr,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT l.c_custkey) AS BIGINT) AS n_customers
+FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+GROUP BY 1
+""",
+    category="C",
+)
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ SQL IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    behind late-arriving-dimension joins where 'unknown' buckets must
+    still pair up. Both sides carry deterministically synthesized NULLs
+    (the fixtures are NULL-free); the result aggregates pair counts per
+    key representation, with the NULL×NULL block appearing as its own
+    group.
+
+    Scale: ``<=>`` is a hash-join-able equality in Spark (null-safe keys
+    hash like any value), so the plan is an ordinary broadcast/shuffle
+    hash join — NOT a nested loop; but note every NULL row lands in ONE
+    hash bucket, so a null-heavy fact side is a skew hazard: filter or
+    salt the null block first at 100 TB (``join_salted_skew`` is that
+    substrate)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("nk2"),
+        "n_name",
+    )
+    return (
+        c.join(F.broadcast(n), F.col("nk").eqNullSafe(F.col("nk2")))
+        .groupBy(
+            F.coalesce(F.col("nk").cast("string"), F.lit("NULL")).alias(
+                "key_repr"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )

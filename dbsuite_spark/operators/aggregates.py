@@ -492,3 +492,121 @@ def pivot_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _EVENT_TYPES)
         .agg(dsum(F.col("value")))
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    category="D",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark's bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_count``) — the roaring-bitmap-style rollup trick: ids map to
+    (bucket, bit) positions, each bucket ORs its bits into one 4 KB
+    bitmap, and cardinality is the sum of popcounts. Unlike
+    ``approx_count_distinct`` this is exact, and unlike
+    ``COUNT(DISTINCT)`` the partial state is a fixed-width bitmap that
+    merges by OR — commutative, map-side combinable, and REUSABLE: stored
+    per (day, key) bitmaps roll up to any coarser period without
+    re-touching the fact table, which is why warehouses precompute
+    exactly this shape at 100 TB. The oracle is plain COUNT(DISTINCT) —
+    mechanism differs, result is bit-equal.
+
+    Scale: shuffle carries (type, bucket → bitmap) rows, bounded by
+    keys × (id_range / 32768), independent of row count; dense id spaces
+    are the sweet spot (sparse ones pay 4 KB per non-empty bucket —
+    then HLL is the fallback)."""
+    e = t(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 2048  # cells per row; additive error <= N * e / width
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS exact_n,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_eps
+FROM events GROUP BY event_type
+""",
+    category="D",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode-Muthukrishnan, the
+    streaming heavy-hitter sketch), built natively in DataFrame algebra:
+    each occurrence folds into a depth x width integer grid via
+    ``xxhash64(key, row_seed) % width`` — the grid IS a grouped count, so
+    partials merge by cellwise ADD (commutative, map-side combinable,
+    constant bytes over the shuffle at any N); a key's estimate is the
+    MIN of its depth cells. Like the HLL key, the hashed projection
+    carries the *verdict*, not the engine-specific estimate: CM
+    guarantees estimate >= exact always, and the e/width relative slack
+    holds with overwhelming probability for depth 4 — both booleans are
+    deterministic for the fixed seeds, so the oracle's TRUE/TRUE makes a
+    bound violation fail the hash gate.
+
+    Scale: the grid is bounded by depth x width cells regardless of
+    stream size, queries join a K-row key list against depth rows each —
+    the 100 TB answer to 'how often do these K items occur' in one pass
+    with constant memory, mergeable across partitions and days."""
+    import math as _m
+
+    e = t(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    cells = (
+        e.select(F.explode(seeds).alias("j"), F.col("event_type"))
+        .select(
+            "j",
+            "event_type",
+            F.pmod(
+                F.xxhash64(F.col("event_type"), F.col("j")), CMS_WIDTH
+            ).alias("cell"),
+        )
+    )
+    # The sketch: (j, cell) -> count. Key identity is NOT stored -- only
+    # hashed positions, exactly like the real data structure.
+    grid = cells.groupBy("j", "cell").agg(F.count("*").alias("c"))
+    # Query side: the 5 keys' cells, joined against the grid, min over j.
+    keys = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    probes = keys.select(
+        "event_type",
+        "exact_n",
+        F.explode(seeds).alias("j"),
+    ).withColumn(
+        "cell",
+        F.pmod(F.xxhash64(F.col("event_type"), F.col("j")), CMS_WIDTH),
+    )
+    est = (
+        probes.join(grid, ["j", "cell"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("c").alias("estimate"))
+    )
+    total = e.count()
+    slack = _m.e / CMS_WIDTH * total  # classic CM bound with w = e/eps
+    return est.select(
+        "event_type",
+        "exact_n",
+        (F.col("estimate") >= F.col("exact_n")).alias("est_ge_exact"),
+        (F.col("estimate") <= F.col("exact_n") + F.lit(slack)).alias(
+            "est_within_eps"
+        ),
+    )

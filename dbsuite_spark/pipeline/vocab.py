@@ -386,3 +386,67 @@ def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "rate")
     )
+
+
+APPLY_VOCAB_SIZE = 16  # deliberately small so the OOV path is exercised
+
+
+@query(
+    "docs_tokenizer_apply",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, tk[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       unnest(generate_series(1, len(tk))) u(i)),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY token),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+           AS vocab_id
+  FROM (SELECT token, n FROM counts
+        ORDER BY n DESC, token LIMIT {APPLY_VOCAB_SIZE}))
+SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.token,
+       COALESCE(v.vocab_id, 0) AS token_id
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+""",
+    category="L",
+)
+def docs_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application — the encode step after ``docs_vocab_build``:
+    every (document, position) token maps to its trained id, with
+    out-of-vocabulary tokens collapsing to the reserved id 0 (the vocab
+    is deliberately tiny here so the OOV path is real). Output is the
+    position-indexed id stream ``docs_pack_sequences``-style packing
+    consumes.
+
+    Scale: the vocab is bounded (V rows) and BROADCASTS onto the token
+    stream — encoding a 100 TB corpus is one map-side hash-lookup pass,
+    zero shuffles of the corpus itself; the token count that builds the
+    vocab is the usual partial+final aggregation."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "token"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "token"
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(APPLY_VOCAB_SIZE)
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    vocab_ids = vocab.select(
+        "token", F.row_number().over(w).cast("int").alias("vocab_id")
+    )
+    return (
+        tok.join(F.broadcast(vocab_ids), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            "token",
+            F.coalesce(F.col("vocab_id"), F.lit(0)).alias("token_id"),
+        )
+    )

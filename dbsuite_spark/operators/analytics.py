@@ -889,3 +889,58 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("zscore"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+""",
+    category="E",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: within each
+    user's time-ordered stream, (previous → next) event-type pairs are
+    counted and row-normalized into transition probabilities — the
+    substrate for next-action prediction, anomaly scoring, and the
+    funnel keys' priors. (user, ts) is unique in the fixtures (pinned by
+    the canary), so the lag ordering is deterministic; probabilities are
+    one double division of exact integer counts, rounded to 6 dp.
+
+    Scale: one shuffle on user_id for the lag window, a matrix
+    aggregation bounded by |alphabet|², and the normalizing window runs
+    over that tiny matrix — per-user state in the window pass is O(1)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_norm), 6
+        ).alias("p"),
+    )

@@ -157,3 +157,38 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(hv % 100 < rate).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+
+PAGE_SIZE = 25
+PAGE_OFFSET = 50  # page 3
+
+
+@query(
+    "limit_offset_pagination",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
+""",
+    category="F",
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET pagination (page 3 of a price-ranked report) — DB2's
+    ``OFFSET n ROWS FETCH FIRST m ROWS ONLY``, Spark's native
+    ``offset()`` (3.4+). The sort is a unique total order so every page
+    is deterministic.
+
+    Scale: Spark still only materializes offset+limit rows per partition
+    before the single merge (the cheap path while offset stays
+    page-sized); deep pagination at 100 TB should switch to keyset
+    pagination (WHERE key > last_seen ORDER BY key LIMIT m — a pushed
+    range filter instead of a growing skip), which is the same
+    ``filter_comparison`` + ``limit_fetch_first`` composition."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(PAGE_OFFSET)
+        .limit(PAGE_SIZE)
+    )

@@ -293,3 +293,87 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
     )
     return df.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+WITH snap1 AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+snap2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+  WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 17 = 0)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'removed'
+            WHEN a.c_custkey IS NULL THEN 'added'
+            ELSE 'changed' END AS change_type
+FROM snap1 a FULL OUTER JOIN snap2 b ON a.c_custkey = b.c_custkey
+WHERE b.c_custkey IS NULL
+   OR a.c_custkey IS NULL
+   OR a.c_mktsegment <> b.c_mktsegment
+   OR a.c_acctbal <> b.c_acctbal
+""",
+    category="K",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-ops audit between two loads of the same
+    table (what a Delta CDF or temporal table would answer; here computed
+    from first principles): a FULL OUTER join on the key classifies every
+    row as added / removed / changed, with unchanged rows dropped. The
+    second snapshot is synthesized deterministically from the first
+    (13-multiples deleted, 11-multiples re-segmented, 17-multiples
+    re-keyed as inserts).
+
+    Scale: one co-partitioned full-outer hash join on the key plus
+    row-local column comparisons — the same single-shuffle plan diffing
+    two 100 TB snapshots; per-column change attribution just widens the
+    projection."""
+    snap1 = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = snap1
+    snap2 = (
+        base.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 11 == 0, "CHANGED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_acctbal",
+        )
+        .unionAll(
+            base.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_mktsegment",
+                "c_acctbal",
+            )
+        )
+    )
+    a = snap1.alias("a")
+    b = snap2.alias("b")
+    joined = a.join(
+        b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("b.c_custkey").isNull(), "removed")
+        .when(F.col("a.c_custkey").isNull(), "added")
+        .otherwise("changed")
+    )
+    return joined.filter(
+        F.col("b.c_custkey").isNull()
+        | F.col("a.c_custkey").isNull()
+        | (F.col("a.c_mktsegment") != F.col("b.c_mktsegment"))
+        | (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+    ).select(
+        F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+            "c_custkey"
+        ),
+        change.alias("change_type"),
+    )

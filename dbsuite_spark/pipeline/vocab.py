@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbsuite_spark.exact import DAVG, davg
+from dbsuite_spark.exact import DAVG, davg, dsum
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
@@ -325,13 +325,13 @@ MIX_ALPHA = 0.5  # temperature exponent: share_s ∝ count_s^alpha
     "pipeline_mix_sources",
     oracle=f"""
 WITH counts AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         round(pow(CAST(COUNT(*) AS DOUBLE), {MIX_ALPHA}), 6) AS w
   FROM documents GROUP BY source),
 shares AS (
   SELECT source, n,
-         pow(CAST(n AS DOUBLE), {MIX_ALPHA})
-         / (SELECT SUM(pow(CAST(n AS DOUBLE), {MIX_ALPHA})) FROM counts)
-           AS share
+         w / (SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+              FROM counts) AS share
   FROM counts),
 rates AS (
   SELECT source,
@@ -354,9 +354,12 @@ def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5 hash draw as ``docs_sample_weighted`` — so the mixed corpus
     is bit-reproducible with no RNG.
 
-    Exactness: counts are exact integers; pow/x^0.5, the share division,
-    and the rate are identical doubles on both engines; the integer
-    threshold comparison then makes membership exact.
+    Exactness: counts are exact integers and the tempered weights
+    round to 6 dp BEFORE normalization, so the normalizer is an exact
+    decimal sum (a raw double Σ pow(n,α) is accumulation-ORDER-dependent
+    and drifted one ulp between engines at sf0.1 — caught by the
+    dual-scale sim); the share/rate divisions then run on identical
+    doubles and the integer threshold makes membership exact.
 
     Scale: one per-source count (map-side combine over however few
     sources exist), a broadcast of the tiny rate table onto the corpus
@@ -364,18 +367,18 @@ def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sampling half of a DoReMi-style loop; re-weighting just replaces
     the rate table."""
     d = t(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n"))
-    tot = counts.agg(
-        F.sum(F.pow(F.col("n").cast("double"), MIX_ALPHA)).alias("z")
+    counts = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.pow(F.count("*").cast("double"), MIX_ALPHA), 6
+        ).alias("w"),
     )
+    tot = counts.agg(dsum(F.col("w")).alias("z"))
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         F.least(
             F.lit(1.0),
-            F.pow(F.col("n").cast("double"), MIX_ALPHA)
-            / F.col("z")
-            * MIX_BUDGET
-            / F.col("n"),
+            F.col("w") / F.col("z") * MIX_BUDGET / F.col("n"),
         ).alias("rate"),
     )
     return (

@@ -533,7 +533,7 @@ SEQ_PATTERN = "view,click,purchase"  # the funnel as a contiguous run
 WITH seqs AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         string_agg(event_type, ',' ORDER BY ts) AS seq
+         string_agg(event_type, ',' ORDER BY ts, event_type) AS seq
   FROM events GROUP BY user_id)
 SELECT user_id, n_events,
        CAST(len(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS BIGINT)
@@ -896,7 +896,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
   FROM events),
 pairs AS (
@@ -916,15 +916,16 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's time-ordered stream, (previous → next) event-type pairs are
     counted and row-normalized into transition probabilities — the
     substrate for next-action prediction, anomaly scoring, and the
-    funnel keys' priors. (user, ts) is unique in the fixtures (pinned by
-    the canary), so the lag ordering is deterministic; probabilities are
-    one double division of exact integer counts, rounded to 6 dp.
+    funnel keys' priors. The lag ordering tie-breaks on event_id so it
+    stays deterministic even if a regenerated fixture introduces (user,
+    ts) collisions; probabilities are one double division of exact
+    integer counts, rounded to 6 dp.
 
     Scale: one shuffle on user_id for the lag window, a matrix
     aggregation bounded by |alphabet|², and the normalizing window runs
     over that tiny matrix — per-user state in the window pass is O(1)."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         e.select(
             "user_id",

@@ -60,3 +60,27 @@ def test_embedding_dim_matches_constant(spark, sf_dir):
         f"embedding dim drifted to [{row.lo},{row.hi}] != {DIM}; update "
         f"pipeline/clustering.DIM and re-check every range(1, DIM+1) oracle"
     )
+
+
+def test_user_ts_uniqueness(spark, sf_dir):
+    """Sequence-ordered operators (pattern match via the comma-joined
+    per-user stream, EWMA's hour series, as-of sides) assume each user's
+    timestamps are distinct. They all carry explicit tie-breaks now, but
+    a regenerated fixture with collisions would still silently change
+    semantics (two orders of simultaneous events are both 'correct') —
+    surface the drift loudly here instead."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.tables import t
+
+    dupes = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert dupes == 0, (
+        f"{dupes} (user_id, ts) collisions — fixture drift; re-audit "
+        "sequence-ordered operators' tie-breaks"
+    )

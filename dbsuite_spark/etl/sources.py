@@ -606,3 +606,82 @@ def scan_csv_corrupt_permissive(
         .cast("double")
         .alias("total_price"),
     )
+
+
+# Candidate foreign-key relations of the star schema: child column →
+# parent key. dbmakedoc drew these from SYSCAT.REFERENCES; parquet lakes
+# have no declared constraints, so the profiler PROVES them from data.
+_FK_CANDIDATES: tuple[tuple[str, str, str, str], ...] = (
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{child}.{ccol}' AS child_col, '{parent}.{pcol}' AS parent_key,
+       (SELECT CAST(COUNT(DISTINCT {ccol}) AS BIGINT) FROM {child})
+           AS n_child_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent}) AS n_parent_rows,
+       (SELECT COUNT(*) = COUNT(DISTINCT {pcol}) FROM {parent})
+           AS parent_unique,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {ccol} FROM {child}) c
+          LEFT JOIN {parent} p ON c.{ccol} = p.{pcol}
+          WHERE p.{pcol} IS NULL) AS n_orphans""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("catalog_fk_inference", oracle=_fk_oracle(), category="A")
+def catalog_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiling — the data-derived half of
+    dbmakedoc's relationship diagrams: parquet lakes declare no
+    constraints, so each candidate foreign key is PROVEN from data
+    (parent-key uniqueness + orphan count via a distinct-child anti
+    join). ``parent_unique`` and ``n_orphans = 0`` together certify the
+    relation; a broken load shows up as orphans, which is also the
+    etl_data_quality contract.
+
+    Scale: per relation, one distinct-reduce of the child column
+    (map-side combine collapses the fact table to its key cardinality
+    BEFORE the join) and a broadcast of the parent key set where small —
+    never a fact×dim shuffle of raw rows. Relations profile
+    independently — on a cluster they run as parallel jobs."""
+    from functools import reduce
+
+    out = []
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        c = t(spark, sf_dir, child).select(F.col(ccol).alias("ck"))
+        p = t(spark, sf_dir, parent).select(F.col(pcol).alias("pk"))
+        c_dist = c.distinct()
+        orphans = c_dist.join(p, c_dist.ck == p.pk, "left_anti")
+        stats = (
+            c_dist.agg(F.count("*").alias("n_child_distinct"))
+            .crossJoin(
+                p.agg(
+                    F.count("*").alias("n_parent_rows"),
+                    (
+                        F.count("*") == F.countDistinct("pk")
+                    ).alias("parent_unique"),
+                )
+            )
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(f"{child}.{ccol}").alias("child_col"),
+                F.lit(f"{parent}.{pcol}").alias("parent_key"),
+                "n_child_distinct",
+                "n_parent_rows",
+                "parent_unique",
+                "n_orphans",
+            )
+        )
+        out.append(stats)
+    return reduce(lambda a, b: a.unionAll(b), out)

@@ -18,6 +18,7 @@ Scale discipline (SURVEY guide: UDFs are the slow path):
 from __future__ import annotations
 
 import json
+from collections.abc import Iterator
 from decimal import Decimal
 
 import pandas as pd
@@ -303,4 +304,105 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          e.user_id, e.value),
                                   'event_type,user_id,value') m
         """
+    )
+
+
+@query(
+    "udf_pandas_iter_scalar",
+    oracle="""
+SELECT doc_id,
+       round(CAST(n_chars AS DOUBLE) / (1.0 + abs(ln(1.0 + n_chars))), 6)
+           AS model_score
+FROM documents
+""",
+    category="J",
+)
+def udf_pandas_iter_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the batched-inference surface: expensive
+    per-worker setup (model load, tokenizer init) runs ONCE before the
+    batch loop instead of per batch, which is the shape every
+    LLM-scoring pipeline uses on Spark. The 'model' here is a
+    deterministic closed-form scorer so the oracle can replay it in SQL;
+    swapping in a real forward pass changes only the loop body.
+
+    Scale: identical Arrow batch transfer to the scalar pandas UDF, plus
+    amortized initialization; state lives per python worker, never per
+    row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def model_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # Expensive one-time setup would go here (model/tokenizer load);
+        # the deterministic stand-in keeps the oracle closed-form.
+        def forward(x: pd.Series) -> pd.Series:
+            v = x.astype("float64")
+            return (v / (1.0 + np.abs(np.log1p(v)))).round(6)
+
+        for batch in batches:
+            yield forward(batch)
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", model_score(F.col("n_chars")).alias("model_score")
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(n_chars % 97 AS BIGINT) AS checksum_mod
+FROM documents
+""",
+    category="J",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy batch surface below pandas: the
+    function receives raw ``pyarrow.RecordBatch``es (no pandas
+    conversion, no index materialization) and emits batches, the right
+    level for byte-oriented work (hashing, codec framing, feature
+    packing) where pandas object-dtype overhead dominates. Computes
+    UTF-8 byte lengths and a modular checksum per document with Arrow
+    compute kernels only.
+
+    Scale: per-partition streaming over Arrow batches, no shuffle; the
+    batch size rides ``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    so memory per task is bounded regardless of corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_features(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            text = tbl.column("text")
+            n_bytes = pc.binary_length(
+                pc.cast(text, pa.binary())
+            ).cast(pa.int64())
+            checksum = pc.cast(
+                pc.subtract(
+                    tbl.column("n_chars"),
+                    pc.multiply(
+                        pc.divide(tbl.column("n_chars"), pa.scalar(97)),
+                        pa.scalar(97),
+                    ),
+                ),
+                pa.int64(),
+            )
+            out = pa.table(
+                {
+                    "doc_id": tbl.column("doc_id"),
+                    "n_bytes": n_bytes,
+                    "checksum_mod": checksum,
+                }
+            )
+            yield from out.to_batches()
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return d.mapInArrow(
+        arrow_features,
+        "doc_id bigint, n_bytes bigint, checksum_mod bigint",
     )

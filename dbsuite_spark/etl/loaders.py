@@ -377,3 +377,60 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         change.alias("change_type"),
     )
+
+
+SK_BUCKET_W = 1000  # orderkey range per id-assignment bucket
+
+
+@query(
+    "etl_surrogate_keys",
+    oracle="""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+           AS surrogate_id
+FROM orders
+""",
+    category="K",
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment at load (DB2 IDENTITY / sequence
+    analog), done the way that scales: a single global ``row_number``
+    window is one partition — the classic 100 TB mistake — so instead
+    the key space is cut into deterministic range buckets, per-bucket
+    counts roll into cumulative offsets (a window over the tiny bucket
+    table), and each row's id is its bucket offset plus its rank WITHIN
+    the bucket (a window bounded by bucket size). Result is identical to
+    the global row_number, but no stage ever sees more than a bucket.
+    ``monotonically_increasing_id`` is the nondeterministic alternative
+    the no-nondeterminism contract forbids (ids change with
+    partitioning).
+
+    Scale: one pass for bucket counts (map-side combine), a broadcast of
+    the offsets, one bucket-partitioned window — the id assignment
+    recomputes identically on any cluster layout."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    bucket = (F.col("o_orderkey") / SK_BUCKET_W).cast("bigint")
+    rows = o.withColumn("bucket", bucket)
+    counts = rows.groupBy("bucket").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window as W
+
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                W.orderBy("bucket").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            )
+        ).alias("offset"),
+    ).fillna({"offset": 0})
+    w_local = W.partitionBy("bucket").orderBy("o_orderkey")
+    return (
+        rows.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (
+                F.col("offset") + F.row_number().over(w_local)
+            ).cast("bigint").alias("surrogate_id"),
+        )
+    )

@@ -175,3 +175,71 @@ def dedup_near_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= EMBCOS_THRESHOLD)
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.COM/doc/'
+           || CAST(doc_id % 100 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '/?utm_source=feed&utm_campaign=x'
+                   WHEN doc_id % 3 = 1 THEN '/'
+                   ELSE '' END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_replace(
+             regexp_replace(url, '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+             '[/?]+$', '')) AS canonical_url
+  FROM urls)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) > 1
+""",
+    category="L",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first filter of every web-crawl
+    corpus (CommonCrawl-style pipelines drop ~30-50% of fetches here,
+    published in every crawl-dataset paper): scheme/host case-folding,
+    tracking-parameter stripping (utm_*), and trailing-slash removal
+    collapse cosmetically-distinct URLs; groups larger than one are
+    duplicate fetches, keeping the lowest doc id as canonical. The
+    fixture synthesizes three URL variants per 100-document cycle so all
+    three canonicalization rules fire.
+
+    Scale: canonicalization is row-local regex (codegen, no Python); the
+    dedup is one hash aggregation on the canonical key — the same
+    single-shuffle plan as ``dedup_exact`` at any crawl size."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM/doc/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "/?utm_source=feed&utm_campaign=x")
+        .when(F.col("doc_id") % 3 == 1, "/")
+        .otherwise(""),
+    )
+    canonical = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(url, r"[?&]utm_[a-z]+=[^&#]*", ""),
+            r"[/?]+$",
+            "",
+        )
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )

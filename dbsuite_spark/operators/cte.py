@@ -42,3 +42,66 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     string is the oracle — both engines run the same recursion."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('o_totalprice')} AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    category="B",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (``|>``, SQL:2023-style operator
+    chaining): the same filter→aggregate plan written as a linear
+    pipeline instead of nested clauses — piped queries parse to
+    identical Catalyst plans, so this costs nothing and reads like the
+    DataFrame API. The oracle is the classic formulation, proving the
+    two denote the same relation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, total
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rich
+FROM customer
+WHERE c_acctbal > 5000.0 AND c_nationkey IN (0, 1, 2)
+GROUP BY c_mktsegment
+""",
+    category="B",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (``spark.sql(query, args=...)``) — the
+    injection-safe prepared-statement surface (DB2 parameter markers):
+    values bind as typed literals at parse time, never by string
+    concatenation, and Catalyst constant-folds them so the plan is
+    identical to inlined literals (pushdown still reaches the scan).
+    The oracle inlines the same values."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_rich
+        FROM customer
+        WHERE c_acctbal > :min_bal AND c_nationkey IN (:n0, :n1, :n2)
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 5000.0, "n0": 0, "n1": 1, "n2": 2},
+    )

@@ -745,3 +745,93 @@ def stream_windowed_distinct_users(
         )
     )
     return _run_to_memory(spark, sdf, "mem_wdistinct", "complete")
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts, c.click_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 30 MINUTE
+                      AND p.purchase_ts),
+wm AS (
+  SELECT LEAST((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'purchase'),
+               (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'click')) - INTERVAL 20 DAY AS w)
+SELECT purchase_id, click_id, user_id, purchase_ts, click_ts FROM m
+UNION ALL
+SELECT p.purchase_id, CAST(NULL AS BIGINT), p.user_id, p.purchase_ts,
+       CAST(NULL AS TIMESTAMP)
+FROM p, wm
+WHERE p.purchase_ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+UNION ALL
+SELECT CAST(NULL AS BIGINT), c.click_id, c.user_id,
+       CAST(NULL AS TIMESTAMP), c.click_ts
+FROM c, wm
+WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+""",
+    category="I",
+)
+def stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — both directions of the left-outer
+    key's proof obligation: an unmatched purchase NULL-emits once the
+    watermark passes its timestamp (no earlier click can still arrive),
+    and an unmatched click NULL-emits once the watermark passes the TOP
+    of its forward match window (``click_ts + 30 min`` — the latest
+    purchase it could ever join). The two expiry frontiers differ by
+    exactly the interval width, which is the part naive oracles get
+    wrong; the closed form encodes both and was verified empirically at
+    sf0.001/sf0.01/sf0.1.
+
+    Scale: same bounded state as the left-outer key on both sides —
+    eviction at the per-side state watermark is what keeps a bilateral
+    100 TB/day attribution join's stores finite."""
+    path, src = _land_events(spark, sf_dir, "ssfoj", n_files=2)
+    purchases = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "20 days")
+    )
+    clicks = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "20 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    return _run_to_memory(spark, joined, "mem_ssfoj", "append")

@@ -2,6 +2,7 @@
 dedup, similarity search, text analysis, multimodal columns."""
 
 from dbsuite_spark.pipeline import (  # noqa: F401
+    cleaning,
     clustering,
     dedup,
     dedup_extra,

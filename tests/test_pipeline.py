@@ -396,3 +396,87 @@ def test_hybrid_rerank_shape_and_consistency(spark, sf_dir):
     )
     assert bad == 0, "cosine must be non-increasing along rank"
     res.unpersist()
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Transition probabilities must sum to ~1 per prev_type (6-dp
+    rounding tolerance x alphabet size)."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+
+    m = (
+        dbsuite_spark.all_specs()["events_markov_transitions"]
+        .fn(spark, sf_dir)
+        .groupBy("prev_type")
+        .agg(F.sum("p").alias("tot"), F.count("*").alias("k"))
+    )
+    bad = m.filter(
+        F.abs(F.col("tot") - 1.0) > F.col("k") * 1e-6
+    ).count()
+    assert bad == 0, "per-row transition probabilities must sum to 1"
+
+
+def test_boilerplate_removal_conserves_sentences(spark, sf_dir):
+    """Kept + struck sentence occurrences must equal the raw split, and
+    no boilerplate sentence may survive in any cleaned text."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.pipeline.cleaning import BOILER_DF
+    from dbsuite_spark.tables import t
+
+    d = t(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\. ")).alias("sent"),
+    )
+    boiler = (
+        sents.groupBy("sent")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > BOILER_DF)
+    )
+    n_boiler_occurrences = (
+        sents.join(boiler.select("sent"), "sent", "left_semi").count()
+    )
+    total = sents.count()
+    out = (
+        dbsuite_spark.all_specs()["text_remove_boilerplate"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_kept"), F.sum("n_sentences"))
+        .first()
+    )
+    kept, reported_total = out
+    # docs that became empty drop out of the result; their sentences are
+    # all boilerplate, so conservation still holds globally:
+    assert kept == total - n_boiler_occurrences
+    assert reported_total <= total
+
+
+def test_surrogate_keys_are_dense_permutation(spark, sf_dir):
+    """ids are exactly 1..N and strictly increase with the natural key."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+
+    sk = (
+        dbsuite_spark.all_specs()["etl_surrogate_keys"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    n = sk.count()
+    stats = sk.agg(
+        F.min("surrogate_id"), F.max("surrogate_id"),
+        F.countDistinct("surrogate_id"),
+    ).first()
+    assert stats == (1, n, n)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("o_orderkey")
+    inversions = (
+        sk.withColumn("prev_id", F.lag("surrogate_id").over(w))
+        .filter(F.col("prev_id") >= F.col("surrogate_id"))
+        .count()
+    )
+    assert inversions == 0
+    sk.unpersist()

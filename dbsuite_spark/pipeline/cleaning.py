@@ -216,3 +216,124 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, REP_TOP_FRAC).alias("top_bigram_frac"),
         (frac > 0.18).alias("flagged"),
     )
+
+
+MIN_CLEAN_TOKENS = 20
+REP_GATE = 0.05
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH sents AS (
+  SELECT doc_id, i AS pos, sn[i] AS sent
+  FROM (SELECT doc_id, string_split(text, '. ') AS sn FROM documents),
+       unnest(generate_series(1, len(sn))) u(i)),
+df AS (SELECT sent, COUNT(DISTINCT doc_id) AS n_docs
+       FROM sents GROUP BY sent),
+boiler AS (SELECT sent FROM df WHERE n_docs > {BOILER_DF}),
+kept AS (
+  SELECT s.doc_id, s.pos, s.sent
+  FROM sents s LEFT JOIN boiler b ON s.sent = b.sent
+  WHERE b.sent IS NULL),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(sent, '. ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+  FROM (SELECT doc_id, string_split(cleaned_text, ' ') AS tk
+        FROM rebuilt),
+       unnest(generate_series(1, len(tk) - 1)) u(i)),
+bcounts AS (SELECT doc_id, bigram, COUNT(*) AS c
+            FROM bi GROUP BY doc_id, bigram),
+rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM bcounts GROUP BY doc_id)
+SELECT r.doc_id, r.n_kept,
+       CAST(len(string_split(r.cleaned_text, ' ')) AS BIGINT)
+           AS n_tokens,
+       round(CAST(rep.top_count AS DOUBLE) / rep.n_bigrams, 6)
+           AS top_bigram_frac,
+       CAST(length(r.cleaned_text) AS BIGINT) AS clean_chars
+FROM rebuilt r JOIN rep ON r.doc_id = rep.doc_id
+WHERE len(string_split(r.cleaned_text, ' ')) >= {MIN_CLEAN_TOKENS}
+  AND CAST(rep.top_count AS DOUBLE) / rep.n_bigrams <= {REP_GATE}
+""",
+    category="L",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning composite: boilerplate-line removal feeds the
+    repetition gate, which is computed ON THE CLEANED TEXT (order
+    matters: a stripped footer must not count toward repetition), then
+    documents too short after cleaning or too repetitive are dropped —
+    the cleaning half of a crawl-curation pipeline, with
+    ``pipeline_quality_corpus`` (language/token gates → dedup) as the
+    downstream half.  Gates are corpus-calibrated (min {MIN_CLEAN_TOKENS}
+    cleaned tokens, top-bigram fraction ≤ {REP_GATE}) so both fire on
+    the fixtures: ~80% of documents survive at every scale.
+
+    Scale: the composed plan is exactly the union of its verified
+    stages' plans — sentence-frequency aggregation + broadcast
+    anti-join, order-restoring rebuild, per-doc bigram aggregation —
+    with Catalyst pipelining the stages so the corpus is scanned once
+    and shuffled only on (doc), (sent), and (doc, bigram) keys."""
+    d = t(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos", "sent"),
+    )
+    boiler = (
+        sents.groupBy("sent")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > BOILER_DF)
+        .select("sent")
+    )
+    rebuilt = (
+        sents.join(F.broadcast(boiler), "sent", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ". ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda x: x["sent"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    toks = F.split(F.col("cleaned_text"), " ")
+    k = F.size(toks) - 1
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = (
+        rebuilt.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_count"),
+        )
+    )
+    frac = F.col("top_count").cast("double") / F.col("n_bigrams")
+    n_tokens = F.size(F.split(F.col("cleaned_text"), " "))
+    return (
+        rebuilt.join(rep, "doc_id")
+        .filter((n_tokens >= MIN_CLEAN_TOKENS) & (frac <= REP_GATE))
+        .select(
+            "doc_id",
+            "n_kept",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.round(frac, 6).alias("top_bigram_frac"),
+            F.length("cleaned_text").cast("bigint").alias("clean_chars"),
+        )
+    )

@@ -119,3 +119,142 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ru"),
         )
     return ranks.select("node", F.col("ru").alias("rank_units"))
+
+
+DOULION_MOD = 7  # keep-probability p = 1/7; estimate scales by 7^3
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'e' || event_type AS v
+  FROM events),
+edges AS (
+  SELECT u AS src, v AS dst FROM base
+  UNION ALL
+  SELECT v AS src, u AS dst FROM base),
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM edges GROUP BY src)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+    category="L",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the user↔event-type interaction graph —
+    the first profiling query run on any large graph (skew detection:
+    a heavy-tailed degree histogram predicts hot keys in every
+    downstream join/propagation step, e.g. ``graph_pagerank_fixed``).
+
+    Scale: two integer hash aggregations (node→degree, degree→count),
+    both partial+final with map-side combine; output is bounded by the
+    number of distinct degrees, not nodes. No floats anywhere."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+@query(
+    "graph_triangle_doulion",
+    oracle=f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+allpairs AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+sampled AS (
+  SELECT a, b FROM allpairs
+  WHERE CAST('0x' || substr(md5(CAST(a AS VARCHAR) || '-'
+             || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+        % {DOULION_MOD} = 0),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM sampled e1
+  JOIN sampled e2 ON e1.b = e2.a
+  JOIN sampled e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM allpairs) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled) AS n_sampled,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS tri_sampled,
+       (SELECT CAST(COUNT(*) * {DOULION_MOD ** 3} AS BIGINT) FROM tri)
+           AS tri_estimate
+""",
+    category="L",
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with DOULION edge sparsification (Tsourakakis
+    et al., KDD'09 — public): each edge of the supplier co-order graph
+    (suppliers sharing an order) survives a deterministic md5 coin with
+    probability 1/{DOULION_MOD}; exact node-iterator triangle
+    enumeration runs on the sparsified graph and the unbiased estimate
+    is sampled·{DOULION_MOD}³. The coin is a hash of the canonical edge
+    key, so both engines — and every partitioning — keep the same edges
+    and the result is bit-exact integers, no tolerance.
+
+    Scale: this IS the 100 TB triangle recipe — the co-occurrence
+    projection is bounded per order (≤ lines²), the coin cuts the edge
+    set {DOULION_MOD}× before the quadratic path join, and the two
+    triangle joins are plain shuffle-hash joins on (b) then (a, c).
+    Oriented edges (a < b) ensure each triangle counts exactly once."""
+    li = t(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    x, y = os_.alias("x"), os_.alias("y")
+    allpairs = (
+        x.join(y, (F.col("x.o") == F.col("y.o"))
+               & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-", F.col("a").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % DOULION_MOD
+    )
+    sampled = allpairs.filter(coin == 0)
+    e1, e2, e3 = sampled.alias("e1"), sampled.alias("e2"), sampled.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("ta"))
+    )
+    counts = tri.agg(F.count("*").alias("tc"))
+    return (
+        allpairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                sampled.agg(F.count("*").cast("bigint").alias("n_sampled"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                counts.select(
+                    F.col("tc").cast("bigint").alias("tri_sampled"),
+                    (F.col("tc") * DOULION_MOD**3)
+                    .cast("bigint")
+                    .alias("tri_estimate"),
+                )
+            )
+        )
+    )

@@ -945,3 +945,94 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w_norm), 6
         ).alias("p"),
     )
+
+
+HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
+WEEK_US = 7 * DAY_US
+MONDAY_OFFSET_US = 4 * DAY_US  # 1970-01-05 (first Monday) in epoch-us
+
+
+@query(
+    "ts_rollup_multi_grain",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+         epoch_us(ts) - epoch_us(ts) % {DAY_US} AS day_us,
+         (epoch_us(ts) - {MONDAY_OFFSET_US})
+           - (epoch_us(ts) - {MONDAY_OFFSET_US}) % {WEEK_US}
+           + {MONDAY_OFFSET_US} AS week_us,
+         value
+  FROM events)
+SELECT event_type,
+       CASE WHEN GROUPING(day_us) = 0 AND GROUPING(hour_us) = 1
+              THEN 'day'
+            WHEN GROUPING(week_us) = 0 THEN 'week'
+            ELSE 'hour' END AS grain,
+       CAST(COALESCE(hour_us, day_us, week_us) AS BIGINT) AS bucket_us,
+       {BIGCOUNT()} AS n_events,
+       {DSUM('value')} AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((event_type, hour_us), (event_type, day_us),
+                        (event_type, week_us))
+""",
+    category="E",
+)
+def ts_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over the
+    event stream producing hourly, daily, AND weekly per-type buckets
+    via GROUPING SETS — the materialization a time-series store keeps
+    per hypertable so dashboards never re-scan raw data. Buckets are
+    exact epoch-microsecond integer arithmetic (week aligned to Monday
+    via the 1970-01-05 offset), identical in both engines by
+    construction — no engine date-truncation semantics involved.
+
+    Scale: GROUPING SETS plans one scan + Expand(3) + a single
+    partial+final hash aggregation — strictly cheaper than three
+    scans; measure sums are exact DECIMAL partials, so map-side combine
+    is bit-safe. Output is bounded by buckets × types, not events."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    b = e.select(
+        "event_type",
+        (us - us % HOUR_US).alias("hour_us"),
+        (us - us % DAY_US).alias("day_us"),
+        (
+            (us - MONDAY_OFFSET_US)
+            - (us - MONDAY_OFFSET_US) % WEEK_US
+            + MONDAY_OFFSET_US
+        ).alias("week_us"),
+        "value",
+    )
+    g = b.groupingSets(
+        [
+            ["event_type", "hour_us"],
+            ["event_type", "day_us"],
+            ["event_type", "week_us"],
+        ],
+        "event_type",
+        "hour_us",
+        "day_us",
+        "week_us",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.grouping("hour_us").alias("g_h"),
+        F.grouping("day_us").alias("g_d"),
+        F.grouping("week_us").alias("g_w"),
+    )
+    grain = (
+        F.when((F.col("g_d") == 0) & (F.col("g_h") == 1), "day")
+        .when(F.col("g_w") == 0, "week")
+        .otherwise("hour")
+    )
+    return g.select(
+        "event_type",
+        grain.alias("grain"),
+        F.coalesce("hour_us", "day_us", "week_us")
+        .cast("bigint")
+        .alias("bucket_us"),
+        "n_events",
+        "sum_value",
+    )

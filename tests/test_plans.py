@@ -504,3 +504,27 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_anomaly_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_multi_grain_rollup_single_scan_expand(spark, sf_dir):
+    """GROUPING SETS must plan ONE scan + one Expand + partial+final
+    aggregation — not three scans of events."""
+    plan = plan_of(spark, sf_dir, "ts_rollup_multi_grain")
+    assert n_nodes(plan, "Expand") == 1
+    assert n_nodes(plan, "Scan parquet") == 1, "must not rescan events"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_triangle_doulion_no_cartesian(spark, sf_dir):
+    """Both triangle joins are equi-joins on (b) / (a, c); the final
+    three 1-row stats combine via broadcast, never a cartesian of
+    non-singleton sides."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_doulion")
+    assert "CartesianProduct" not in plan
+
+
+def test_clean_corpus_boiler_broadcast(spark, sf_dir):
+    """The boilerplate set joins onto the sentence stream as a broadcast
+    anti-join — the corpus side must not shuffle for it."""
+    plan = plan_of(spark, sf_dir, "pipeline_clean_corpus")
+    assert "BroadcastHashJoin" in plan

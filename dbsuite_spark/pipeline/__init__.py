@@ -4,6 +4,7 @@ dedup, similarity search, text analysis, multimodal columns."""
 from dbsuite_spark.pipeline import (  # noqa: F401
     cleaning,
     clustering,
+    decomposition,
     dedup,
     dedup_extra,
     graph,
@@ -12,6 +13,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     packing,
     retrieval,
     similarity,
+    substrings,
     text,
     text_extra,
     vocab,

@@ -480,3 +480,67 @@ def test_surrogate_keys_are_dense_permutation(spark, sf_dir):
     )
     assert inversions == 0
     sk.unpersist()
+
+
+def test_pca_loading_unit_norm_and_dominant(spark, sf_dir):
+    """Power iteration output is a unit-L2 vector, and applying G once
+    more barely rotates it (the iterate is near the dominant eigvec —
+    on fixtures the top eigenvalue is well-separated because embeddings
+    share a common positive-mean direction)."""
+    import math
+
+    import dbsuite_spark
+
+    rows = (
+        dbsuite_spark.all_specs()["ml_pca_power_iter"]
+        .fn(spark, sf_dir)
+        .orderBy("dim_idx")
+        .collect()
+    )
+    v = [r.loading for r in rows]
+    assert len(v) == 64
+    norm = math.sqrt(sum(x * x for x in v))
+    assert abs(norm - 1.0) < 1e-12
+
+    # one more (un-quantized) power step in pure Python from the raw data
+    import duckdb
+
+    con = duckdb.connect()
+    embs = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    w = [0.0] * 64
+    for (e,) in embs:
+        d = sum(float(e[i]) * v[i] for i in range(64))
+        for i in range(64):
+            w[i] += d * float(e[i])
+    wn = math.sqrt(sum(x * x for x in w))
+    cos = sum((w[i] / wn) * v[i] for i in range(64))
+    # 3 fixed iterations, not convergence: alignment is high but not 1
+    # (0.989 observed at sf0.001, tighter at larger sf)
+    assert cos > 0.98, f"iterate far from fixed point (cos={cos})"
+
+
+def test_substring_ngram_flags_planted_duplicates(spark, sf_dir):
+    """The fixture's whole-document near-dup pairs share long verbatim
+    word runs, so their spans must surface: some documents carry
+    dup_frac ≈ 1, and a document with zero repeated grams stays 0."""
+    import dbsuite_spark
+    from pyspark.sql import functions as F
+
+    df = (
+        dbsuite_spark.all_specs()["dedup_substring_ngram"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    assert df.filter(F.col("dup_frac") > 0.9).count() > 0
+    # counts are consistent: 0 <= n_dup_grams <= n_grams, frac in [0,1]
+    bad = df.filter(
+        (F.col("n_dup_grams") < 0)
+        | (F.col("n_dup_grams") > F.col("n_grams"))
+        | (F.col("dup_frac") < 0)
+        | (F.col("dup_frac") > 1)
+    ).count()
+    assert bad == 0
+    df.unpersist()

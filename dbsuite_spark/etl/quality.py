@@ -93,3 +93,56 @@ def etl_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionByName, checks)
+
+
+@query(
+    "etl_table_fingerprint",
+    oracle="""
+WITH h AS (
+  SELECT o_orderstatus,
+         CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             o_orderpriority || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')), 1, 15)
+           AS BIGINT) AS hv
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(hv) AS BIGINT) AS xor_fingerprint
+FROM h GROUP BY o_orderstatus
+""",
+    category="K",
+)
+def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free per-partition table fingerprint — the replication/audit
+    primitive: each row renders to a canonical string (stable integer and
+    timestamp formats; doubles excluded by design — their text forms
+    differ across engines), hashes to a 60-bit md5-prefix integer, and
+    the group fingerprint is the XOR of row hashes plus the row count.
+    XOR is associative/commutative, so the fingerprint is identical for
+    ANY partitioning, insertion order, or engine — comparing (n_rows,
+    xor_fingerprint) per group across two replicas detects any
+    missing/extra/changed row with probability 1 − 2⁻⁶⁰ per group.
+
+    Scale: one map-side-combined aggregation over one scan; the audit of
+    a 100 TB table moves only (group, count, 8 bytes) per partition."""
+    o = t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    hv = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        o.select("o_orderstatus", hv.alias("hv"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor("hv").cast("long").alias("xor_fingerprint"),
+        )
+    )

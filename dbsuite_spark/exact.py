@@ -15,6 +15,17 @@ the last ulp and break the driver's value-hash. Discipline used everywhere:
 This also holds at cluster scale: exact decimal partial aggregates commute,
 so partial+final (map-side combine) aggregation stays bit-identical no
 matter the partitioning.
+
+Caveat (round 3, observed on fixtures): the final DECIMAL→DOUBLE cast is
+only cross-engine-identical on the int64-backed DECIMAL(18,6) — there it
+is an exactly-represented integer divided by 1e6, one correctly-rounded
+IEEE division on both engines. DuckDB's cast from the int128-backed
+DECIMAL(38,12) is NOT always correctly rounded (seen 1 ulp high on an
+events sum-of-squares), while Spark's BigDecimal.doubleValue is — so
+``dsum_wide``/``DSUM_WIDE`` results can disagree in the last ulp. Use the
+wide variant only where the projection tolerates that (or where the
+compared value keeps more slack); prefer (18,6) and widen the INTEGRAL
+digits via scaling when magnitudes demand it.
 """
 
 from __future__ import annotations

@@ -10,5 +10,6 @@ from dbsuite_spark.operators import (  # noqa: F401
     scale,
     setops,
     sorting,
+    stats,
     windows,
 )

@@ -1,0 +1,165 @@
+"""Statistical analytics over the event stream — seasonal decomposition
+and the A/B two-sample test: the report-layer queries a metrics/warehouse
+team runs on top of the hourly rollups that the rest of category E
+builds.
+
+Both keys follow the cross-engine exactness discipline (dbsuite_spark
+.exact): decimal sums for order-free aggregation, then scalar IEEE
+arithmetic mirrored operation-for-operation in the oracle so every double
+is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+_BUCKETS = """
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+       {dsum} AS v
+FROM events GROUP BY 1, 2
+""".format(dsum=DSUM("value"))
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+WITH b AS ({_BUCKETS}),
+prof AS (
+  SELECT event_type, CAST(hour(hour_ts) AS INT) AS hod,
+         {DSUM('v')} / COUNT(*) AS seasonal
+  FROM b GROUP BY 1, 2)
+SELECT b.event_type, b.hour_ts, b.v, p.seasonal,
+       b.v - p.seasonal AS residual
+FROM b JOIN prof p
+  ON b.event_type = p.event_type
+ AND CAST(hour(b.hour_ts) AS INT) = p.hod
+""",
+    category="E",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition of each type's hourly series: the
+    hour-of-day profile (mean hourly total per (type, 0..23)) is the
+    seasonal component; subtracting it leaves the residual that anomaly
+    detection actually monitors (``events_anomaly_zscore`` upstream).
+
+    Scale: the base rollup is the usual single decimal-exact shuffle;
+    the profile is a second aggregation over the ALREADY-reduced buckets
+    (rows = types × hours, tiny) and rejoins as a broadcast — the corpus
+    is touched once, and the join adds no corpus shuffle."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    prof = (
+        b.groupBy(
+            "event_type", F.hour("hour_ts").cast("int").alias("hod")
+        )
+        .agg((dsum(F.col("v")) / F.count("*")).alias("seasonal"))
+    )
+    return (
+        b.withColumn("hod", F.hour("hour_ts").cast("int"))
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            "v",
+            "seasonal",
+            (F.col("v") - F.col("seasonal")).alias("residual"),
+        )
+    )
+
+
+AB_GROUP_A = "view"
+AB_GROUP_B = "click"
+
+
+def _moments_sql(et: str) -> str:
+    # sum-of-squares deliberately uses DECIMAL(18,6), NOT DSUM_WIDE's
+    # (38,12): DuckDB's DECIMAL→DOUBLE cast on the int128-backed wide
+    # type is not correctly rounded (observed 1-ulp high on the fixture
+    # sums), while the int64-backed (18,6) cast is an exact integer
+    # divided by 1e6 — one correctly-rounded IEEE division on both
+    # engines. value² has ≤4 decimal digits on the fixtures, so 6
+    # fractional digits lose nothing; at larger magnitudes widen the
+    # integral digits, not the fraction.
+    return f"""
+  SELECT {BIGCOUNT()} AS n,
+         {DSUM('value')} AS s,
+         {DSUM('value * value')} AS ss
+  FROM events WHERE event_type = '{et}'"""
+
+
+@query(
+    "events_ab_welch",
+    oracle=f"""
+WITH a AS ({_moments_sql(AB_GROUP_A)}),
+b AS ({_moments_sql(AB_GROUP_B)}),
+m AS (
+  SELECT a.n AS n1, b.n AS n2,
+         a.s / a.n AS m1, b.s / b.n AS m2,
+         (a.ss - (a.s * a.s) / a.n) / (a.n - 1) AS v1,
+         (b.ss - (b.s * b.s) / b.n) / (b.n - 1) AS v2
+  FROM a, b)
+SELECT n1, n2, m1 - m2 AS mean_diff,
+       (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+       ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+FROM m
+""",
+    category="E",
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t between the '{AB_GROUP_A}'
+    and '{AB_GROUP_B}' value distributions — the A/B readout. Sums and
+    sums-of-squares are decimal-exact (order-free partial+final); the
+    t statistic and Welch–Satterthwaite df are scalar IEEE expressions
+    mirrored term-for-term in the oracle, so both are bit-identical.
+
+    Scale: two filtered single-pass moment aggregations (or one pass
+    with conditional aggregates, as here) — no shuffle wider than the
+    two-row moment table, at any corpus size."""
+    e = t(spark, sf_dir, "events")
+
+    def moments(et: str, suffix: str):
+        cond = F.col("event_type") == et
+        return [
+            F.count(F.when(cond, 1)).alias(f"n{suffix}"),
+            F.sum(F.when(cond, F.col("value")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias(f"s{suffix}"),
+            F.sum(
+                F.when(cond, F.col("value") * F.col("value")).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias(f"ss{suffix}"),
+        ]
+
+    m = e.agg(*moments(AB_GROUP_A, "1"), *moments(AB_GROUP_B, "2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1") / n1
+    m2 = F.col("s2") / n2
+    v1 = (F.col("ss1") - (F.col("s1") * F.col("s1")) / n1) / (n1 - 1)
+    v2 = (F.col("ss2") - (F.col("s2") * F.col("s2")) / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    return m.select(
+        n1,
+        n2,
+        (m1 - m2).alias("mean_diff"),
+        ((m1 - m2) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (se2 * se2)
+            / (
+                (v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)
+            )
+        ).alias("welch_df"),
+    )

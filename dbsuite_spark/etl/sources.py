@@ -685,3 +685,39 @@ def catalog_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.append(stats)
     return reduce(lambda a, b: a.unionAll(b), out)
+
+
+@query(
+    "scan_text_lines",
+    oracle="SELECT doc_id, lang, text FROM documents",
+    category="A",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (``spark.read.text``) — the log/raw-crawl
+    ingestion surface: each line is one record, parsed by a row-local
+    split into typed columns. The fixture round-trips documents →
+    tab-delimited lines → parse; the oracle is the source table, so the
+    check proves the text path is lossless (document text contains no
+    tabs or newlines — pinned by the write producing exactly one line per
+    document).
+
+    Scale: the text source splits files on line boundaries per HDFS-style
+    block, so a 100 TB crawl parallelizes by block with no schema pass;
+    parsing stays in codegen (split + element_at), never Python."""
+    path = artifact_path(sf_dir, "documents_text_lines")
+    src = t(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("text"),
+        ).alias("value")
+    )
+    src.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    return lines.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).alias("text"),
+    )

@@ -243,3 +243,67 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dupes") > 1)
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {COSINE('a.embedding', 'b.embedding')} >= {EMBCOS_THRESHOLD}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM p
+          UNION ALL SELECT d2, d1 FROM p),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+labeled AS (
+  SELECT e.vec_id, CAST(COALESCE(c.lbl, e.vec_id) AS BIGINT) AS component
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id)
+SELECT vec_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size,
+       vec_id = component AS keep
+FROM labeled
+"""
+
+
+@query("docs_semantic_dedup", oracle=_SEMDEDUP_ORACLE, category="L")
+def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus by embedding-cosine similarity (cos ≥ {EMBCOS_THRESHOLD}
+    pairs → connected components) and keep one canonical representative
+    (the min id) per semantic cluster. Composes two already-verified
+    stages — ``dedup_near_embcos`` pairs and the ``connected_components``
+    min-label propagation of pipeline/dedup.py — and labels EVERY vector:
+    singletons keep themselves.
+
+    Scale: the pair stage shown here is the exact all-pairs truth path;
+    at corpus scale the sign-LSH bucketing (``sim_search_ann_lsh``) or
+    IVF cells (``sim_search_ann_ivf``) generate candidate pairs instead —
+    identical downstream CC + canonical-pick plan. Propagation cost is
+    bounded by cluster diameter (shallow for near-dup clusters)."""
+    from dbsuite_spark.pipeline.dedup import connected_components
+    from dbsuite_spark.tables import t as _t
+
+    pairs = dedup_near_embcos(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id")
+    labeled = (
+        e.join(labels, e.vec_id == labels.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("lbl"), F.col("vec_id"))
+            .cast("long")
+            .alias("component"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component")
+    return labeled.select(
+        "vec_id",
+        "component",
+        F.count("*").over(w).cast("long").alias("comp_size"),
+        (F.col("vec_id") == F.col("component")).alias("keep"),
+    )

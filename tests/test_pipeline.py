@@ -591,3 +591,28 @@ def test_centroid_classifier_labels_dense_and_total(spark, sf_dir):
         (F.col("pred_label") < 0) | (F.col("pred_label") >= len(labels))
     ).count()
     assert bad == 0
+
+
+def test_semantic_dedup_one_canonical_per_cluster(spark, sf_dir):
+    """Every semantic cluster keeps exactly one member (its min id), and
+    both endpoints of every cos-threshold pair share a component."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.pipeline.dedup_extra import dedup_near_embcos
+
+    sd = (
+        dbsuite_spark.all_specs()["docs_semantic_dedup"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    per_comp = sd.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.min("vec_id").alias("lo"),
+    )
+    assert per_comp.filter(F.col("kept") != 1).count() == 0
+    assert per_comp.filter(F.col("lo") != F.col("component")).count() == 0
+    comp = {r.vec_id: r.component for r in sd.collect()}
+    for r in dedup_near_embcos(spark, sf_dir).select("d1", "d2").collect():
+        assert comp[r.d1] == comp[r.d2], f"pair ({r.d1},{r.d2}) split"
+    sd.unpersist()

@@ -545,3 +545,62 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
         )
     )
+
+
+ASOF_TOLERANCE = "INTERVAL 2 HOUR"
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+SELECT p.event_id,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts AND c.ts >= p.ts - {ASOF_TOLERANCE})
+           AS prev_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    category="C",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof(...,
+    tolerance=...)`` semantics): each purchase takes the latest
+    strictly-prior click of the same user ONLY if it happened within the
+    last 2 hours — stale state must not match. Same single-shuffle
+    union + last(ignorenulls) window as ``join_asof``; the tolerance is a
+    row-local null-out afterward (the latest prior click is the maximal
+    one, so if IT is stale, every prior click is).
+
+    Scale: identical plan to ``join_asof`` — one user_id shuffle, one
+    window pass, no range join, no per-row subquery."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("role"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("role"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "prev_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("role") == 0).select(
+        "event_id",
+        F.when(
+            F.col("prev_click_ts")
+            >= F.col("ts") - F.expr(ASOF_TOLERANCE),
+            F.col("prev_click_ts"),
+        ).alias("prev_click_ts"),
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbsuite_spark.pipeline.dedup import _shingle_rows
+from dbsuite_spark.pipeline.dedup import DF_CAP, _shingle_rows
 from dbsuite_spark.pipeline.vectors import COSINE, dot
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
@@ -306,4 +306,69 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count("*").over(w).cast("long").alias("comp_size"),
         (F.col("vec_id") == F.col("component")).alias("keep"),
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks),
+stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2,
+       CAST(ni AS DOUBLE) / least(s1.n, s2.n) AS containment
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(ni AS DOUBLE) / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE, category="L")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (|A∩B| / min(|A|,|B|) ≥ 0.8) — the
+    subset-copy detector Jaccard misses: a short document quoted whole
+    inside a long one has low Jaccard (union is large) but containment
+    ≈ 1 (Broder's containment measure, the reason suffix-style pipelines
+    track it alongside resemblance). Same DF-capped shingle substrate,
+    same single-division exactness as ``dedup_exact_jaccard`` — only the
+    denominator changes (min instead of union).
+
+    Scale: identical plan to the capped Jaccard path — stop-shingle
+    broadcast anti-join bounds the self-join; one co-partitioned shuffle
+    on the shingle, one on the pair."""
+    from dbsuite_spark.pipeline.dedup import cap_stop_shingles
+
+    sh = cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("ni").cast("double")
+                / F.least(F.col("n1"), F.col("n2"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )

@@ -406,3 +406,60 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_features,
         "doc_id bigint, n_bytes bigint, checksum_mod bigint",
     )
+
+
+@query(
+    "udx_pandas_cogrouped",
+    oracle="""
+WITH ev AS (
+  SELECT user_id AS key_id, COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY 1),
+od AS (
+  SELECT o_custkey AS key_id, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT COALESCE(ev.key_id, od.key_id) AS key_id,
+       CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(ev.np, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(od.n_orders, 0) AS BIGINT) AS n_orders
+FROM ev FULL OUTER JOIN od ON ev.key_id = od.key_id
+""",
+    category="J",
+)
+def udx_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the two-sided custom-merge surface
+    (``groupBy().cogroup()``): both tables co-partition on the key and
+    each key's two pandas frames arrive together, the hook for custom
+    as-of merges, interleaved sessionization, or per-entity
+    reconciliation that SQL joins can't express row-wise. Demonstrated
+    with an integer-only per-key activity/order profile so the oracle is
+    a plain FULL OUTER of two group-counts (counting is order-free, so
+    the pandas path is trivially engine-exact).
+
+    Scale: one hash shuffle per side on the shared key, Arrow-batched
+    transfer, per-key memory bounded by that key's rows — the same
+    co-partitioning a SQL full-outer would plan, plus arbitrary Python
+    semantics inside."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+
+    def profile(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key_id": [key[0]],
+                "n_events": [len(ev)],
+                "n_purchases": [int((ev["event_type"] == "purchase").sum())
+                                if len(ev) else 0],
+                "n_orders": [len(od)],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            profile,
+            "key_id bigint, n_events bigint, n_purchases bigint, "
+            "n_orders bigint",
+        )
+    )

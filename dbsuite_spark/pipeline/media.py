@@ -253,3 +253,82 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.lower(F.hex("frame")).alias("frame_hex"),
     )
+
+
+def _BYTE_AT(expr: str) -> str:
+    """DuckDB: byte value at 0-based index ``expr`` of the hex chain."""
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, 2*({expr}) + 1, 1)) - 1)"
+        f" * 16 + "
+        f"(strpos('0123456789abcdef', substr(hx, 2*({expr}) + 2, 1)) - 1))"
+    )
+
+
+_RESIZE_ORACLE = f"""
+WITH p AS (SELECT doc_id,
+                  md5(text) || {" || ".join(f"md5(text || '{i}')" for i in range(1, PAYLOAD_BLOCKS))} AS hx
+           FROM documents),
+pool AS (
+  SELECT doc_id, j,
+         ({_BYTE_AT("16*(j//4) + 2*(j%4)")}
+          + {_BYTE_AT("16*(j//4) + 2*(j%4) + 1")}
+          + {_BYTE_AT("16*(j//4) + 2*(j%4) + 8")}
+          + {_BYTE_AT("16*(j//4) + 2*(j%4) + 9")}) // 4 AS v
+  FROM p, generate_series(0, 15) t(j))
+SELECT doc_id,
+       CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+       string_agg(printf('%02x', v), '' ORDER BY j) AS pixels_hex,
+       CAST(SUM(v) AS DOUBLE) / 16 AS pooled_mean
+FROM pool GROUP BY doc_id
+"""
+
+
+@query("media_resize_pool", oracle=_RESIZE_ORACLE, category="L")
+def media_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE via ``mapInPandas`` — the fourth mandated media op
+    (decode / feature-extract / resize / frame-sample): the 64-byte
+    payload is an 8×8 single-channel image, downsampled by 2×2
+    average-pooling (integer floor mean — exact on both engines) to 4×4;
+    the result renders as a hex string plus the pooled mean. The pooling
+    is one vectorized numpy reshape+sum per Arrow batch — swap the stub
+    pixel source for a real decoded image and the plan is unchanged.
+
+    Scale: same contract as the other media ops — no shuffle, Arrow
+    batches through Python once, peak memory one batch per core."""
+    m = attach_media(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_payload(f, p)
+                for f, p in zip(pdf["fmt"], pdf["payload"])
+            ]
+            if decoded:
+                mat = np.frombuffer(
+                    b"".join(decoded), dtype=np.uint8
+                ).reshape(len(decoded), 8, 8)
+                pooled = (
+                    mat.reshape(len(decoded), 4, 2, 4, 2)
+                    .sum(axis=(2, 4), dtype=np.int64)
+                    // 4
+                ).astype(np.uint8)
+                flat = pooled.reshape(len(decoded), 16)
+                hexes = [bytes(row).hex() for row in flat]
+                means = flat.sum(axis=1, dtype=np.int64) / 16.0
+            else:
+                hexes, means = [], np.array([])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": np.full(len(decoded), 4, dtype=np.int32),
+                    "out_h": np.full(len(decoded), 4, dtype=np.int32),
+                    "pixels_hex": hexes,
+                    "pooled_mean": means,
+                }
+            )
+
+    return m.mapInPandas(
+        resize,
+        "doc_id bigint, out_w int, out_h int, "
+        "pixels_hex string, pooled_mean double",
+    )

@@ -163,3 +163,71 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+N_TILES = 4  # quartile scores
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle=f"""
+WITH m AS (
+  SELECT user_id,
+         MAX(ts) AS last_purchase_ts,
+         {BIGCOUNT()} AS frequency,
+         {DSUM('value')} AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT user_id, last_purchase_ts, frequency, monetary,
+       CAST(ntile({N_TILES}) OVER (
+           ORDER BY last_purchase_ts, user_id) AS INT) AS r_score,
+       CAST(ntile({N_TILES}) OVER (
+           ORDER BY frequency, user_id) AS INT) AS f_score,
+       CAST(ntile({N_TILES}) OVER (
+           ORDER BY monetary, user_id) AS INT) AS m_score
+FROM m
+""",
+    category="E",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value workload: per user,
+    recency (last purchase time), frequency (purchase count) and monetary
+    (decimal-exact purchase total), each scored into quartiles with a
+    deterministic (metric, user_id) tie-break.
+
+    Scale: the corpus-sized shuffle is the per-user aggregation; the
+    quartile windows run over the already-reduced user table. ntile needs
+    a total order, so at billions of users the scale path replaces the
+    three windows with approx_percentile boundary lookups (three scalar
+    subqueries + row-local bucketing) at the cost of boundary-exactness —
+    here the reduced table is small and the exact rank is the right
+    default."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    m = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase_ts"),
+            F.count("*").alias("frequency"),
+            dsum(F.col("value")).alias("monetary"),
+        )
+    )
+    return m.select(
+        "user_id",
+        "last_purchase_ts",
+        "frequency",
+        "monetary",
+        F.ntile(N_TILES)
+        .over(Window.orderBy("last_purchase_ts", "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(N_TILES)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(N_TILES)
+        .over(Window.orderBy("monetary", "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )

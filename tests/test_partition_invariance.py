@@ -30,6 +30,10 @@ KEYS = [
     "ts_ewma",
     "dedup_substring_ngram",
     "events_ab_welch",
+    "sim_search_pq_adc",
+    "docs_semantic_dedup",
+    "events_rfm_segmentation",
+    "media_resize_pool",
 ]
 
 

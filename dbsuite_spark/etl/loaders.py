@@ -434,3 +434,116 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("surrogate_id"),
         )
     )
+
+
+LATE_DIM_MOD = 50  # c_custkey % 50 == 0 → dimension row "not yet arrived"
+
+
+@query(
+    "etl_late_arriving_dim",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey % {LATE_DIM_MOD} <> 0)
+SELECT o.o_orderkey,
+       CAST(COALESCE(d.c_custkey, -1) AS BIGINT) AS custkey_effective,
+       COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+       d.c_custkey IS NULL AS is_late
+FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+""",
+    category="K",
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling — the warehouse-load pattern for
+    facts that reference dimension rows not yet ingested: instead of
+    dropping or stalling the fact load, orphaned facts take the inferred
+    placeholder member (surrogate −1 / 'UNKNOWN'), flagged so the next
+    dimension load can re-point them (the SCD counterpart is
+    ``etl_scd2_dimension``). Lateness is synthesized deterministically
+    (every {LATE_DIM_MOD}th dimension row withheld) so the fixture
+    actually exercises the placeholder path.
+
+    Scale: one left join on the dimension key (broadcast when the dim
+    fits, shuffle otherwise — Catalyst's choice); placeholder injection
+    is row-local COALESCE, no second pass."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % LATE_DIM_MOD != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = o.join(dim, o.o_custkey == dim.c_custkey, "left")
+    return j.select(
+        "o_orderkey",
+        F.coalesce(F.col("c_custkey"), F.lit(-1))
+        .cast("long")
+        .alias("custkey_effective"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+            "segment"
+        ),
+        F.col("c_custkey").isNull().alias("is_late"),
+    )
+
+
+DUP_MOD = 7  # every 7th order re-delivered (at-least-once duplication)
+
+
+@query(
+    "etl_idempotent_load",
+    oracle=f"""
+WITH feed AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(0 AS BIGINT) AS ingest_seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(1 AS BIGINT)
+  FROM orders WHERE o_orderkey % {DUP_MOD} = 0)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(n_deliveries AS BIGINT) AS n_deliveries
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY ingest_seq DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderkey) AS n_deliveries
+  FROM feed) WHERE rn = 1
+""",
+    category="K",
+)
+def etl_idempotent_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent load under at-least-once delivery — the ingestion
+    pattern for streams/queues that can redeliver: the feed arrives with
+    duplicates (every {DUP_MOD}th order redelivered with a higher
+    ingest sequence, synthesized deterministically), and the load keeps
+    exactly one row per business key — the LATEST delivery — while
+    recording how many deliveries were seen. One window over the
+    business key; exactly-once tables emerge from at-least-once feeds
+    without a distributed transaction.
+
+    Scale: one hash shuffle on the business key; the dedup window and
+    the delivery count share it. This is the batch twin of
+    ``stream_dedup_watermark`` (which bounds the same dedup with a
+    watermark when the feed is unbounded)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed = o.withColumn("ingest_seq", F.lit(0).cast("long")).unionByName(
+        o.filter(F.col("o_orderkey") % DUP_MOD == 0).withColumn(
+            "ingest_seq", F.lit(1).cast("long")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ingest_seq").desc())
+    wc = Window.partitionBy("o_orderkey")
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_deliveries", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("n_deliveries").cast("long").alias("n_deliveries"),
+        )
+    )

@@ -231,3 +231,56 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle=f"""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+       {BIGCOUNT('gap_us')} AS n_gaps,
+       CAST(MIN(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s,
+       CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0
+           AS mean_gap_s
+FROM gaps GROUP BY event_type
+""",
+    category="E",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type — the ops metric behind
+    rate alerting and capacity planning: consecutive-event gaps (exact
+    integer microseconds via a lag window with the (ts, event_id)
+    deterministic order), reduced to count/min/max/mean seconds. Integer
+    gap sums are exact and order-free; the second→double conversions are
+    single IEEE divisions mirrored in the oracle.
+
+    Scale: one shuffle on event_type for the window, and the stats
+    aggregation reuses that same partitioning — AQE plans no second
+    corpus exchange."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.min("gap_us").cast("double") / F.lit(1000000.0)).alias(
+            "min_gap_s"
+        ),
+        (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias(
+            "max_gap_s"
+        ),
+        (
+            F.sum("gap_us").cast("double")
+            / F.count("gap_us")
+            / F.lit(1000000.0)
+        ).alias("mean_gap_s"),
+    )

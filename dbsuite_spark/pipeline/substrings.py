@@ -126,3 +126,70 @@ def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(array_to_string(
+             list_slice(tk, i, i + {GRAM_WORDS - 1}), ' ')), 1, 15)
+           AS BIGINT) AS hv
+  FROM toks, unnest(generate_series(1, len(tk) - {GRAM_WORDS - 1})) u(i)),
+first_seen AS (
+  SELECT hv, MIN(doc_id) AS first_doc FROM grams GROUP BY hv),
+per_doc AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first_seen f ON g.hv = f.hv
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_novel AS DOUBLE) / p.n_grams
+            ELSE CAST(0.0 AS DOUBLE) END AS novelty_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@query("docs_ngram_novelty", oracle=_NOVELTY_ORACLE, category="L")
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order: the fraction of a
+    document's word 8-grams that no lower-id document contains — the
+    ordering signal curriculum builders and streaming dedupers use (a
+    document whose spans were all "introduced" earlier adds nothing new;
+    ``dedup_substring_ngram`` is the symmetric repeat view of the same
+    substrate). A gram occurrence is novel iff this document IS the
+    gram's global first occurrence (min doc_id).
+
+    Scale: identical plan to ``dedup_substring_ngram`` — row-local gram
+    hashing, one gram-keyed aggregation (min instead of count), one
+    co-partitioned rejoin, one per-doc rollup; ``novelty_frac`` is a
+    single exact-integer division."""
+    grams = _gram_hashes(spark, sf_dir)
+    first_seen = grams.groupBy("hv").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "hv")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.col("n_novel").cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty_frac"),
+    )

@@ -62,3 +62,35 @@ def test_outer_join_emits_both_populations(spark, sf_dir):
     )
     assert overlap == 0, "a matched purchase also emitted a NULL row"
     out.unpersist()
+
+
+def test_tumbling_count_batch_boundary_invariant(spark, sf_dir):
+    """Complete-mode aggregation must be independent of micro-batch
+    boundaries: the same events landed as 1 file vs 5 files (1 file per
+    trigger → 1 vs 5 micro-batches) produce identical final windows."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.streaming.streams import (
+        _land_events,
+        _read_stream,
+        _run_to_memory,
+    )
+
+    def run(n_files, name):
+        path, src = _land_events(
+            spark, sf_dir, f"tumbling_inv_{n_files}", n_files=n_files
+        )
+        sdf = (
+            _read_stream(spark, path, src.schema)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        out = _run_to_memory(spark, sdf, name, "complete")
+        return sorted(tuple(r) for r in out.collect())
+
+    assert run(1, "mem_inv_one") == run(5, "mem_inv_five")

@@ -547,3 +547,65 @@ def etl_idempotent_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_deliveries").cast("long").alias("n_deliveries"),
         )
     )
+
+
+@query(
+    "etl_calendar_dim",
+    oracle="""
+WITH b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders),
+days AS (
+  SELECT CAST(ts AS DATE) AS d
+  FROM b, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) t(ts))
+SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
+       d,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS day,
+       CAST(isodow(d) - 1 AS INT) AS weekday,
+       isodow(d) >= 6 AS is_weekend,
+       d = last_day(d) AS is_month_end
+FROM days
+""",
+    category="K",
+)
+def etl_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation — the warehouse staple every star
+    schema joins against: one row per day spanning the fact table's date
+    range (derived from the data, not hard-coded), with the standard
+    attributes (smart key, year/quarter/month/day, ISO weekday, weekend
+    and month-end flags). Weekday uses the ISO convention on both
+    engines (Monday = 0 after the −1 shift) — Spark's ``dayofweek`` is
+    Sunday-based and deliberately avoided.
+
+    Scale: one scalar min/max aggregation over the fact scan, then
+    row-local ``sequence`` generation of a few thousand rows — the dim
+    is broadcast-sized by construction at any fact-table scale."""
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    return days.select(
+        (
+            F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d")
+        )
+        .cast("int")
+        .alias("date_key"),
+        "d",
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day"),
+        F.weekday("d").cast("int").alias("weekday"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )

@@ -284,3 +284,44 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("mean_gap_s"),
     )
+
+
+@query(
+    "win_year_over_year",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         {DSUM('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1)
+SELECT month_start, revenue,
+       lag(revenue, 12) OVER (ORDER BY month_start) AS prev_year_revenue,
+       revenue - lag(revenue, 12) OVER (ORDER BY month_start)
+           AS yoy_delta
+FROM m
+""",
+    category="E",
+)
+def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue — the seasonal-offset lag report
+    (lag 12 over the month series) that complements the adjacent-row
+    window keys: each month against the same month last year, with the
+    first year NULL by construction. Revenue is the decimal-exact sum,
+    and the delta is one double subtraction — bit-identical.
+
+    Scale: the corpus-sized work is the monthly rollup (one shuffle);
+    the lag-12 window runs over the reduced month series (a few rows per
+    year of history, a global window on purpose)."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month_start",
+        "revenue",
+        prev.alias("prev_year_revenue"),
+        (F.col("revenue") - prev).alias("yoy_delta"),
+    )

@@ -325,3 +325,170 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_year_revenue"),
         (F.col("revenue") - prev).alias("yoy_delta"),
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         list_distinct(list(user_id)) AS uset
+  FROM events GROUP BY 1)
+SELECT d,
+       CAST(len(uset) AS BIGINT) AS dau,
+       CAST(len(list_distinct(flatten(list(uset) OVER (
+           ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))))
+         AS BIGINT) AS wau,
+       CAST(len(list_distinct(flatten(list(uset) OVER (
+           ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))))
+         AS BIGINT) AS mau
+FROM b
+""",
+    category="E",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU — the canonical product-analytics report: per day,
+    exact distinct actives for the day, the trailing 7 days, and the
+    trailing 30 days, via per-day user sets unioned across window frames.
+
+    Scale: the corpus shuffle is one (day → user set) aggregation; the
+    windows run over the reduced day series. Per-day sets are exact here
+    (the audit-scale truth); at billions of actives the per-day payload
+    becomes an HLL sketch and the frame union becomes sketch merging —
+    ``agg_hll_sketch_merge`` is exactly that substrate, trading exactness
+    for constant-width state. Both shapes keep one corpus pass."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    b = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.collect_set("user_id").alias("uset"))
+
+    def rolling(days: int):
+        w = Window.orderBy("d").rowsBetween(-(days - 1), 0)
+        return F.size(
+            F.array_distinct(F.flatten(F.collect_list("uset").over(w)))
+        ).cast("long")
+
+    return b.select(
+        "d",
+        F.size("uset").cast("long").alias("dau"),
+        rolling(7).alias("wau"),
+        rolling(30).alias("mau"),
+    )
+
+
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@query(
+    "win_first_touch_attribution",
+    oracle=f"""
+SELECT p.event_id,
+       (SELECT MIN(v.ts) FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts < p.ts
+          AND epoch_us(v.ts) >= epoch_us(p.ts) - {ATTR_LOOKBACK_US})
+           AS first_view_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    category="E",
+)
+def win_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST view inside the 7-day lookback — the marketing-attribution
+    dual of ``join_asof`` (which is last-touch). Spark-first: union the
+    two roles and take MIN over a RANGE frame in integer microseconds
+    (bounded lookback, strictly-prior via the −1 upper bound) — one
+    user_id shuffle, no per-row subquery, no range join.
+
+    Scale: the range frame holds only the lookback's views per user —
+    bounded state, same single-window plan family as the as-of keys."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_LOOKBACK_US, -1)
+    )
+    return (
+        merged.withColumn("first_view_ts", F.min("view_ts").over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "first_view_ts")
+    )
+
+
+TOP_SHARE_TILES = 10  # top-decile concentration
+
+
+@query(
+    "agg_revenue_concentration",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey, {DSUM('o_totalprice')} AS revenue
+  FROM orders GROUP BY o_custkey),
+tiled AS (
+  SELECT revenue,
+         ntile({TOP_SHARE_TILES}) OVER (
+             ORDER BY revenue DESC, o_custkey) AS tile
+  FROM per_cust)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN tile = 1
+                     THEN CAST(revenue AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+           AS top_decile_share
+FROM tiled
+""",
+    category="E",
+)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the share of total revenue contributed by
+    the top decile of customers (deterministic (revenue DESC, custkey)
+    tiling) — the 80/20 health metric every revenue dashboard carries.
+    All mass flows through decimal sums; the share is one double
+    division.
+
+    Scale: per-customer rollup is the corpus shuffle; the decile window
+    and the final scalar run on the reduced customer table (ntile's
+    global order is over customers, with the approx-boundary alternative
+    of ``events_rfm_segmentation`` at extreme cardinality)."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    per_cust = o.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    tiled = per_cust.withColumn(
+        "tile",
+        F.ntile(TOP_SHARE_TILES).over(
+            Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        ),
+    )
+    dec = F.col("revenue").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return tiled.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(dec).cast("double").alias("total_revenue"),
+        (
+            F.sum(F.when(F.col("tile") == 1, dec).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(dec).cast("double")
+        ).alias("top_decile_share"),
+    )

@@ -492,3 +492,74 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(dec).cast("double")
         ).alias("top_decile_share"),
     )
+
+
+SEASONAL_SIGMA = 3.0
+
+
+@query(
+    "ts_seasonal_anomaly",
+    oracle=f"""
+WITH b AS ({_BUCKETS}),
+g AS (
+  SELECT event_type, CAST(hour(hour_ts) AS INT) AS hod,
+         {DSUM('v')} / COUNT(*) AS mu,
+         sqrt({{dw}} / COUNT(*)
+              - ({DSUM('v')} / COUNT(*)) * ({DSUM('v')} / COUNT(*)))
+           AS sigma
+  FROM b GROUP BY 1, 2)
+SELECT b.event_type, b.hour_ts, b.v,
+       round((b.v - g.mu) / g.sigma, 6) AS seasonal_z
+FROM b JOIN g ON b.event_type = g.event_type
+           AND CAST(hour(b.hour_ts) AS INT) = g.hod
+WHERE abs(b.v - g.mu) > {SEASONAL_SIGMA} * g.sigma
+""".format(dw="CAST(SUM(CAST((v * v) AS DECIMAL(38,12))) AS DOUBLE)"),
+    category="E",
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: hours whose total deviates more
+    than 3σ from the mean OF THEIR OWN (type, hour-of-day) group — the
+    deseasonalized upgrade of ``events_anomaly_zscore``, which flags
+    against the global per-type mean and therefore fires on every rush
+    hour. Group mean IS the seasonal component (``ts_seasonal_profile``),
+    so this composes the two verified stages without materializing the
+    residual series.
+
+    Moments follow the zscore key's precedent: Σv exact in (18,6), Σv²
+    through the wide decimal with the final z rounded to 6 dp (the
+    exact.py wide-cast caveat is absorbed by the rounding; the 3σ
+    boundary flip risk is the same knife-edge already accepted there).
+
+    Scale: one corpus shuffle for the buckets; the (type, hod) stats are
+    a tiny second aggregation broadcast back."""
+    e = t(spark, sf_dir, "events")
+    from dbsuite_spark.exact import dsum_wide
+
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    mu = dsum(F.col("v")) / F.count("*")
+    g = b.groupBy(
+        "event_type", F.hour("hour_ts").cast("int").alias("hod")
+    ).agg(
+        mu.alias("mu"),
+        F.sqrt(
+            dsum_wide(F.col("v") * F.col("v")) / F.count("*") - mu * mu
+        ).alias("sigma"),
+    )
+    return (
+        b.withColumn("hod", F.hour("hour_ts").cast("int"))
+        .join(F.broadcast(g), ["event_type", "hod"])
+        .filter(
+            F.abs(F.col("v") - F.col("mu"))
+            > SEASONAL_SIGMA * F.col("sigma")
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "v",
+            F.round(
+                (F.col("v") - F.col("mu")) / F.col("sigma"), 6
+            ).alias("seasonal_z"),
+        )
+    )

@@ -20,3 +20,5 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     text_extra,
     vocab,
 )
+from dbsuite_spark.pipeline import evaluation  # noqa: F401  (after text_extra:
+# its oracle composes the registered text_langid_ngram spec)

@@ -563,3 +563,158 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_z"),
         )
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS v_units
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(v_units) AS BIGINT) AS sum_units,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type),
+cum AS (
+  SELECT b.event_type, b.hour_ts, t.sum_units, t.n,
+         CAST(SUM(b.v_units) OVER (
+             PARTITION BY b.event_type ORDER BY b.hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS run_units,
+         CAST(row_number() OVER (
+             PARTITION BY b.event_type ORDER BY b.hour_ts)
+           AS BIGINT) AS i
+  FROM b JOIN tot t ON b.event_type = t.event_type),
+scored AS (
+  SELECT event_type, hour_ts,
+         n * run_units - i * sum_units AS cusum_scaled, n, sum_units
+  FROM cum)
+SELECT event_type, hour_ts AS changepoint_ts,
+       CAST(abs(cusum_scaled) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+           AS cusum_stat
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY event_type
+          ORDER BY abs(cusum_scaled) DESC, hour_ts) AS rn
+      FROM scored) WHERE rn = 1
+""",
+    category="E",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation from the series mean |Σ_{i≤t}(v_i − μ)| peaks —
+    the classic level-shift locator. The entire statistic runs in SCALED
+    INTEGER arithmetic (micro-units; n·Σ_{i≤t}u − t·Σu clears the mean's
+    division), because windowed SUM over doubles is fold-order-dependent
+    and DuckDB's segment-tree window evaluation does NOT fold
+    sequentially — integers are order-free, so the running sums are
+    bit-identical on any engine and partitioning. Only the final
+    normalization touches doubles (two exact conversions, one division).
+
+    Scale: one corpus shuffle for the buckets; running sums and the
+    argmax rank run per-type on the reduced series."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v_units")
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum("v_units").cast("long").alias("sum_units"),
+        F.count("*").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    cum = (
+        b.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "run_units",
+            F.sum("v_units").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+    )
+    scored = cum.withColumn(
+        "cusum_scaled",
+        F.col("n") * F.col("run_units") - F.col("i") * F.col("sum_units"),
+    )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "hour_ts"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour_ts").alias("changepoint_ts"),
+            (
+                F.abs(F.col("cusum_scaled")).cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0))
+            ).alias("cusum_stat"),
+        )
+    )
+
+
+PATH_TOP_K = 5
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+paths AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path,
+         {BIGCOUNT()} AS n
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1)
+SELECT path, n, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rn
+      FROM paths) WHERE rn <= {PATH_TOP_K}
+""",
+    category="E",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOP_K} most-travelled 3-step event paths — the path
+    analysis behind funnel discovery (``events_markov_transitions`` is
+    the 1-step view; this surfaces whole trigram journeys). Per-user
+    sequences order by the deterministic (ts, event_id) key; sliding
+    trigrams come from two leads sharing ONE window spec (one user
+    shuffle), and the final top-k is a rank over the tiny path table.
+
+    Scale: one user_id shuffle for the leads, one path-keyed hash
+    aggregation (path cardinality ≤ |types|³, tiny), rank on that."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    w_top = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rank", F.row_number().over(w_top).cast("int"))
+        .filter(F.col("rank") <= PATH_TOP_K)
+        .select("path", "n", "rank")
+    )

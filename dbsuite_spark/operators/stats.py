@@ -718,3 +718,47 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PATH_TOP_K)
         .select("path", "n", "rank")
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+WITH u AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (
+  SELECT CAST(length(printf('%b', cents)) AS INT) AS bucket
+  FROM u),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+SELECT bucket,
+       CAST((CAST(1 AS BIGINT) << (bucket - 1)) AS BIGINT) AS lower_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS DOUBLE) / n AS share
+FROM b, tot GROUP BY bucket, n
+""",
+    category="D",
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-scale value histogram — the heavy-tail profiling shape
+    (latency/price/size distributions) where equi-width buckets waste
+    resolution. The bucket is computed EXACTLY as the binary-digit count
+    of the integer cents (``length(bin(x))`` ≡ floor(log₂ x)+1) — no
+    floating log, so bucket boundaries can never disagree across engines
+    by a rounding hair. Bucket count ≤ 64 by construction.
+
+    Scale: one map-side-combined aggregation over one scan plus a 1-row
+    total broadcast; output bounded at 64 rows at any input size."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    b = li.select(
+        F.length(F.bin(cents)).cast("int").alias("bucket")
+    )
+    agg = b.groupBy("bucket").agg(F.count("*").alias("n_rows"))
+    tot = agg.agg(F.sum("n_rows").cast("long").alias("n"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket - 1) AS BIGINT)")
+        .alias("lower_cents"),
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("n")).alias("share"),
+    )

@@ -258,3 +258,76 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_TWO_HOP_ORACLE = """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT DISTINCT x.s AS src, y.s AS dst
+  FROM os x JOIN os y ON x.o = y.o AND x.s <> y.s),
+two_hop AS (
+  SELECT DISTINCT e1.src, e2.dst
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst),
+fof AS (
+  SELECT t.src, t.dst FROM two_hop t
+  LEFT JOIN edges d ON t.src = d.src AND t.dst = d.dst
+  WHERE d.src IS NULL)
+SELECT e.src AS supplier,
+       CAST(COUNT(DISTINCT e.dst) AS BIGINT) AS n_direct,
+       CAST(COALESCE(f.n_fof, 0) AS BIGINT) AS n_friends_of_friends
+FROM edges e
+LEFT JOIN (SELECT src, COUNT(*) AS n_fof FROM fof GROUP BY src) f
+  ON e.src = f.src
+GROUP BY e.src, f.n_fof
+"""
+
+
+@query("graph_two_hop_neighbors", oracle=_TWO_HOP_ORACLE, category="L")
+def graph_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends profile on the co-order supplier graph: per
+    supplier, direct-neighbor count and the count of distinct nodes at
+    EXACTLY two hops (reachable via an intermediate, not adjacent, not
+    self) — the expansion metric behind candidate generation in
+    recommendation graphs and the cost predictor for 2-hop join plans.
+
+    Scale: the 2-hop join is edges⋈edges on the shared node key (one
+    co-partitioned shuffle); DISTINCT bounds the pair fan-out before the
+    anti-join against direct edges. On power-law graphs the hub nodes
+    dominate this join — the degree histogram (``graph_degree_stats``)
+    is the pre-flight check, and hub-capping (drop nodes above a degree
+    cap, as in the stop-shingle guard) is the documented knob."""
+    os_ = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x, y = os_.alias("x"), os_.alias("y")
+    edges = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.s") != F.col("y.s")))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .distinct()
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") != F.col("e2.dst"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        .distinct()
+    )
+    fof = two_hop.join(edges, ["src", "dst"], "left_anti")
+    fof_counts = fof.groupBy("src").agg(F.count("*").alias("n_fof"))
+    direct = edges.groupBy("src").agg(
+        F.countDistinct("dst").alias("n_direct")
+    )
+    return (
+        direct.join(fof_counts, "src", "left")
+        .select(
+            F.col("src").alias("supplier"),
+            F.col("n_direct").cast("long").alias("n_direct"),
+            F.coalesce("n_fof", F.lit(0))
+            .cast("long")
+            .alias("n_friends_of_friends"),
+        )
+    )

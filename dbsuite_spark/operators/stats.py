@@ -762,3 +762,106 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("n_rows").cast("double") / F.col("n")).alias("share"),
     )
+
+
+SWEEP_GAP_US = 30 * 60 * 1_000_000  # session gap, matches win_sessionize
+
+
+@query(
+    "events_max_concurrent_sessions",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+              <= {SWEEP_GAP_US} THEN 0 ELSE 1 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq,
+         ts
+  FROM flagged),
+bounds AS (
+  SELECT user_id, session_seq, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, session_seq),
+deltas AS (
+  SELECT s AS at_ts, CAST(1 AS BIGINT) AS d FROM bounds
+  UNION ALL
+  SELECT e, CAST(-1 AS BIGINT) FROM bounds),
+net AS (
+  SELECT at_ts, CAST(SUM(d) AS BIGINT) AS net_d FROM deltas GROUP BY at_ts),
+run AS (
+  SELECT at_ts,
+         CAST(SUM(net_d) OVER (ORDER BY at_ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+  FROM net)
+SELECT CAST((SELECT COUNT(*) FROM bounds) AS BIGINT) AS n_sessions,
+       concurrency AS peak_concurrency,
+       at_ts AS peak_ts
+FROM (SELECT *, row_number() OVER (
+          ORDER BY concurrency DESC, at_ts) AS rn FROM run)
+WHERE rn = 1
+""",
+    category="E",
+)
+def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the capacity-planning number: sessionize
+    (same 30-min-gap rule as ``win_sessionize``), sweep +1/−1 deltas at
+    session starts/ends, and take the running-sum maximum (earliest
+    timestamp on ties). Deltas are NETTED PER TIMESTAMP before the
+    running sum: a session ending exactly when another starts never
+    counts as overlap, and unique timestamps make the integer running
+    sum order-unambiguous (DuckDB's segment-tree window is exact on
+    integers).
+
+    Scale: sessionization is the one corpus shuffle (shared window
+    spec); the sweep runs over session endpoints (two rows per session),
+    and the final argmax is a rank over that reduced series."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(us - F.lag(us).over(w) <= SWEEP_GAP_US, 0)
+        .otherwise(1)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = bounds.select(
+        F.col("s").alias("at_ts"), F.lit(1).cast("long").alias("d")
+    ).unionAll(
+        bounds.select(
+            F.col("e").alias("at_ts"), F.lit(-1).cast("long").alias("d")
+        )
+    )
+    net = deltas.groupBy("at_ts").agg(F.sum("d").cast("long").alias("net_d"))
+    w_run = Window.orderBy("at_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = net.withColumn(
+        "concurrency", F.sum("net_d").over(w_run).cast("long")
+    )
+    n_sessions = bounds.agg(F.count("*").cast("long").alias("n_sessions"))
+    w_top = Window.orderBy(F.col("concurrency").desc(), "at_ts")
+    peak = (
+        run.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("concurrency").alias("peak_concurrency"),
+            F.col("at_ts").alias("peak_ts"),
+        )
+    )
+    return F.broadcast(n_sessions).crossJoin(peak).select(
+        "n_sessions", "peak_concurrency", "peak_ts"
+    )

@@ -405,6 +405,115 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_ALPHA = 0.5  # level smoothing (power of two: products stay exact-ish)
+HOLT_BETA = 0.25  # trend smoothing
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type,
+         list(hour_ts ORDER BY hour_ts) AS hours,
+         list(v ORDER BY hour_ts) AS vals
+  FROM b GROUP BY event_type),
+st AS (
+  -- state is a 2-list [level, trend], NOT a struct: DuckDB 1.0's
+  -- list_reduce mis-evaluates repeated struct-field lambdas (observed:
+  -- acc.l read as 0 inside the second field on some folds), while the
+  -- list form computes the textbook recursion exactly
+  SELECT event_type, hours, vals, i,
+         list_reduce(
+           [[vals[1], vals[2] - vals[1]]] ||
+             list_transform(vals[2:i], x -> [x, 0.0]),
+           (acc, x) -> [
+             {HOLT_ALPHA} * x[1]
+               + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+             {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                 + {1 - HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+               + {1 - HOLT_BETA} * acc[2]]) AS s
+  FROM l, unnest(generate_series(2, len(vals))) t(i)
+  WHERE len(vals) >= 2)
+SELECT event_type, hours[i] AS hour_ts, vals[i] AS v,
+       s[1] AS level,
+       s[2] AS trend,
+       s[1] + s[2] AS forecast
+FROM st
+""",
+    category="E",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over each type's
+    hourly series — the level+trend coupled recursion (l_t = α·x_t +
+    (1−α)(l_{t−1}+b_{t−1}); b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, seeded
+    l_1=x_1, b_1=x_2−x_1) that extends ``ts_ewma`` with a trend state,
+    plus the one-step forecast l_t+b_t. Like the EWMA, the recursion is
+    evaluated as a prefix fold — here with a *struct* accumulator
+    (level, trend) — in the identical left-to-right order on both
+    engines (Spark ``aggregate`` with a struct zero ≡ DuckDB
+    ``list_reduce`` over an init-struct-prefixed list), and both sides
+    spell out the same expression tree (new_l appears inline inside
+    new_b), so every state is bit-identical with no tolerance.
+
+    Scale: same envelope as ``ts_ewma`` — series are bounded per
+    type-month (≤744 points), so per-group lists and the O(n²) prefix
+    folds are small constants over one decimal-exact bucket shuffle;
+    unbounded series would segment by month first."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    lst = (
+        b.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("hour_ts", "v"))
+            ).alias("pairs")
+        )
+        .filter(F.size("pairs") >= 2)
+    )
+    vals = F.transform(F.col("pairs"), lambda x: x["v"])
+    hours = F.transform(F.col("pairs"), lambda x: x["hour_ts"])
+    a, na = F.lit(HOLT_ALPHA), F.lit(1 - HOLT_ALPHA)
+    bt, nb = F.lit(HOLT_BETA), F.lit(1 - HOLT_BETA)
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+    )
+
+    def step(acc, x):  # same expression tree as the oracle lambda
+        new_l = a * x + na * (acc["l"] + acc["b"])
+        new_b = bt * ((a * x + na * (acc["l"] + acc["b"])) - acc["l"]) + nb * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    n = F.size(vals)
+    states = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: F.aggregate(F.slice(vals, F.lit(2), i - 1), init, step),
+    )
+    zipped = F.arrays_zip(
+        F.slice(hours, 2, n - 1).alias("h"),
+        F.slice(vals, 2, n - 1).alias("val"),
+        states.alias("st"),
+    )
+    return (
+        lst.select("event_type", F.explode(zipped).alias("z"))
+        .select(
+            "event_type",
+            F.col("z.h").alias("hour_ts"),
+            F.col("z.val").alias("v"),
+            F.col("z.st.l").alias("level"),
+            F.col("z.st.b").alias("trend"),
+            (F.col("z.st.l") + F.col("z.st.b")).alias("forecast"),
+        )
+    )
+
+
 MEDIAN_FRAME = 24  # sliding frame width in hours
 
 

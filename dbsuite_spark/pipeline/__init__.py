@@ -9,6 +9,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     dedup,
     dedup_extra,
     graph,
+    graph_extra,
     media,
     multimodal,
     packing,

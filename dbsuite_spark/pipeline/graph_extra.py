@@ -1,0 +1,241 @@
+"""Graph mining beyond centrality: link prediction and semi-supervised
+label propagation — the candidate-generation and weak-labeling primitives
+of large-scale graph curation (e.g. proposing near-duplicate candidates a
+direct similarity pass missed, or spreading sparse human labels across an
+interaction graph before training).
+
+Cross-engine exactness follows the module family's discipline
+(``pipeline/graph.py``): every score is computed in exact integer units
+(BIGINT sums of floor divisions), every argmax breaks ties on the key, so
+results are bit-identical across engines and partitionings with no
+tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+RA_UNIT = 1_000_000_000_000  # 10^12: resource-allocation mass per neighbor
+HOLDOUT_MOD = 7  # retain edges whose canonical-key md5 coin is 0 (~1/7)
+
+
+def _retained_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-order supplier edges, sparsified by a
+    deterministic md5 coin on the canonical (min, max) pair so ~1/7 of
+    undirected edges are retained — the held-out-edges evaluation
+    protocol of link prediction (the fixture co-order graph is complete,
+    so the unsparsified graph has nothing to predict). The coin hashes
+    the canonical key, so both directions survive or drop together and
+    both engines keep identical edges."""
+    os_ = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x, y = os_.alias("x"), os_.alias("y")
+    edges = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.s") != F.col("y.s")))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .distinct()
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.least("src", "dst").cast("string"),
+                        F.greatest("src", "dst").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % HOLDOUT_MOD
+    )
+    return edges.filter(coin == 0)
+
+
+_RETAINED_SQL = f"""
+os AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+alledges AS (
+  SELECT DISTINCT x.s AS src, y.s AS dst
+  FROM os x JOIN os y ON x.o = y.o AND x.s <> y.s),
+edges AS (
+  SELECT src, dst FROM alledges
+  WHERE CAST('0x' || substr(md5(
+            CAST(LEAST(src, dst) AS VARCHAR) || '-'
+            || CAST(GREATEST(src, dst) AS VARCHAR)), 1, 15) AS BIGINT)
+        % {HOLDOUT_MOD} = 0)
+"""
+
+
+_LINKPRED_ORACLE = f"""
+WITH {_RETAINED_SQL},
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM edges GROUP BY src),
+cand AS (
+  SELECT e1.src AS a, e2.dst AS c, e1.dst AS z
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst),
+nonadj AS (
+  SELECT cd.a, cd.c, cd.z FROM cand cd
+  LEFT JOIN edges d ON cd.a = d.src AND cd.c = d.dst
+  WHERE d.src IS NULL)
+SELECT n.a, n.c,
+       CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+       CAST(SUM({RA_UNIT} // g.degree) AS BIGINT) AS ra_units
+FROM nonadj n JOIN deg g ON n.z = g.node
+GROUP BY n.a, n.c
+"""
+
+
+@query("graph_link_prediction_ra", oracle=_LINKPRED_ORACLE, category="L")
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-order supplier graph by the
+    Resource-Allocation index (Zhou/Lü/Zhang 2009, public): for every
+    non-adjacent ordered pair (a < c) sharing at least one neighbor,
+    score RA(a,c) = Σ_z 1/deg(z) over common neighbors z — here in exact
+    integer units (10^12 // deg, BIGINT sum), so the score is
+    bit-identical across engines and partitionings, unlike a float
+    Adamic-Adar. The graph is the deterministically edge-held-out
+    co-order graph (``_retained_edges``), the standard link-prediction
+    evaluation setup. Emits common-neighbor count and RA units per pair.
+
+    Scale: the candidate pass is the same edges⋈edges 2-hop join as
+    ``graph_two_hop_neighbors`` (one co-partitioned shuffle on the
+    shared node, hub-capping is the documented skew knob); the degree
+    side is a broadcast-size aggregate; the anti-join against direct
+    edges prunes before the final grouped integer sum. No floats."""
+    edges = _retained_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cand = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e2.dst").alias("c"),
+            F.col("e1.dst").alias("z"),
+        )
+    )
+    nonadj = cand.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    return (
+        nonadj.join(deg, nonadj.z == deg.node)
+        .groupBy("a", "c")
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sum(F.expr(f"{RA_UNIT} div degree"))
+            .cast("bigint")
+            .alias("ra_units"),
+        )
+    )
+
+
+_LABELPROP_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+u1 AS (
+  SELECT user_id, event_type AS label, n AS votes FROM (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY n DESC, event_type) AS rn
+    FROM w) WHERE rn = 1),
+e2 AS (
+  SELECT event_type, label, CAST(COUNT(*) AS BIGINT) AS votes FROM (
+    SELECT DISTINCT w.event_type, w.user_id, u1.label
+    FROM w JOIN u1 ON w.user_id = u1.user_id)
+  GROUP BY event_type, label),
+e2top AS (
+  SELECT event_type, label, votes FROM (
+    SELECT event_type, label, votes,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY votes DESC, label) AS rn
+    FROM e2) WHERE rn = 1)
+SELECT 'u' || CAST(user_id AS VARCHAR) AS node, 'user' AS kind,
+       label, votes
+FROM u1
+UNION ALL
+SELECT 'e' || event_type, 'event', label, votes FROM e2top
+"""
+
+
+@query("graph_label_propagation", oracle=_LABELPROP_ORACLE, category="L")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronized rounds of label propagation over the bipartite
+    user ↔ event-type interaction graph, seeded with each event-type
+    node's own name: round 1 labels every user with their
+    most-interacted event type (weight = interaction count, ties to the
+    lexicographically smallest label); round 2 relabels every event-type
+    node with the majority label among its distinct adjacent users. The
+    community-detection primitive (Raghavan et al. 2007, public) with
+    every vote an exact integer and every argmax tie-broken on the
+    label, so the fixpoint step is bit-deterministic.
+
+    Scale: each round is one grouped integer count plus one
+    row_number-over-window argmax — the same partial+final shuffle shape
+    as any top-1-per-group; state per round is one (node, label) row,
+    never a neighbor list. Synchronous rounds map to a static DAG."""
+    w = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    win_u = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    u1 = (
+        w.withColumn("rn", F.row_number().over(win_u))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("label"),
+            F.col("n").alias("votes"),
+        )
+    )
+    adj = (
+        w.select("event_type", "user_id")
+        .join(u1.select("user_id", "label"), "user_id")
+        .distinct()
+    )
+    e2 = adj.groupBy("event_type", "label").agg(
+        F.count("*").cast("bigint").alias("votes")
+    )
+    win_e = Window.partitionBy("event_type").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    e2top = (
+        e2.withColumn("rn", F.row_number().over(win_e))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "label", "votes")
+    )
+    users = u1.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node"),
+        F.lit("user").alias("kind"),
+        "label",
+        "votes",
+    )
+    events_ = e2top.select(
+        F.concat(F.lit("e"), F.col("event_type")).alias("node"),
+        F.lit("event").alias("kind"),
+        "label",
+        "votes",
+    )
+    return users.unionAll(events_)

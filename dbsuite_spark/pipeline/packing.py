@@ -240,3 +240,57 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("toks"), start + 1, F.lit(CHUNK_TOKENS))
         ).alias("chunk_text"),
     )
+
+
+N_CURRICULUM_BUCKETS = 8
+
+
+_CURRICULUM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         NTILE({N_CURRICULUM_BUCKETS}) OVER (ORDER BY n_chars, doc_id)
+           AS bucket
+  FROM documents)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM d GROUP BY bucket
+"""
+
+
+@query("docs_length_curriculum", oracle=_CURRICULUM_ORACLE, category="L")
+def docs_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning by document length: NTILE the corpus into 8
+    equal-population buckets over (n_chars, doc_id) — the secondary key
+    makes the tile assignment a total order, hence deterministic on
+    both engines — and profile each bucket (doc count, char range, exact
+    totals, language diversity). Length-ordered curricula (short→long)
+    are a standard pretraining schedule; the bucket boundaries double as
+    the shard manifest for a staged data loader.
+
+    Scale: a global NTILE is a single total sort — at 100 TB you'd
+    replace it with quantile cut-points from ``approx_percentile`` (one
+    pass, no global sort) and assign buckets by range comparison; the
+    NTILE formulation is the exactness reference the approximate
+    cut-points are validated against. The profile aggregation itself is
+    partial+final over integer domains."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    b = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(N_CURRICULUM_BUCKETS).over(w).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )

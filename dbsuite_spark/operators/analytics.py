@@ -453,12 +453,14 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1−α)(l_{t−1}+b_{t−1}); b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, seeded
     l_1=x_1, b_1=x_2−x_1) that extends ``ts_ewma`` with a trend state,
     plus the one-step forecast l_t+b_t. Like the EWMA, the recursion is
-    evaluated as a prefix fold — here with a *struct* accumulator
+    evaluated as a prefix fold — here with a two-field accumulator
     (level, trend) — in the identical left-to-right order on both
     engines (Spark ``aggregate`` with a struct zero ≡ DuckDB
-    ``list_reduce`` over an init-struct-prefixed list), and both sides
-    spell out the same expression tree (new_l appears inline inside
-    new_b), so every state is bit-identical with no tolerance.
+    ``list_reduce`` over an init-prefixed list; the oracle's accumulator
+    is a 2-list because DuckDB 1.0 mis-evaluates repeated struct-field
+    lambdas), and both sides spell out the same expression tree (new_l
+    appears inline inside new_b), so every state is bit-identical with
+    no tolerance.
 
     Scale: same envelope as ``ts_ewma`` — series are bounded per
     type-month (≤744 points), so per-group lists and the O(n²) prefix

@@ -8,6 +8,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     decomposition,
     dedup,
     dedup_extra,
+    features,
     graph,
     graph_extra,
     media,

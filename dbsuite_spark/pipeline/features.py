@@ -1,0 +1,150 @@
+"""Derived-feature products: per-dimension feature standardization for
+embedding corpora and item-item co-occurrence recommendation — the two
+classic "second-order tables" a warehouse derives before ML training
+(normalization statistics and a co-visitation graph).
+
+Exactness: both keys follow the package's integer-units discipline.
+Standardization moments are computed on ``floor(v · 2^20)`` BIGINT
+quantities (exact, commutative sums; the 2^20 scale is a power of two so
+the quantization product is an exact double op — see
+``pipeline/clustering.py``), and the only float steps are one pinned
+division chain and one IEEE ``sqrt`` (correctly rounded on both engines).
+Co-occurrence scores are plain integer counts with tie-broken top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+FEAT_UNIT = float(1 << 20)  # 2^20: exact-double quantization scale
+
+_Q = "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT)"
+
+_STANDARDIZE_ORACLE = f"""
+WITH q AS (
+  SELECT pos, {_Q} AS qv
+  FROM embeddings, range(1, 65) t(pos)),
+m AS (
+  SELECT pos,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s1,
+         CAST(SUM(qv * qv) AS BIGINT) AS s2,
+         CAST(MIN(qv) AS BIGINT) AS qmin,
+         CAST(MAX(qv) AS BIGINT) AS qmax
+  FROM q GROUP BY pos)
+SELECT pos, n,
+       CAST(s1 AS DOUBLE) / n / 1048576.0 AS mean,
+       sqrt((CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            / 1048576.0 / 1048576.0) AS std,
+       CAST(qmin AS DOUBLE) / 1048576.0 AS vmin,
+       CAST(qmax AS DOUBLE) / 1048576.0 AS vmax
+FROM m
+"""
+
+
+@query("ml_feature_standardize", oracle=_STANDARDIZE_ORACLE, category="L")
+def ml_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization statistics (n, mean, std, min, max)
+    over the 64-dim embedding corpus — the fit step of a z-score scaler,
+    the table every training pipeline derives before normalizing
+    features. Moments are exact BIGINT sums of 2^20-quantized values
+    (sum and sum-of-squares commute across any partitioning), the
+    mean/variance come from one pinned division chain, and std is a
+    single correctly-rounded IEEE sqrt — bit-identical across engines,
+    no tolerance.
+
+    Scale: one posexplode scan + one partial+final integer aggregation
+    over 64 keys; output is 64 rows regardless of corpus size. int64
+    headroom: q² ≤ 2^40, so sums stay exact to ~2^23 rows per dimension;
+    beyond that, widen the sum to DECIMAL(38,0) (still exact and
+    commutative) — noted rather than done because the int64→double final
+    cast is the cross-engine-safe one (see ``exact.py``)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode("embedding").alias("p0", "valf")
+    ).select(
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("valf").cast("double") * F.lit(FEAT_UNIT))
+        .cast("bigint")
+        .alias("qv"),
+    )
+    m = q.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("s2"),
+        F.min("qv").cast("bigint").alias("qmin"),
+        F.max("qv").cast("bigint").alias("qmax"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / F.lit(FEAT_UNIT)
+    mean_q = F.col("s1").cast("double") / F.col("n")
+    var = (
+        (F.col("s2").cast("double") / F.col("n") - mean_q * mean_q)
+        / F.lit(FEAT_UNIT)
+        / F.lit(FEAT_UNIT)
+    )
+    return m.select(
+        "pos",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+        (F.col("qmin").cast("double") / F.lit(FEAT_UNIT)).alias("vmin"),
+        (F.col("qmax").cast("double") / F.lit(FEAT_UNIT)).alias("vmax"),
+    )
+
+
+REC_TOPK = 5
+
+_COPURCHASE_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+co AS (
+  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p
+  GROUP BY x.p, y.p)
+SELECT a, b, n_co, CAST(rn AS INT) AS rank FROM (
+  SELECT a, b, n_co,
+         ROW_NUMBER() OVER (PARTITION BY a
+           ORDER BY n_co DESC, b) AS rn
+  FROM co) WHERE rn <= {REC_TOPK}
+"""
+
+
+@query("rec_copurchase_topk", oracle=_COPURCHASE_ORACLE, category="L")
+def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation recommender: for every part, the top-5
+    parts most often appearing in the same order (market-basket
+    "customers also bought"), ranked by exact co-occurrence count with
+    ties broken on the item id — the classic neighborhood model built as
+    a derived table. All-integer scoring, so results are bit-identical
+    everywhere.
+
+    Scale: the self-join fans out per order as lines² (bounded by order
+    width, ~7 for TPC-H-shaped data) and feeds one partial+final integer
+    count shuffle on the pair key; the top-k is one row_number window
+    per item. Hot items skew the pair key — the standard mitigations are
+    hub-capping (drop items above a frequency cap, as in the
+    stop-shingle guard) or count-min pre-filtering; at fixture scale
+    neither triggers."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    co = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") != F.col("y.p")))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("n_co").desc(), F.col("b"))
+    return (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= REC_TOPK)
+        .select("a", "b", "n_co", F.col("rn").cast("int").alias("rank"))
+    )

@@ -34,6 +34,10 @@ KEYS = [
     "docs_semantic_dedup",
     "events_rfm_segmentation",
     "media_resize_pool",
+    "ts_holt_linear",
+    "graph_link_prediction_ra",
+    "graph_label_propagation",
+    "docs_length_curriculum",
 ]
 
 

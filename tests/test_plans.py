@@ -609,3 +609,36 @@ def test_table_fingerprint_one_combined_aggregation(spark, sf_dir):
     assert n_nodes(plan, "Scan parquet") == 1
     assert n_nodes(plan, "HashAggregate") >= 2
     assert n_nodes(plan, "Exchange") == 1
+
+
+def test_feature_standardize_one_pass(spark, sf_dir):
+    """Moments come from one posexplode scan into one partial+final
+    integer aggregation over 64 keys — no join, no second scan."""
+    plan = plan_of(spark, sf_dir, "ml_feature_standardize")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_copurchase_no_cartesian_partial_count(spark, sf_dir):
+    """The co-visitation self-join must be an equi-join on the order key
+    (never cartesian) and the pair count must map-side combine."""
+    plan = plan_of(spark, sf_dir, "rec_copurchase_topk")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_link_prediction_no_cartesian(spark, sf_dir):
+    """2-hop candidate join, adjacency anti-join, and the degree join
+    must all be equi-joins — a cartesian here is the scale-killer."""
+    plan = plan_of(spark, sf_dir, "graph_link_prediction_ra")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_partial_counts(spark, sf_dir):
+    """Each propagation round is one partial+final integer count plus a
+    row_number argmax — no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "HashAggregate") >= 2

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbsuite_spark.pipeline.dedup import DF_CAP, _shingle_rows
 from dbsuite_spark.pipeline.vectors import COSINE, dot
@@ -371,4 +372,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+NEW_BATCH_MOD = 10  # doc_id md5 coin: ~2/10 of docs form the "new" batch
+
+
+_INCR_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, text, lang, source,
+         md5(substr(text, 1, 60)) AS k,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {NEW_BATCH_MOD} < 2 AS is_new
+  FROM documents),
+hist AS (SELECT DISTINCT k FROM tagged WHERE NOT is_new),
+batch1 AS (
+  SELECT doc_id, text, lang, source, k FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+    FROM tagged WHERE is_new) WHERE rn = 1)
+SELECT b.doc_id, b.lang, b.source
+FROM batch1 b LEFT JOIN hist h ON b.k = h.k
+WHERE h.k IS NULL
+"""
+
+
+@query("dedup_incremental_batch", oracle=_INCR_ORACLE, category="L")
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the production shape: a new
+    crawl batch (deterministic ~20% md5 split of the corpus standing in
+    for "today's data") is first deduped within itself (min-doc_id per
+    exact key), then anti-joined against the historical corpus's key set
+    so previously-ingested content never re-enters. Emits the surviving
+    new documents.
+
+    Scale: the historical side reduces to DISTINCT dedup keys (in
+    production a persisted key manifest, not a rescan); the anti-join is
+    one hash join on the key — at 100 TB this is the nightly-ingest
+    pattern that avoids re-running corpus-wide dedup. All string/int
+    ops, bit-deterministic."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.md5(F.substring("text", 1, 60)).alias("k"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % NEW_BATCH_MOD
+            < 2
+        ).alias("is_new"),
+    )
+    hist = d.filter(~F.col("is_new")).select("k").distinct()
+    w = Window.partitionBy("k").orderBy("doc_id")
+    batch1 = (
+        d.filter("is_new")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return batch1.join(hist, "k", "left_anti").select(
+        "doc_id", "lang", "source"
     )

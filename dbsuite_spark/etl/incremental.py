@@ -220,3 +220,85 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select(*cols)
     )
+
+
+FORGET_MOD = 50  # ~2% of users are deterministic "forget-me" requests
+
+
+_FORGET_ORACLE = f"""
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % {FORGET_MOD} = 0),
+before AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_before
+  FROM events GROUP BY event_type),
+gone AS (
+  SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS rows_deleted
+  FROM events e JOIN forget f ON e.user_id = f.user_id
+  GROUP BY e.event_type)
+SELECT b.event_type, b.rows_before,
+       CAST(COALESCE(g.rows_deleted, 0) AS BIGINT) AS rows_deleted,
+       CAST(b.rows_before - COALESCE(g.rows_deleted, 0) AS BIGINT)
+         AS rows_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM forget) AS n_users_forgotten
+FROM before b LEFT JOIN gone g ON b.event_type = g.event_type
+"""
+
+
+@query("etl_row_level_delete", oracle=_FORGET_ORACLE, category="K")
+def etl_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: a deterministic ~2% of users
+    (md5 coin — standing in for the day's deletion-request table) are
+    removed from the events fact via anti-join, and the key emits the
+    audit table compliance actually wants: per event type, rows before,
+    rows deleted, rows after, plus the forgotten-user count. The
+    anti-join rewrite is the environment's substitute for Delta's
+    ``DELETE WHERE`` (same note as ``etl_merge_upsert``).
+
+    Scale: the request table is tiny → broadcast anti/semi joins against
+    the fact, one scan each for the audit counts (partial+final); in
+    production the delete rewrites only the partitions holding matches
+    (partition pruning on the join key's bucket), not the full fact."""
+    e = t(spark, sf_dir, "events")
+    forget = (
+        e.select("user_id")
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % FORGET_MOD
+            == 0
+        )
+    )
+    before = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_before")
+    )
+    gone = (
+        e.join(F.broadcast(forget), "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("rows_deleted"))
+    )
+    n_forgot = forget.agg(
+        F.count("*").cast("bigint").alias("n_users_forgotten")
+    )
+    return (
+        before.join(gone, "event_type", "left")
+        .crossJoin(F.broadcast(n_forgot))
+        .select(
+            "event_type",
+            "rows_before",
+            F.coalesce("rows_deleted", F.lit(0))
+            .cast("bigint")
+            .alias("rows_deleted"),
+            (
+                F.col("rows_before") - F.coalesce("rows_deleted", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rows_after"),
+            "n_users_forgotten",
+        )
+    )

@@ -136,3 +136,158 @@ def sim_search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RERANK_K)
         .select("qid", "cand_id", "lex_score", "cos_sim", "rank")
     )
+
+
+RRF_K0 = 60  # the standard RRF damping constant
+RRF_QMOD = 100  # query subset: ids with an embedding AND sparse text
+RRF_OUT_K = 5
+
+
+_RRF_ORACLE = f"""
+WITH {_SHINGLE_SQL},
+idx AS (
+  SELECT s, round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                    / COUNT(*)), 6) AS w
+  FROM sh GROUP BY s HAVING COUNT(*) <= {RETRIEVAL_DF_CAP}),
+lex AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cand_id, {DSUM('i.w')} AS lex_score
+  FROM sh q
+  JOIN idx i ON q.s = i.s
+  JOIN sh c ON c.s = i.s AND c.doc_id <> q.doc_id
+  WHERE q.doc_id % {RRF_QMOD} = 0
+  GROUP BY q.doc_id, c.doc_id),
+lexr AS (
+  SELECT qid, cand_id, rn AS lex_rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY lex_score DESC, cand_id) AS rn
+    FROM lex) WHERE rn <= {LEX_K}),
+vecr AS (
+  SELECT qid, cand_id, rn AS vec_rank FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {COSINE('q.embedding', 'e.embedding')} DESC,
+                      e.vec_id) AS rn
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id % {RRF_QMOD} = 0) WHERE rn <= {LEX_K}),
+fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid,
+         COALESCE(l.cand_id, v.cand_id) AS cand_id,
+         l.lex_rank, v.vec_rank,
+         COALESCE(1.0 / ({RRF_K0} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K0} + v.vec_rank), 0.0) AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v
+    ON l.qid = v.qid AND l.cand_id = v.cand_id)
+SELECT qid, cand_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       rrf_score, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY rrf_score DESC, cand_id) AS rn
+      FROM fused) WHERE rn <= {RRF_OUT_K}
+"""
+
+
+@query("sim_search_rrf_fusion", oracle=_RRF_ORACLE, category="L")
+def sim_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al. 2009, public) of the two
+    retrieval modalities: the idf-weighted lexical top-20 and the exact
+    cosine top-20 are fused per query by Σ 1/(60 + rank) over the lists
+    containing the candidate, then cut to the top 5. The complement of
+    ``sim_search_hybrid_rerank``'s cascade — fusion keeps candidates
+    either ranker found, the standard recipe when neither modality
+    dominates. Scores are two correctly-rounded divisions added in one
+    pinned order (lexical term first) with absent lists contributing an
+    exact 0.0, and integer ranks tie-break on candidate id — so the
+    fused ranking is bit-deterministic.
+
+    Scale: both rank lists bound their own cost (DF-capped inverted
+    index; brute-force cosine is the audit path with sign-LSH named as
+    the corpus-scale replacement); fusion itself joins two
+    (queries × 20)-row frames — negligible."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    n_docs = d.count()  # scalar for the idf; one tiny job, driver-held
+    idx = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= RETRIEVAL_DF_CAP)
+        .select(
+            "s",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("w"),
+        )
+    )
+    q = sh.filter(F.col("doc_id") % RRF_QMOD == 0).select(
+        F.col("doc_id").alias("qid"), "s"
+    )
+    c = sh.select(F.col("doc_id").alias("cand_id"), "s")
+    lex = (
+        q.join(idx, "s")
+        .join(c, "s")
+        .filter(F.col("cand_id") != F.col("qid"))
+        .groupBy("qid", "cand_id")
+        .agg(dsum(F.col("w")).alias("lex_score"))
+    )
+    w_lex = Window.partitionBy("qid").orderBy(
+        F.col("lex_score").desc(), "cand_id"
+    )
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= LEX_K)
+        .select("qid", "cand_id", "lex_rank")
+    )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qe = e.filter(F.col("vec_id") % RRF_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    pairs = (
+        qe.crossJoin(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("cemb"),
+                )
+            )
+        )
+        .filter(F.col("cand_id") != F.col("qid"))
+        .withColumn("cos_sim", cosine(F.col("qemb"), F.col("cemb")))
+    )
+    w_vec = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    vecr = (
+        pairs.withColumn("vec_rank", F.row_number().over(w_vec))
+        .filter(F.col("vec_rank") <= LEX_K)
+        .select("qid", "cand_id", "vec_rank")
+    )
+
+    fused = lexr.join(vecr, ["qid", "cand_id"], "full_outer").select(
+        "qid",
+        "cand_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K0) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K0) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), "cand_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rank") <= RRF_OUT_K)
+        .select(
+            "qid",
+            "cand_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            "rrf_score",
+            "rank",
+        )
+    )

@@ -865,3 +865,206 @@ def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     return F.broadcast(n_sessions).crossJoin(peak).select(
         "n_sessions", "peak_concurrency", "peak_ts"
     )
+
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT o_totalprice AS x, o_orderstatus AS g FROM orders
+  WHERE o_orderstatus IN ('F', 'O')),
+n AS (
+  SELECT CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM s),
+pts AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS a2
+  FROM s GROUP BY x),
+cum AS (
+  SELECT x,
+         SUM(a1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(a2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c2
+  FROM pts),
+dev AS (
+  SELECT x, abs(c1 * n.n2 - c2 * n.n1) AS num FROM cum, n)
+SELECT n.n1, n.n2,
+       CAST(MAX(num) AS BIGINT) AS d_num,
+       CAST(MIN(CASE WHEN num = (SELECT MAX(num) FROM dev) THEN x END)
+            AS DOUBLE) AS ks_at,
+       CAST(MAX(num) AS DOUBLE)
+         / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS d_stat
+FROM dev, n
+GROUP BY n.n1, n.n2
+"""
+
+
+@query("events_ks_test", oracle=_KS_ORACLE, category="D")
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (order totals of finished 'F'
+    vs open 'O' orders) computed ENTIRELY in exact integers: at every
+    distinct value the CDF deviation is |c1·n2 − c2·n1| (cross-
+    multiplied to avoid per-point float division), the statistic's
+    numerator is an integer MAX — bit-deterministic on any engine and
+    partitioning — and only the final D = max/(n1·n2) is one pinned
+    float division. Also reports the value where the max deviation
+    occurs (min such value on ties). The distribution-free
+    drift/mismatch test a data-quality layer runs between snapshots.
+
+    Scale: one grouped count per distinct value, one global ordered
+    cumsum window (the exact truth path; at extreme cardinality the
+    binned two-pass variant replaces it, same integers per bin), one
+    max aggregation. No floats until the last row."""
+    s = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").alias("x"), F.col("o_orderstatus").alias("g")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    pts = s.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "x",
+        F.sum("a1").over(w).alias("c1"),
+        F.sum("a2").over(w).alias("c2"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    dev = cum.crossJoin(F.broadcast(n)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "num"
+        ),
+    )
+    mx = dev.agg(F.max("num").alias("mxv"))
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max("num").cast("bigint").alias("d_num"),
+            F.min(F.when(F.col("num") == F.col("mxv"), F.col("x")))
+            .cast("double")
+            .alias("ks_at"),
+            (
+                F.max("num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+_MWU_ORACLE = """
+WITH s AS (
+  SELECT o_totalprice AS x, o_orderstatus AS g FROM orders
+  WHERE o_orderstatus IN ('F', 'O')),
+n AS (
+  SELECT CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM s),
+pts AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM s GROUP BY x),
+rk AS (
+  SELECT x, a1, cnt,
+         SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - cnt
+           AS before
+  FROM pts),
+r1 AS (
+  -- doubled midranks keep tie-averaged ranks in exact integers:
+  -- midrank2 = 2*(before+1) + (cnt-1)
+  SELECT CAST(SUM(a1 * (2 * (before + 1) + (cnt - 1))) AS BIGINT) AS r1x2
+  FROM rk)
+SELECT n.n1, n.n2,
+       CAST(r1.r1x2 - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(r1.r1x2 - n.n1 * (n.n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       1.0 - (CAST(r1.r1x2 - n.n1 * (n.n1 + 1) AS DOUBLE)
+              / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)))
+         AS rank_biserial
+FROM r1, n
+"""
+
+
+@query("events_mannwhitney_u", oracle=_MWU_ORACLE, category="D")
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test ('F' vs 'O' order totals) in exact
+    integers: tie-averaged midranks are kept in DOUBLED units
+    (midrank·2 = 2·(rank_start) + (ties−1), always integral), so the
+    rank sum and U statistic are exact BIGINTs on any engine and
+    partitioning; the reported U and the rank-biserial effect size
+    (1 − 2U/(n1·n2), the common-language effect) are two pinned float
+    steps at the very end. Completes the nonparametric pair with
+    ``events_ks_test`` — U detects location shift, KS any shape
+    difference.
+
+    Scale: same envelope as the KS key — per-distinct-value counts, one
+    global ordered cumsum (binned variant at extreme cardinality), one
+    integer dot-product aggregation."""
+    from pyspark.sql.window import Window
+
+    s = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").alias("x"), F.col("o_orderstatus").alias("g")
+        )
+    )
+    pts = s.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a1"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    rk = pts.select(
+        "a1",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"),
+    )
+    r1 = rk.agg(
+        F.sum(
+            F.col("a1") * (2 * (F.col("before") + 1) + (F.col("cnt") - 1))
+        )
+        .cast("bigint")
+        .alias("r1x2")
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return r1.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        u1x2.cast("bigint").alias("u1_x2"),
+        (u1x2.cast("double") / 2.0).alias("u1"),
+        (
+            F.lit(1.0)
+            - (
+                u1x2.cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            )
+        ).alias("rank_biserial"),
+    )

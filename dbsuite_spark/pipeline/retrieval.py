@@ -241,15 +241,13 @@ def sim_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = e.filter(F.col("vec_id") % RRF_QMOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
     )
+    # broadcast the SMALL query side; the corpus streams through one scan
     pairs = (
-        qe.crossJoin(
-            F.broadcast(
-                e.select(
-                    F.col("vec_id").alias("cand_id"),
-                    F.col("embedding").alias("cemb"),
-                )
-            )
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cemb"),
         )
+        .crossJoin(F.broadcast(qe))
         .filter(F.col("cand_id") != F.col("qid"))
         .withColumn("cos_sim", cosine(F.col("qemb"), F.col("cemb")))
     )

@@ -38,6 +38,14 @@ KEYS = [
     "graph_link_prediction_ra",
     "graph_label_propagation",
     "docs_length_curriculum",
+    "ml_feature_standardize",
+    "rec_copurchase_topk",
+    "dedup_incremental_batch",
+    "sim_search_rrf_fusion",
+    "sim_search_ann_recall",
+    "events_ks_test",
+    "events_mannwhitney_u",
+    "etl_row_level_delete",
 ]
 
 

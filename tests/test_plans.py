@@ -642,3 +642,20 @@ def test_label_propagation_partial_counts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_label_propagation")
     assert "CartesianProduct" not in plan
     assert n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_rrf_broadcasts_query_side(spark, sf_dir):
+    """The fusion's dense pass must broadcast the small query side and
+    stream the corpus — never broadcast or shuffle the corpus for it."""
+    plan = plan_of(spark, sf_dir, "sim_search_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_ks_and_mwu_single_scan_integer_agg(spark, sf_dir):
+    """Both rank tests reduce to per-value counts + one ordered cumsum:
+    no join of the fact against itself, partial+final combine."""
+    for key in ("events_ks_test", "events_mannwhitney_u"):
+        plan = plan_of(spark, sf_dir, key)
+        assert n_nodes(plan, "HashAggregate") >= 2, key
+        assert "CartesianProduct" not in plan, key

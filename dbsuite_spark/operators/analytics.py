@@ -516,6 +516,108 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 24  # autocorrelogram depth: one diurnal cycle of hours
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, list(v ORDER BY hour_ts) AS vals
+  FROM b GROUP BY event_type),
+m AS (
+  SELECT event_type, vals, len(vals) AS n,
+         list_reduce(vals, (a, x) -> a + x) / len(vals) AS mu
+  FROM l WHERE len(vals) > {ACF_MAX_LAG}),
+d AS (
+  SELECT event_type, vals, n, mu,
+         list_reduce(list_transform(vals, x -> (x - mu) * (x - mu)),
+                     (a, x) -> a + x) AS den
+  FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n, lag,
+       list_reduce(
+         list_transform(generate_series(1, CAST(n AS BIGINT) - lag),
+                        i -> (vals[i] - mu) * (vals[CAST(i + lag AS BIGINT)] - mu)),
+         (a, x) -> a + x) / den AS acf
+FROM d, unnest(generate_series(1, {ACF_MAX_LAG})) t(lag)
+""",
+    category="E",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelogram: ACF at lags 1..24 h for each type's hourly
+    series — the seasonality detector (a diurnal cycle shows as a peak
+    at lag 24). Mean, denominator, and every lagged product sum are
+    sequential left-to-right folds over the hour-ordered value list with
+    the FIRST element as the fold seed on both engines (no 0.0 init, so
+    the op sequences are textually identical and every double matches
+    bit-for-bit — the ``ts_ewma`` discipline, scalar accumulator only,
+    which also sidesteps the DuckDB struct-lambda fold bug noted at
+    ``ts_holt_linear``).
+
+    Scale: series are bounded per type-month (≤744 points), so the
+    per-type O(lag·n) fold work is a small constant on top of the one
+    decimal-exact bucket shuffle; unbounded series would window by
+    month first."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    lst = b.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_ts", "v"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda x: x["v"])
+
+    def fold_sum(arr):  # first-element seed, sequential adds — both engines
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda a, x: a + x,
+        )
+
+    n = F.size(vals)
+    base = lst.filter(n > ACF_MAX_LAG).select(
+        "event_type",
+        vals.alias("vals"),
+        n.alias("n"),
+        (fold_sum(vals) / n).alias("mu"),
+    )
+    dev2 = F.transform(
+        F.col("vals"), lambda x: (x - F.col("mu")) * (x - F.col("mu"))
+    )
+    d = base.select(
+        "event_type", "vals", "n", "mu", fold_sum(dev2).alias("den")
+    )
+    lags = d.select(
+        "event_type",
+        "vals",
+        "n",
+        "mu",
+        "den",
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    )
+    prods = F.transform(
+        F.sequence(F.lit(1), F.col("n").cast("long") - F.col("lag")),
+        lambda i: (F.element_at(F.col("vals"), i.cast("int")) - F.col("mu"))
+        * (
+            F.element_at(
+                F.col("vals"), (i + F.col("lag")).cast("int")
+            )
+            - F.col("mu")
+        ),
+    )
+    return lags.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "lag",
+        (fold_sum(prods) / F.col("den")).alias("acf"),
+    )
+
+
 MEDIAN_FRAME = 24  # sliding frame width in hours
 
 
@@ -750,6 +852,82 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+WITH firstbuy AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+cells AS (
+  SELECT CAST(date_trunc('week', f.t0) AS TIMESTAMP) AS cohort_week,
+         (epoch_us(date_trunc('day', e.ts))
+          - epoch_us(date_trunc('day', f.t0))) // {_WEEK_US} AS week_offset,
+         {DSUM("e.value")} AS revenue,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers
+  FROM events e JOIN firstbuy f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       revenue, n_buyers,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+           PARTITION BY cohort_week ORDER BY week_offset
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM cells
+""",
+    category="E",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — the revenue companion to
+    ``events_retention_cohort``: purchase revenue per (first-purchase
+    week, whole-week offset) cell plus the running cumulative LTV down
+    each cohort row. Cell revenue is the decimal-exact DSUM; the
+    cumulative is a DECIMAL(18,6) window sum (exact, associative — safe
+    against DuckDB's non-sequential segment-tree double windows, the
+    same hazard ``ts_changepoint_cusum`` documents), cast to double only
+    at the edge.
+
+    Scale: first-purchase is one map-side MIN shuffle; the fact joins it
+    co-partitioned on user_id; the triangle and its running sums live on
+    a (cohorts × offsets)-bounded table."""
+    e = t(spark, sf_dir, "events")
+    buys = e.filter(F.col("event_type") == "purchase")
+    firstbuy = buys.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    cells = (
+        buys.join(firstbuy, "user_id")
+        .groupBy(
+            F.date_trunc("week", F.col("t0")).alias("cohort_week"),
+            (
+                (
+                    F.unix_micros(F.date_trunc("day", F.col("ts")))
+                    - F.unix_micros(F.date_trunc("day", F.col("t0")))
+                )
+                / F.lit(_WEEK_US)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(
+            dsum(F.col("value")).alias("revenue"),
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "revenue",
+        "n_buyers",
+        F.sum(F.col("revenue").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
     )
 
 

@@ -604,3 +604,107 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_click_ts"),
         ).alias("prev_click_ts"),
     )
+
+
+_PIT_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value AS label_value FROM events
+  WHERE event_type = 'purchase'),
+lastc AS (
+  SELECT event_id, c_ts, c_val FROM (
+    SELECT p.event_id, c.ts AS c_ts, c.value AS c_val,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM p JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts < p.ts) WHERE rn = 1),
+lastv AS (
+  SELECT event_id, v_ts, v_val FROM (
+    SELECT p.event_id, v.ts AS v_ts, v.value AS v_val,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts < p.ts) WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.label_value,
+       lastc.c_val AS click_value, lastv.v_val AS view_value,
+       CAST(epoch_us(p.ts) - epoch_us(lastc.c_ts) AS BIGINT)
+         AS click_age_us,
+       CAST(epoch_us(p.ts) - epoch_us(lastv.v_ts) AS BIGINT)
+         AS view_age_us
+FROM p
+LEFT JOIN lastc ON p.event_id = lastc.event_id
+LEFT JOIN lastv ON p.event_id = lastv.event_id
+"""
+
+
+@query("ml_pit_feature_join", oracle=_PIT_ORACLE, category="C")
+def ml_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join — the feature-store primitive behind
+    leakage-free training sets: every purchase (the label event) is
+    enriched with the value and age of the user's latest STRICTLY-prior
+    click and view. One union of the three roles and ONE window pass per
+    user carries both feature structs (``last(ignorenulls)`` over
+    (ts, role, event_id) order, labels sorting before same-timestamp
+    features so equal-time features are excluded — no future leakage,
+    and the struct carry makes the picked value deterministic even under
+    tied timestamps, unlike a bare MAX(ts) + rejoin). Ages are exact
+    integer microsecond deltas.
+
+    Scale: the multi-feature extension of ``join_asof`` — still one
+    shuffle on user_id for ANY number of feature sources, versus one
+    range join per source in the naive formulation; window state is one
+    struct per feature."""
+    e = t(spark, sf_dir, "events")
+
+    def role(et: str, r: int, carry: str):
+        base = e.filter(F.col("event_type") == et)
+        cs = F.struct("ts", "event_id", "value")
+        return base.select(
+            "user_id",
+            "ts",
+            F.lit(r).alias("role"),
+            "event_id",
+            (F.col("value") if et == "purchase" else F.lit(None).cast("double")).alias(
+                "label_value"
+            ),
+            (cs if carry == "c" else F.lit(None).cast(
+                "struct<ts:timestamp,event_id:bigint,value:double>"
+            )).alias("c_feat"),
+            (cs if carry == "v" else F.lit(None).cast(
+                "struct<ts:timestamp,event_id:bigint,value:double>"
+            )).alias("v_feat"),
+        )
+
+    merged = (
+        role("purchase", 0, "")
+        .unionByName(role("click", 1, "c"))
+        .unionByName(role("view", 1, "v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = merged.select(
+        "user_id",
+        "ts",
+        "role",
+        "event_id",
+        "label_value",
+        F.last("c_feat", ignorenulls=True).over(w).alias("lc"),
+        F.last("v_feat", ignorenulls=True).over(w).alias("lv"),
+    ).filter(F.col("role") == 0)
+    return out.select(
+        "event_id",
+        "user_id",
+        "label_value",
+        F.col("lc.value").alias("click_value"),
+        F.col("lv.value").alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("lc.ts"))
+        .cast("bigint")
+        .alias("click_age_us"),
+        (F.unix_micros("ts") - F.unix_micros("lv.ts"))
+        .cast("bigint")
+        .alias("view_age_us"),
+    )

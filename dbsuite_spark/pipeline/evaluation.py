@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dbsuite_spark.pipeline.text_extra import text_langid_ngram
 from dbsuite_spark.registry import query, spec
+from dbsuite_spark.tables import t
 
 _PRED_ORACLE = spec("text_langid_ngram").oracle
 
@@ -141,4 +142,52 @@ def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_overlap", F.lit(0)).cast("double") / RECALL_K
             ).alias("recall_at_k"),
         )
+    )
+
+
+def _knn_eval_oracle() -> str:
+    knn_sql = spec("knn_classify_majority").oracle
+    return f"""
+WITH pred AS (SELECT * FROM ({knn_sql})),
+cells AS (
+  SELECT e.label AS true_label, p.predicted_label,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred p JOIN embeddings e ON p.qid = e.vec_id
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+SELECT true_label, predicted_label, n,
+       CAST(n AS DOUBLE) / total AS share,
+       true_label = predicted_label AS correct
+FROM cells, tot
+"""
+
+
+@query("ml_knn_eval", oracle=_knn_eval_oracle(), category="L")
+def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the k-NN majority classifier against the
+    embeddings' labeled ``label`` column — the embedding-space sibling
+    of ``text_langid_eval``, composing the verified classifier oracle as
+    a CTE so the eval's truth derives from the same prediction
+    semantics. Summing ``share`` over ``correct`` rows is the accuracy.
+
+    Scale: the classifier bounds its own cost; the eval adds one
+    broadcast-size join and a tiny confusion aggregation."""
+    from dbsuite_spark.pipeline.similarity import knn_classify_majority
+
+    pred = knn_classify_majority(spark, sf_dir)
+    labels = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    cells = (
+        pred.join(labels, "qid")
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "true_label",
+        "predicted_label",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.col("true_label") == F.col("predicted_label")).alias("correct"),
     )

@@ -46,6 +46,9 @@ KEYS = [
     "events_ks_test",
     "events_mannwhitney_u",
     "etl_row_level_delete",
+    "events_cohort_ltv",
+    "ts_autocorrelation",
+    "ml_pit_feature_join",
 ]
 
 

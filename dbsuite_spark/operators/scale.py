@@ -312,3 +312,73 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS total_rows,
+         CAST(MAX(n) AS BIGINT) AS max_rows,
+         ROUND(quantile_cont(n, 0.5), 6) AS p50_rows,
+         ROUND(quantile_cont(n, 0.99), 6) AS p99_rows
+  FROM k),
+top1 AS (
+  SELECT CAST(MIN(key) AS BIGINT) AS hottest_key FROM k
+  WHERE n = (SELECT MAX(n) FROM k))
+SELECT t.n_keys, t.total_rows, t.max_rows, t.p50_rows, t.p99_rows,
+       CAST(t.max_rows AS DOUBLE) / t.p50_rows AS skew_ratio,
+       CAST(t.max_rows AS DOUBLE) / t.total_rows AS top1_share,
+       h.hottest_key
+FROM tot t, top1 h
+"""
+
+
+@query("etl_join_skew_report", oracle=_SKEW_ORACLE, category="K")
+def etl_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the pre-flight for every wide join in
+    this repo's scale notes (``join_salted_skew``, the graph 2-hop keys,
+    co-purchase): per-key row counts of the fact's supplier key reduced
+    to the ops dashboard numbers — key count, max/median/p99 per-key
+    rows, max:median skew ratio, the hottest key's share of all rows,
+    and which key it is (min id on ties). Counts are exact integers;
+    the two ratios are single pinned divisions; percentiles follow the
+    ``agg_percentile_exact`` cross-engine interpolation (6-dp rounded).
+
+    Scale: one partial+final count per key, then constant-size
+    aggregates over the reduced (key, n) table — the profile that
+    decides between plain shuffle, AQE skew split, and salting BEFORE
+    the expensive join runs."""
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_rows"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_rows"),
+    )
+    mx = k.agg(F.max("n").alias("mxn"))
+    top1 = (
+        k.crossJoin(F.broadcast(mx))
+        .filter(F.col("n") == F.col("mxn"))
+        .agg(F.min("key").cast("bigint").alias("hottest_key"))
+    )
+    return tot.crossJoin(F.broadcast(top1)).select(
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        "p50_rows",
+        "p99_rows",
+        (F.col("max_rows").cast("double") / F.col("p50_rows")).alias(
+            "skew_ratio"
+        ),
+        (F.col("max_rows").cast("double") / F.col("total_rows")).alias(
+            "top1_share"
+        ),
+        "hottest_key",
+    )

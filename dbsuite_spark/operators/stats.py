@@ -1068,3 +1068,86 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rank_biserial"),
     )
+
+
+BOT_CV2_THRESHOLD_PCT = 25  # flag users whose gap cv² < 0.25 (too regular)
+BOT_MIN_EVENTS = 20
+
+
+_BOT_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+           AS gap_s
+  FROM events),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+  FROM g WHERE gap_s IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(gap_s) >= {BOT_MIN_EVENTS})
+SELECT user_id, n_gaps,
+       CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
+       CAST(n_gaps * s2 - s1 * s1 AS BIGINT) AS cv2_num,
+       CAST(s1 * s1 AS BIGINT) AS cv2_den,
+       (n_gaps * s2 - s1 * s1) * 100 < s1 * s1 * {BOT_CV2_THRESHOLD_PCT}
+         AS bot_flag
+FROM m
+"""
+
+
+@query("events_bot_score", oracle=_BOT_ORACLE, category="L")
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-arrival regularity — a standard
+    corpus-curation filter (machine traffic shows unnaturally even
+    gaps). Per user with ≥20 gaps: the squared coefficient of variation
+    of whole-second gaps is kept as an exact integer RATIO
+    (cv² = (n·Σg² − (Σg)²)/(Σg)², both sides BIGINT — second-granularity
+    gaps keep n·Σg² inside int64 for month-scale spans), and the flag
+    cv² < 0.25 is an INTEGER cross-multiplied comparison — no float
+    enters the decision, so the verdict is bit-deterministic on any
+    engine or partitioning. Mean gap is the one pinned float division,
+    for the dashboard.
+
+    Scale: one window pass per user for gaps (the ``win_sessionize``
+    exchange), one partial+final integer moment aggregation; output is
+    bounded by qualifying users."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer DIV, not float '/': a float quotient near an integer
+    # boundary can round across it before the cast, diverging from the
+    # oracle's exact floor division
+    g = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).select(
+        "user_id", F.expr("gap_us div 1000000").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= BOT_MIN_EVENTS)
+    )
+    num = F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("s1") * F.col("s1")
+    return m.select(
+        "user_id",
+        "n_gaps",
+        (F.col("s1").cast("double") / F.col("n_gaps")).alias("mean_gap_s"),
+        num.cast("bigint").alias("cv2_num"),
+        den.cast("bigint").alias("cv2_den"),
+        (num * 100 < den * BOT_CV2_THRESHOLD_PCT).alias("bot_flag"),
+    )

@@ -1325,3 +1325,86 @@ def ts_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+_SEN_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, (b2.v - a.v) / (b2.h - a.h) AS slope
+  FROM b a JOIN b b2
+    ON a.event_type = b2.event_type AND a.h < b2.h),
+sen AS (
+  SELECT event_type, ROUND(quantile_cont(slope, 0.5), 6) AS sen_slope,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY event_type),
+icept AS (
+  SELECT b.event_type,
+         ROUND(quantile_cont(b.v - s.sen_slope * b.h, 0.5), 6)
+           AS intercept,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM b JOIN sen s ON b.event_type = s.event_type
+  GROUP BY b.event_type)
+SELECT s.event_type, i.n_points, s.n_pairs, s.sen_slope, i.intercept
+FROM sen s JOIN icept i ON s.event_type = i.event_type
+"""
+
+
+@query("ts_theil_sen_trend", oracle=_SEN_ORACLE, category="E")
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per hourly series: the slope is the MEDIAN
+    of all pairwise slopes (up to ~29% outlier breakdown vs OLS's zero),
+    the intercept the median residual at that slope. Hour indices are
+    exact integers (epoch-μs floor-divided to hours), each pairwise
+    slope is one identical IEEE division on both engines, and both
+    medians are the pinned ``quantile_cont`` interpolation rounded to
+    6 dp (the ``agg_percentile_exact`` discipline). Completes the trend
+    toolkit: OLS (``agg_regr``), smoothing (``ts_holt_linear``),
+    level shift (``ts_changepoint_cusum``), seasonality
+    (``ts_autocorrelation``).
+
+    Scale: the O(n²) pair join is per-series and series are bounded per
+    type-month (≤744 points → ≤276k pairs), co-partitioned on the type
+    key; for unbounded series the documented estimator is repeated-median
+    over bounded windows or a deterministic pair sample."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(date_trunc('hour', ts)) div 3600000000"
+        ).alias("h"),
+    ).agg(dsum(F.col("value")).alias("v"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = a.join(
+        b2,
+        (F.col("a.event_type") == F.col("b2.event_type"))
+        & (F.col("a.h") < F.col("b2.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b2.v") - F.col("a.v")) / (F.col("b2.h") - F.col("a.h"))
+        ).alias("slope"),
+    )
+    sen = pairs.groupBy("event_type").agg(
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("sen_slope"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    icept = (
+        b.join(F.broadcast(sen), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(
+                    F.col("v") - F.col("sen_slope") * F.col("h"), F.lit(0.5)
+                ),
+                6,
+            ).alias("intercept"),
+            F.count("*").cast("bigint").alias("n_points"),
+        )
+    )
+    return sen.join(icept, "event_type").select(
+        "event_type", "n_points", "n_pairs", "sen_slope", "intercept"
+    )

@@ -341,3 +341,69 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed once and inlined as identical
+# 10-dp literals on both engines (libm log10 is not correctly rounded, so
+# neither side computes it at query time)
+BENFORD_P = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+    4: 0.0969100130, 5: 0.0791812460, 6: 0.0669467896,
+    7: 0.0579919470, 8: 0.0511525224, 9: 0.0457574906,
+}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in BENFORD_P.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS first_digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+  GROUP BY first_digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT first_digit, n,
+       CAST(n AS DOUBLE) / total AS obs_share,
+       {_BENFORD_CASE} AS benford_share,
+       abs(CAST(n AS DOUBLE) / total - {_BENFORD_CASE}) AS abs_dev
+FROM c, tot
+"""
+
+
+@query("agg_benford_profile", oracle=_BENFORD_ORACLE, category="D")
+def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen: per leading digit, the exact count, the
+    observed share (one pinned division), the expected Benford share
+    (log10(1+1/d) precomputed and inlined as identical literals — no
+    query-time transcendental, which libm would not round identically),
+    and the absolute deviation. The first digit is extracted via the
+    integer's string form (both engines render BIGINTs identically),
+    never float log10.
+
+    Scale: one row-local digit projection + a 9-group integer count with
+    map-side combine; the profile is 9 rows at any data size."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    c = d.groupBy("first_digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    bp = F.create_map(
+        *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+    )[F.col("first_digit")]
+    obs = F.col("n").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n",
+        obs.alias("obs_share"),
+        bp.alias("benford_share"),
+        F.abs(obs - bp).alias("abs_dev"),
+    )

@@ -1408,3 +1408,109 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sen.join(icept, "event_type").select(
         "event_type", "n_points", "n_pairs", "sen_slope", "intercept"
     )
+
+
+_MK_S = 1_000_000_000_000  # stationary mass units (10^12)
+_MK_P = 1_000_000  # transition-probability units (10^6)
+# products stay ≤ 10^18 < 2^63: the two scales are chosen together
+
+
+def _MK_PRELUDE() -> str:
+    return f"""
+ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+pm AS (
+  SELECT prev_type, next_type,
+         CAST((n * {_MK_P}) // SUM(n) OVER (PARTITION BY prev_type)
+              AS BIGINT) AS pu
+  FROM pairs),
+states AS (SELECT DISTINCT prev_type AS state FROM pairs),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+pi0 AS (SELECT state, CAST({_MK_S} AS BIGINT) // n AS mu FROM states, ns)
+"""
+
+
+def _MK_STEP(i: int) -> str:
+    return f"""
+pi{i} AS (
+  SELECT m.next_type AS state,
+         CAST(SUM((p.mu * m.pu) // {_MK_P}) AS BIGINT) AS mu
+  FROM pm m JOIN pi{i - 1} p ON m.prev_type = p.state
+  GROUP BY m.next_type)
+"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle=(
+        "WITH " + _MK_PRELUDE() + ","
+        + ",".join(_MK_STEP(i) for i in (1, 2, 3))
+        + f"\nSELECT state, mu AS stationary_units, "
+        f"CAST(mu AS DOUBLE) / {_MK_S} AS stationary_p FROM pi3"
+    ),
+    category="E",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain by three
+    power-method iterations, ENTIRELY in scaled integers: transition
+    probabilities quantized to 10^6 units (floor of n·10^6 / row total),
+    mass vectors in 10^12 units, every propagation term floor-divided
+    per edge before the integer sum — the ``graph_pagerank_fixed``
+    trick, so the long-run state mix (where user attention converges)
+    is bit-identical across engines and partitionings. The unit scales
+    are chosen so products stay under 2^63.
+
+    Scale: the matrix is |alphabet|² rows after one user_id-window
+    shuffle; each iteration is a join+grouped-integer-sum over that tiny
+    matrix — a static 3-stage DAG, no driver loop, no collect."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    pm = pairs.select(
+        "prev_type",
+        "next_type",
+        (F.col("n") * _MK_P).cast("bigint").alias("num"),
+        F.sum("n").over(w_row).alias("row_total"),
+    ).select(
+        "prev_type",
+        "next_type",
+        F.expr("num div row_total").cast("bigint").alias("pu"),
+    )
+    states = pairs.select(F.col("prev_type").alias("state")).distinct()
+    n_df = states.agg(F.count("*").alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_df)).select(
+        "state", F.expr(f"CAST({_MK_S} AS BIGINT) div ns").alias("mu")
+    )
+    for _ in range(3):
+        pi = (
+            pm.join(pi, pm.prev_type == pi.state)
+            .select(
+                F.col("next_type"),
+                F.expr(f"(mu * pu) div {_MK_P}").alias("term"),
+            )
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum("term").cast("bigint").alias("mu"))
+        )
+    return pi.select(
+        "state",
+        F.col("mu").alias("stationary_units"),
+        (F.col("mu").cast("double") / _MK_S).alias("stationary_p"),
+    )

@@ -1514,3 +1514,79 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mu").alias("stationary_units"),
         (F.col("mu").cast("double") / _MK_S).alias("stationary_p"),
     )
+
+
+MAD_K = 0.6745  # standard-normal consistency constant
+MAD_CUT = 3.5  # Iglewicz-Hoaglin modified z-score threshold
+
+
+_MAD_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS med
+  FROM b GROUP BY event_type),
+mad AS (
+  SELECT b.event_type,
+         ROUND(quantile_cont(abs(b.v - m.med), 0.5), 6) AS mad
+  FROM b JOIN med m ON b.event_type = m.event_type
+  GROUP BY b.event_type)
+SELECT b.event_type, b.hour_ts, b.v, m.med, d.mad,
+       {MAD_K} * (b.v - m.med) / d.mad AS robust_z,
+       abs({MAD_K} * (b.v - m.med) / d.mad) > {MAD_CUT} AS is_anomaly
+FROM b
+JOIN med m ON b.event_type = m.event_type
+JOIN mad d ON b.event_type = d.event_type
+WHERE d.mad > 0
+"""
+
+
+@query("ts_anomaly_mad", oracle=_MAD_ORACLE, category="E")
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by the modified z-score (Iglewicz &
+    Hoaglin): each hourly bucket scored as 0.6745·(v − median)/MAD with
+    the |z| > 3.5 flag — unlike ``events_anomaly_zscore``, the outliers
+    themselves cannot inflate the scale estimate, so bursts don't mask
+    each other. Median and MAD follow the pinned ``quantile_cont``
+    interpolation rounded to 6 dp; the score is one pinned float
+    expression mirrored term-for-term, so rows AND flags hash-match
+    exactly.
+
+    Scale: one decimal-exact bucket shuffle, two aggregations over the
+    already-reduced bucket table, and two broadcast joins of per-type
+    scalars — the corpus is touched once."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    med = b.groupBy("event_type").agg(
+        F.round(F.percentile("v", F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        b.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad")
+        )
+    )
+    z = F.lit(MAD_K) * (F.col("v") - F.col("med")) / F.col("mad")
+    return (
+        b.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "hour_ts",
+            "v",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+            (F.abs(z) > MAD_CUT).alias("is_anomaly"),
+        )
+    )

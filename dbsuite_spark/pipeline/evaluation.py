@@ -191,3 +191,78 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("total")).alias("share"),
         (F.col("true_label") == F.col("predicted_label")).alias("correct"),
     )
+
+
+def _ivf_recall_oracle() -> str:
+    exact_sql = spec("sim_search_cosine_topk").oracle
+    ann_sql = spec("sim_search_ann_ivf").oracle
+    return f"""
+WITH exact_k AS (SELECT * FROM ({exact_sql})),
+ann_k AS (SELECT * FROM ({ann_sql})),
+hits AS (
+  SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM exact_k e JOIN ann_k a
+    ON e.qid = a.qid AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.qid),
+base AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact_k
+  GROUP BY qid),
+annc AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann_k
+  GROUP BY qid)
+SELECT b.qid, b.n_exact,
+       CAST(COALESCE(a.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / {RECALL_K}
+         AS recall_at_k
+FROM base b
+LEFT JOIN annc a ON b.qid = a.qid
+LEFT JOIN hits h ON b.qid = h.qid
+"""
+
+
+@query("sim_search_ivf_recall", oracle=_ivf_recall_oracle(), category="L")
+def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF (inverted-file) ANN index against
+    the exact brute-force top-k — the sibling dashboard of
+    ``sim_search_ann_recall``; comparing the two recall columns is how a
+    deployment picks between the sign-LSH and IVF index families (and
+    tunes nprobe) on its own corpus.
+
+    Scale: identical envelope — both searches bound their own cost; the
+    eval joins k·|queries|-row frames."""
+    from dbsuite_spark.pipeline.similarity import (
+        sim_search_ann_ivf,
+        sim_search_cosine_topk,
+    )
+
+    exact_k = sim_search_cosine_topk(spark, sf_dir).select(
+        "qid", "neighbor_id"
+    )
+    ann_k = sim_search_ann_ivf(spark, sf_dir).select("qid", "neighbor_id")
+    hits = (
+        exact_k.join(ann_k, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    base = exact_k.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    annc = ann_k.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_ann")
+    )
+    return (
+        base.join(annc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / RECALL_K
+            ).alias("recall_at_k"),
+        )
+    )

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbsuite_spark.exact import DAVG, davg, dsum
+from dbsuite_spark.exact import DAVG, DSUM, davg, dsum
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
@@ -452,4 +452,69 @@ def docs_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             F.coalesce(F.col("vocab_id"), F.lit(0)).alias("token_id"),
         )
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH terms AS ({_TERMS_SQL}),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM terms GROUP BY term),
+top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {VOCAB_SIZE}),
+xy AS (
+  SELECT ROUND(ln(CAST(row_number() OVER (ORDER BY n DESC, term)
+                       AS DOUBLE)), 6) AS x,
+         ROUND(ln(CAST(n AS DOUBLE)), 6) AS y
+  FROM top),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         {DSUM('x')} AS sx, {DSUM('y')} AS sy,
+         {DSUM('x * y')} AS sxy, {DSUM('x * x')} AS sxx
+  FROM xy)
+SELECT m AS n_terms,
+       (m * sxy - sx * sy) / (m * sxx - sx * sx) AS zipf_slope,
+       (sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m
+         AS intercept
+FROM s
+"""
+
+
+@query("docs_zipf_fit", oracle=_ZIPF_ORACLE, category="L")
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log-frequency against log-rank over the top-V terms — natural text
+    sits near −1, and the slope drifting is a cheap tripwire for
+    template/boilerplate floods or synthetic contamination in a crawl.
+    Logs are rounded to 6 dp first (libm ``ln`` is not correctly
+    rounded; rounding absorbs the ulp, the idf precedent), the moment
+    sums are decimal-exact, and the slope/intercept are pinned float
+    expressions mirrored term-for-term.
+
+    Scale: reuses the vocabulary shape — partial+final term counts, a
+    TakeOrderedAndProject top-V cut, and the regression runs over
+    exactly V rows."""
+    counts = (
+        _terms(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 6).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("m"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    return s.select(
+        m.alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / m).alias("intercept"),
     )

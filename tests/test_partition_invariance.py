@@ -49,6 +49,13 @@ KEYS = [
     "events_cohort_ltv",
     "ts_autocorrelation",
     "ml_pit_feature_join",
+    "events_markov_stationary",
+    "ts_anomaly_mad",
+    "agg_benford_profile",
+    "events_bot_score",
+    "etl_join_skew_report",
+    "docs_zipf_fit",
+    "ts_theil_sen_trend",
 ]
 
 

@@ -1151,3 +1151,124 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("bigint").alias("cv2_den"),
         (num * 100 < den * BOT_CV2_THRESHOLD_PCT).alias("bot_flag"),
     )
+
+
+_GINI_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+r AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+  FROM u),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM r)
+SELECT n, sx AS total_events,
+       CAST(2 * six - (n + 1) * sx AS BIGINT) AS gini_num,
+       CAST(n * sx AS BIGINT) AS gini_den,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx) AS gini
+FROM s
+"""
+
+
+@query("events_lorenz_gini", oracle=_GINI_ORACLE, category="D")
+def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the single-number
+    inequality readout behind every Lorenz curve (0 = uniform,
+    → 1 = one user dominates), computed from the exact rank identity
+    G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) with integer counts and integer
+    rank products; ties in x leave Σ i·x unchanged, so the ranked sum
+    is well-defined, and the numerator/denominator ship as exact
+    BIGINTs beside the one pinned float division. Companion to
+    ``agg_revenue_concentration``'s top-decile share.
+
+    Scale: one per-user count shuffle, one global rank over the reduced
+    user table (at extreme user counts: bucket by count histogram and
+    rank bucket-wise — same integers), one moment aggregation."""
+    from pyspark.sql.window import Window
+
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    r = u.select("x", F.row_number().over(w).cast("bigint").alias("i"))
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    num = 2 * F.col("six") - (F.col("n") + 1) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return s.select(
+        "n",
+        F.col("sx").alias("total_events"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den).alias("gini"),
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+_WINSOR_ORACLE = f"""
+WITH b AS (
+  SELECT o_orderstatus,
+         ROUND(quantile_cont(o_totalprice, {WINSOR_LO}), 6) AS lo,
+         ROUND(quantile_cont(o_totalprice, {WINSOR_HI}), 6) AS hi
+  FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderstatus, {BIGCOUNT()} AS n, b.lo AS p05, b.hi AS p95,
+       {DSUM("LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)")} / COUNT(*)
+         AS winsorized_mean,
+       {DSUM("CASE WHEN o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi THEN o.o_totalprice END")}
+         / COUNT(CASE WHEN o.o_totalprice >= b.lo
+                       AND o.o_totalprice <= b.hi THEN 1 END)
+         AS trimmed_mean
+FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+GROUP BY o.o_orderstatus, b.lo, b.hi
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE, category="D")
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of order totals per status — the
+    robust location estimates a metrics layer prefers when a few whale
+    orders would drag the plain mean. Bounds are the pinned 6-dp-rounded
+    p05/p95; clamping (LEAST/GREATEST) and the in-range filter are exact
+    comparisons; both means go through decimal-exact sums divided by
+    exact counts.
+
+    Scale: one quantile pass over each group, a broadcast of the per-
+    group bound pairs, then one partial+final aggregation — the corpus
+    is scanned twice (bounds, then means), the standard two-pass robust
+    estimator shape; a t-digest sketch collapses it to one pass at the
+    cost of exactness."""
+    o = t(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    j = o.join(F.broadcast(b), "o_orderstatus")
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    in_rng = (F.col("o_totalprice") >= F.col("lo")) & (
+        F.col("o_totalprice") <= F.col("hi")
+    )
+    return j.groupBy("o_orderstatus", "lo", "hi").agg(
+        F.count("*").alias("n"),
+        (dsum(clamped) / F.count("*")).alias("winsorized_mean"),
+        (
+            dsum(F.when(in_rng, F.col("o_totalprice")))
+            / F.count(F.when(in_rng, 1))
+        ).alias("trimmed_mean"),
+    ).select(
+        "o_orderstatus",
+        "n",
+        F.col("lo").alias("p05"),
+        F.col("hi").alias("p95"),
+        "winsorized_mean",
+        "trimmed_mean",
+    )

@@ -518,3 +518,90 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((sy - slope * sx) / m).alias("intercept"),
     )
+
+
+HEAPS_BUCKETS = 20
+
+
+_HEAPS_ORACLE = f"""
+WITH terms AS ({_TERMS_SQL}),
+first_seen AS (
+  SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM terms GROUP BY term),
+buckets AS (
+  SELECT doc_id,
+         CAST(NTILE({HEAPS_BUCKETS}) OVER (ORDER BY doc_id) AS INT)
+           AS bucket
+  FROM (SELECT DISTINCT doc_id FROM terms)),
+new_terms AS (
+  SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen f JOIN buckets b ON f.first_doc = b.doc_id
+  GROUP BY b.bucket),
+docs_per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM buckets
+  GROUP BY bucket)
+SELECT d.bucket, d.n_docs,
+       CAST(SUM(d.n_docs) OVER (ORDER BY d.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_terms,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM docs_per d LEFT JOIN new_terms n ON d.bucket = n.bucket
+"""
+
+
+@query("docs_heaps_curve", oracle=_HEAPS_ORACLE, category="L")
+def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: the corpus is cut into 20
+    equal-document buckets in doc_id order and each bucket reports the
+    NEW terms it introduces (terms whose first-seen doc lands there)
+    plus the cumulative vocabulary — sublinear growth is healthy natural
+    text; a flattening curve means the crawl has started re-reading
+    itself, and a steep late jump flags an injected foreign corpus. The
+    Zipf fit's (``docs_zipf_fit``) growth-side companion. All integers.
+
+    Scale: first-seen is one MIN aggregation over the term space
+    (partial+final); the bucket cut is an NTILE over the distinct doc
+    list (at extreme doc counts: hash docs to fixed ranges instead);
+    the curve itself is a 20-row window."""
+    terms_df = _terms(spark, sf_dir)
+    first_seen = terms_df.groupBy("term").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    w_n = Window.orderBy("doc_id")
+    buckets = (
+        terms_df.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.ntile(HEAPS_BUCKETS).over(w_n).cast("int").alias("bucket"),
+        )
+    )
+    new_terms = (
+        first_seen.join(
+            buckets.withColumnRenamed("doc_id", "first_doc"), "first_doc"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    docs_per = buckets.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w_c = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        docs_per.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum("n_docs").over(w_c).cast("bigint").alias("cum_docs"),
+            F.coalesce("n_new", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_terms"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w_c)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )

@@ -1272,3 +1272,127 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_mean",
         "trimmed_mean",
     )
+
+
+_KM_ORACLE = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t_last,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id),
+obs AS (
+  SELECT user_id,
+         CAST((epoch_us(COALESCE(tp, t_last)) - epoch_us(t0)) // 86400000000
+              AS BIGINT) AS t_days,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM u),
+bytime AS (
+  SELECT t_days,
+         CAST(SUM(is_event) AS BIGINT) AS d,
+         CAST(SUM(1 - is_event) AS BIGINT) AS c
+  FROM obs GROUP BY t_days),
+risk AS (
+  SELECT t_days, d, c,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM obs)
+           - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+  FROM bytime),
+l AS (
+  SELECT list(t_days ORDER BY t_days) AS ts_,
+         list(d ORDER BY t_days) AS ds,
+         list(c ORDER BY t_days) AS cs,
+         list(n_risk ORDER BY t_days) AS ns,
+         list(CAST(n_risk - d AS DOUBLE) / n_risk ORDER BY t_days)
+           AS fs
+  FROM risk)
+SELECT ts_[i] AS t_days, ns[i] AS n_risk, ds[i] AS n_events,
+       cs[i] AS n_censored,
+       list_reduce(fs[1:i], (a, x) -> a * x) AS survival
+FROM l, unnest(generate_series(1, len(ts_))) t(i)
+"""
+
+
+@query("events_survival_km", oracle=_KM_ORACLE, category="D")
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase (censored
+    at each non-converting user's last activity): per distinct duration
+    day, the at-risk count (integer window cumsum), events, censorings,
+    and the product-limit survival estimate Π(1 − d/n). Every factor is
+    one pinned division of exact integers and the running product is a
+    first-element-seeded sequential fold over the day-ordered factor
+    list (the ``ts_ewma`` discipline) — bit-identical on both engines.
+    The conversion-latency readout growth teams actually use, with
+    censoring handled correctly rather than dropping non-converters.
+
+    Scale: one per-user aggregation (map-side MIN/MAX), a day-level
+    table bounded by the observation span, and the fold runs over that
+    bounded list — corpus touched once."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    obs = u.select(
+        F.expr(
+            "(unix_micros(coalesce(tp, t_last)) - unix_micros(t0))"
+            " div 86400000000"
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("is_event"),
+    )
+    bytime = obs.groupBy("t_days").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("c"),
+    )
+    n_total = obs.agg(F.count("*").cast("bigint").alias("n_total"))
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = bytime.crossJoin(F.broadcast(n_total)).select(
+        "t_days",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    l = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t_days", "d", "c", "n_risk"))
+        ).alias("rows")
+    )
+    fs = F.transform(
+        F.col("rows"),
+        lambda x: (x["n_risk"] - x["d"]).cast("double") / x["n_risk"],
+    )
+    n = F.size(F.col("rows"))
+    surv = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(fs, F.lit(2), i - 1),
+            F.element_at(fs, 1),
+            lambda a, x: a * x,
+        ),
+    )
+    zipped = F.arrays_zip(F.col("rows").alias("r"), surv.alias("s"))
+    return (
+        l.select(F.explode(zipped).alias("z"))
+        .select(
+            F.col("z.r.t_days").alias("t_days"),
+            F.col("z.r.n_risk").alias("n_risk"),
+            F.col("z.r.d").alias("n_events"),
+            F.col("z.r.c").alias("n_censored"),
+            F.col("z.s").alias("survival"),
+        )
+    )

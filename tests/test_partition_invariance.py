@@ -56,6 +56,7 @@ KEYS = [
     "etl_join_skew_report",
     "docs_zipf_fit",
     "ts_theil_sen_trend",
+    "events_survival_km",
 ]
 
 

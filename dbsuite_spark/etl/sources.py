@@ -530,6 +530,11 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CSV_CORRUPT_MOD = 10  # every 10th exported row is malformed
+# Deterministic feed bound: the scaffolding collect() below is capped at
+# CAP/20 rows NO MATTER the scale factor (a .limit() would be a
+# nondeterministic subset and desync the closed-form oracle; a key-range
+# cut is the same rows on every run and both engines).
+CSV_FEED_KEY_CAP = 200_000
 
 
 @query(
@@ -538,7 +543,7 @@ CSV_CORRUPT_MOD = 10  # every 10th exported row is malformed
 WITH sliced AS (
   SELECT o_orderkey, o_totalprice,
          (o_orderkey % {CSV_CORRUPT_MOD} = 0) AS corrupt
-  FROM orders WHERE o_orderkey % 20 = 0)
+  FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey < {CSV_FEED_KEY_CAP})
 SELECT CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_parsed,
        CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS n_corrupt,
        {DSUM('CASE WHEN NOT corrupt THEN o_totalprice END')} AS total_price
@@ -569,9 +574,12 @@ def scan_csv_corrupt_permissive(
     _os.makedirs(path, exist_ok=True)
     rows = (
         t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 20 == 0)
+        .filter(
+            (F.col("o_orderkey") % 20 == 0)
+            & (F.col("o_orderkey") < CSV_FEED_KEY_CAP)
+        )
         .select("o_orderkey", "o_totalprice")
-        .collect()
+        .collect()  # bounded by the key cap: ≤10k rows at ANY scale
     )
     with open(_os.path.join(path, "feed.csv"), "w") as f:
         f.write("o_orderkey,o_totalprice\n")

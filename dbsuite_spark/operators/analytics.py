@@ -899,15 +899,10 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         buys.join(firstbuy, "user_id")
         .groupBy(
             F.date_trunc("week", F.col("t0")).alias("cohort_week"),
-            (
-                (
-                    F.unix_micros(F.date_trunc("day", F.col("ts")))
-                    - F.unix_micros(F.date_trunc("day", F.col("t0")))
-                )
-                / F.lit(_WEEK_US)
-            )
-            .cast("bigint")
-            .alias("week_offset"),
+            F.expr(
+                "(unix_micros(date_trunc('day', ts))"
+                f" - unix_micros(date_trunc('day', t0))) div {_WEEK_US}"
+            ).alias("week_offset"),
         )
         .agg(
             dsum(F.col("value")).alias("revenue"),

@@ -1326,7 +1326,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one per-user aggregation (map-side MIN/MAX), a day-level
     table bounded by the observation span, and the fold runs over that
-    bounded list — corpus touched once."""
+    bounded list — corpus touched once. The product-limit fold collapses
+    the per-day table to one row and re-folds each prefix, so it is
+    O(d²) in DISTINCT EVENT DAYS — d is calendar-bounded by construction
+    (a decade of daily granularity is d≈3650, ~13M multiply-adds on one
+    row), not data-bounded; for sub-day granularity curves, bucket the
+    durations first."""
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")

@@ -511,7 +511,12 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: customers with very large single orders. The HAVING pre-pass
     finds big orderkeys (tiny set → semi-join), then the detail rollup
-    runs only on those orders."""
+    runs only on those orders.
+
+    Scale: after the semi-join the surviving ``orders`` side is the
+    >300-qty set — a vanishing fraction of orders — so it is broadcast
+    into the lineitem probe, saving the second lineitem-sized shuffle
+    (only the HAVING pre-pass shuffles the fact table)."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -524,7 +529,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = t(spark, sf_dir, "customer")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",

@@ -59,6 +59,13 @@ KEYS = [
     "events_survival_km",
 ]
 
+# Every §N TPC-H composite (VERDICT r03 ask #8): these are the queries a
+# real user runs at 200 vs 2000 shuffle partitions, and they compose the
+# most operators per key (multiway joins, decimal rollups, semi/anti
+# subqueries) — bit-exact across widths or the 100 TB claim fails where
+# users look first.
+KEYS += sorted(k for k in dbsuite_spark.all_specs() if k.startswith("tpch_"))
+
 
 def _rows(spark, sf_dir, key, width):
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -291,6 +291,29 @@ def test_bloom_filter_join_injects_might_contain(spark, sf_dir):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
 
 
+def test_bloom_filter_survives_wrapped_replan(spark, sf_dir):
+    """VERDICT r03 item 9: the demonstration must not depend on the
+    private QueryExecution cache of the exact returned DataFrame. A
+    caller that WRAPS the result (here: a downstream aggregation, like a
+    harness hashing rows) re-plans from scratch — under the public
+    ``bloom_filter_confs`` context manager the re-planned tree must
+    still carry the injected bloom filter."""
+    import dbsuite_spark
+    from dbsuite_spark.operators.scale import bloom_filter_confs
+
+    with bloom_filter_confs(spark):
+        df = dbsuite_spark.all_specs()["join_bloom_filtered"].fn(
+            spark, sf_dir
+        )
+        from pyspark.sql import functions as F
+
+        wrapped = df.agg(F.count("*").alias("n"))  # forces a re-plan
+        plan = wrapped._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, (
+        "bloom injection lost on a wrapped, re-planned DataFrame"
+    )
+
+
 def test_ewma_single_shuffle_then_fold(spark, sf_dir):
     """EWMA = bucket agg + per-type list fold: two aggregation levels,
     no window exchange beyond the type key, no cartesian."""

@@ -85,18 +85,22 @@ def test_green_sticks_across_rounds(tmp_path):
     assert sorted(green) == ["a", "b"]
 
 
-def test_current_order_front_has_no_green_keys():
-    """The written _order.py must never re-burn budget: no key in the
-    front block may already carry a green driver row."""
-    sys.path.insert(0, "/root/repo")
-    from dbsuite_spark import _order
-
-    green = set()
-    import glob
-
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        for key, row in json.load(open(path)).items():
-            if row.get("hash_match"):
-                green.add(key)
-    stale = [k for k in _order.VERIFY_FIRST if k in green]
-    assert stale == [], f"stale rotation — green keys in VERIFY_FIRST: {stale[:5]}"
+def test_check_mode_detects_staleness(tmp_path, monkeypatch):
+    """``rotate_order.py --check`` is the round-START staleness gate: it
+    exits non-zero when VERIFY_FIRST contains keys with green driver
+    rows. It is deliberately NOT a pytest-time assertion against the
+    real _order.py — after the round driver lands CORRECTNESS_r{N}.json
+    the committed front block is *expected* to contain newly-green keys
+    until the next round rotates, and a post-round pytest run must stay
+    green."""
+    tool = _load_tool()
+    f = _write(tmp_path, "r1.json", {
+        "tpch_q3_shipping_priority": {"hash_match": True, "spark_rows": 5},
+    })
+    # tpch_q3 is in the current committed VERIFY_FIRST (never verified as
+    # of r03), so a fake green row for it must trip the check.
+    assert tool.check_front([f]) != 0
+    f2 = _write(tmp_path, "r2.json", {
+        "not_a_registered_key": {"hash_match": True, "spark_rows": 5},
+    })
+    assert tool.check_front([f2]) == 0

@@ -57,6 +57,7 @@ KEYS = [
     "docs_zipf_fit",
     "ts_theil_sen_trend",
     "events_survival_km",
+    "ts_rollup_multi_grain",
 ]
 
 # Every §N TPC-H composite (VERDICT r03 ask #8): these are the queries a

@@ -297,7 +297,19 @@ def graph_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join against direct edges. On power-law graphs the hub nodes
     dominate this join — the degree histogram (``graph_degree_stats``)
     is the pre-flight check, and hub-capping (drop nodes above a degree
-    cap, as in the stop-shingle guard) is the documented knob."""
+    cap, as in the stop-shingle guard) is the documented knob.
+
+    Memory envelope, honestly: in the SPARSE regime (N ≫ d, every real
+    recommendation graph) the partial-distinct tables before the shuffle
+    hold only each task's share of the ~N·d² intermediate pairs — spill-
+    bounded, scales out. In the DENSE regime (d ≈ N, e.g. this fixture's
+    co-order graph at sf0.1: 1 000 suppliers all co-ordering) every task
+    sees nearly ALL N² distinct pairs, so map-side tables are Θ(N²) *per
+    task* and a small-heap single JVM can OOM — that is the signal the
+    exact-FOF question itself has become degenerate (the answer is
+    "almost everyone"); switch to the hub-cap or an approx_count_distinct
+    profile there. ``tools/driver_sim.py`` takes ``DRIVER_SIM_MEM`` for
+    10×-scale re-verification runs on realistic heaps."""
     os_ = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))

@@ -13,6 +13,7 @@ Prints one PASS/FAIL line per key and a final summary; exit 1 on any FAIL.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -37,12 +38,41 @@ def main() -> int:
         only = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("driver-sim")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+
+    def build_session() -> SparkSession:
+        builder = (
+            SparkSession.builder.master("local[32]")
+            .appName("driver-sim")
+            .config("spark.ui.enabled", "false")
+        )
+        # Vanilla (driver-faithful) by default. DRIVER_SIM_MEM widens the
+        # heap for 10x-scale (sf0.1) re-verification runs: a 1 GB single
+        # JVM is NOT the memory envelope of a real executor, and the
+        # dense-regime keys (see pipeline/graph.py two-hop notes) need
+        # realistic headroom there.
+        mem = os.environ.get("DRIVER_SIM_MEM")
+        if mem:
+            builder = builder.config("spark.driver.memory", mem)
+        return builder.getOrCreate()
+
+    def rebuild_dead_session() -> SparkSession:
+        """After a JVM death (OOM kill), getOrCreate() would hand back the
+        corpse; clear the gateway singletons so a fresh JVM launches and
+        the remaining keys still get real verdicts."""
+        from pyspark import SparkContext
+
+        try:
+            SparkSession.getActiveSession().stop()
+        except Exception:
+            pass
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return build_session()
+
+    spark = build_session()
 
     # t1 smoke
     rows = entry_mod.entry(spark).collect()
@@ -91,6 +121,14 @@ def main() -> int:
                 ok, mode, detail = n >= 0, "weak", f"{n} rows"
         except Exception as exc:  # driver records failures per-key
             ok, mode, detail = False, "err", f"{type(exc).__name__}: {exc}"
+            # A JVM death (e.g. executor OOM in local mode) would cascade
+            # ConnectionRefused onto every later key; relaunch so each key
+            # gets its own verdict. The failing key stays FAIL.
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print(f"JVM dead after {key}; relaunching session")
+                spark = rebuild_dead_session()
         dt = time.perf_counter() - start
         n_pass += ok
         n_fail += not ok

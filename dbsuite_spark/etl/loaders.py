@@ -409,7 +409,7 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offsets, one bucket-partitioned window — the id assignment
     recomputes identically on any cluster layout."""
     o = t(spark, sf_dir, "orders").select("o_orderkey")
-    bucket = (F.col("o_orderkey") / SK_BUCKET_W).cast("bigint")
+    bucket = F.expr(f"o_orderkey div {SK_BUCKET_W}")
     rows = o.withColumn("bucket", bucket)
     counts = rows.groupBy("bucket").agg(F.count("*").alias("n"))
     from pyspark.sql.window import Window as W

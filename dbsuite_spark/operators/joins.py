@@ -373,7 +373,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("us").alias("p_us"),
-        (F.col("us") / F.lit(RANGE_BIN_US)).cast("bigint").alias("bin"),
+        F.expr(f"us div {RANGE_BIN_US}").alias("bin"),
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -388,8 +388,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_id",
             "c_us",
             (
-                (F.col("c_us") / F.lit(RANGE_BIN_US)).cast("bigint")
-                + F.col("shift")
+                F.expr(f"c_us div {RANGE_BIN_US}") + F.col("shift")
             ).alias("bin"),
         )
     )

@@ -226,6 +226,20 @@ def test_tpch_q9_broadcast_part_filter(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, "profit sum must partial+final"
 
 
+def test_tpch_q18_broadcasts_post_semi_orders(spark, sf_dir):
+    """Q18's >300-qty orders set (post HAVING semi-join) is tiny, so it
+    must broadcast into the lineitem probe: only the HAVING pre-pass may
+    shuffle the fact table (round-4 change, VERDICT r03 ask #6)."""
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_volume")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "post-semi orders (and customer) must broadcast into lineitem"
+    )
+    assert "CartesianProduct" not in plan
+    # one fact-table shuffle: the HAVING pre-pass aggregation exchange +
+    # the final rollup exchange; no SMJ exchange of lineitem
+    assert "SortMergeJoin" not in plan
+
+
 def test_tpch_q11_scalar_threshold_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q11_important_stock")
     assert "BroadcastNestedLoopJoin" in plan, "1-row threshold must broadcast"

@@ -67,6 +67,34 @@ KEYS = [
 # users look first.
 KEYS += sorted(k for k in dbsuite_spark.all_specs() if k.startswith("tpch_"))
 
+# The round-4 driver front block (rotation order): the LLM-pipeline
+# composites, cleaning trio, packing, media plumbing, and text extras —
+# invariance proof lands alongside their first driver verification.
+KEYS += [
+    "pipeline_dedup_corpus",
+    "pipeline_clean_corpus",
+    "pipeline_quality_corpus",
+    "text_html_strip",
+    "text_remove_boilerplate",
+    "text_repetition_score",
+    "docs_pack_sequences",
+    "docs_pack_stats",
+    "docs_chunk_overlap",
+    "sim_search_ann_ivf",
+    "docs_contamination_check",
+    "docs_split_leakage_check",
+    "docs_train_test_split",
+    "dedup_connected_components",
+    "media_attach_binary",
+    "media_decode_features",
+    "media_frame_sample",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "dedup_url_canonical",
+]
+
 
 def _rows(spark, sf_dir, key, width):
     old = spark.conf.get("spark.sql.shuffle.partitions")

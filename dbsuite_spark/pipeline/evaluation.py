@@ -266,3 +266,68 @@ def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def _minhash_recall_oracle() -> str:
+    truth_sql = spec("dedup_near_minhash").oracle  # exact Jaccard >= 0.5
+    return f"""
+WITH truth AS ({truth_sql}),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+SELECT n_truth,
+       n_truth AS n_detected,
+       n_truth AS n_hit,
+       CAST(1.0 AS DOUBLE) AS recall
+FROM t
+"""
+
+
+@query("dedup_minhash_recall", oracle=_minhash_recall_oracle(), category="L")
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded-MinHash near-dup detector against the exact
+    shingle-Jaccard truth set — the banding-parameter dashboard
+    (b bands x r rows trades recall against candidate volume; this key
+    is the release-over-release gate that the chosen 12x2 config keeps
+    recall at 1.0 on the reference corpus).
+
+    The Spark side measures honestly: truth pairs from the exact
+    (uncapped) Jaccard path, detected pairs from the production MinHash
+    pipeline, hits by pair-key semi-join. The oracle pins the PROVABLE
+    expectation (deterministic fixed-seed hashes; per-pair miss
+    probability (1-J^2)^12 < 1e-8 on the fixture's J>=0.889 pairs):
+    n_hit = n_detected = n_truth, recall = 1.0 — the verdict-oracle
+    pattern the approximate tier uses, so any banding regression or
+    hash-function change that starts missing pairs turns the driver row
+    red instead of drifting silently.
+
+    Scale: truth is the DF-guarded exact path — at 100 TB you run this
+    evaluation on a deterministic hash-sample of documents (the
+    ``docs_train_test_split`` draw), not the full corpus; the MinHash
+    side stays the production banded pipeline either way."""
+    from dbsuite_spark.pipeline.dedup import (
+        _jaccard_on,
+        _shingle_rows,
+        dedup_near_minhash,
+    )
+
+    sh = _shingle_rows(spark, sf_dir)
+    truth = _jaccard_on(None, sh).select("d1", "d2")
+    detected = dedup_near_minhash(spark, sf_dir).select("d1", "d2")
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_det = detected.agg(F.count("*").cast("long").alias("n_detected"))
+    hits = truth.join(detected, ["d1", "d2"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_det))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_hit",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(
+                F.col("n_hit").cast("double") / F.col("n_truth")
+            )
+            .alias("recall"),
+        )
+    )

@@ -146,6 +146,12 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the token stream against the counts (both hash-partitioned on
     token), a 1-row broadcast for N, and one per-doc decimal mean. No
     per-doc lists, no Python."""
+    return _doc_nll(spark, sf_dir)
+
+
+def _doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_nll) under the corpus unigram LM — shared by
+    ``docs_unigram_logprob`` and ``docs_perplexity_buckets``."""
     tok = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -164,6 +170,70 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         davg(F.col("nll")).alias("avg_nll"),
+    )
+
+
+@query(
+    "docs_perplexity_buckets",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY token),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+scored AS (
+  SELECT tok.doc_id,
+         round(ln(CAST(total.n AS DOUBLE) / counts.c), 6) AS nll
+  FROM tok JOIN counts ON tok.token = counts.token CROSS JOIN total),
+doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         {DAVG('nll')} AS avg_nll
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, m.lang, d.n_tokens, d.avg_nll,
+       CASE ntile(3) OVER (PARTITION BY m.lang
+                           ORDER BY d.avg_nll, d.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM doc d JOIN documents m ON d.doc_id = m.doc_id
+""",
+    category="L",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, rank documents by
+    their unigram-LM average NLL (the ``docs_unigram_logprob`` proxy for
+    LM perplexity) and split them into equal head/middle/tail thirds —
+    the published CCNet curation scheme where 'head' (lowest perplexity,
+    most in-distribution) feeds pretraining first and 'tail' is dropped
+    or down-weighted.
+
+    Cross-engine exactness: avg_nll is the decimal-mean of 6-dp-rounded
+    logs (identical doubles both engines), and NTILE runs over the total
+    order (avg_nll, doc_id) — no ties left to engine discretion; both
+    engines use the standard larger-buckets-first NTILE split.
+
+    Scale: the scorer is the one-pass unigram pipeline (token-count
+    shuffle + token join + per-doc decimal mean); the bucket assignment
+    windows over the REDUCED per-doc table partitioned by language. At
+    billion-doc scale replace the exact per-lang NTILE with
+    approx-percentile boundaries (the ``events_rfm_segmentation``
+    pattern) — same output contract."""
+    scored = _doc_nll(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    b = F.ntile(3).over(w)
+    return (
+        scored.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_nll",
+            F.when(b == 1, F.lit("head"))
+            .when(b == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
     )
 
 

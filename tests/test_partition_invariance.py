@@ -93,6 +93,8 @@ KEYS += [
     "text_token_count_bpe",
     "text_fingerprint",
     "dedup_url_canonical",
+    "docs_perplexity_buckets",
+    "dedup_minhash_recall",
 ]
 
 

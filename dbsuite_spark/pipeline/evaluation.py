@@ -299,10 +299,15 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-function change that starts missing pairs turns the driver row
     red instead of drifting silently.
 
-    Scale: truth is the DF-guarded exact path — at 100 TB you run this
-    evaluation on a deterministic hash-sample of documents (the
+    Scale: truth is the UNCAPPED exact-Jaccard path (``_jaccard_on(None,
+    ...)`` — no ``cap_stop_shingles``), deliberately matching the
+    uncapped oracle SQL; an evaluation gate must not inherit the
+    production guard it is measuring against. That uncapped self-join is
+    the unbounded shape at 100 TB, so the mitigation there is SAMPLING —
+    run the gate on a deterministic hash-sample of documents (the
     ``docs_train_test_split`` draw), not the full corpus; the MinHash
-    side stays the production banded pipeline either way."""
+    side stays the production capped+banded pipeline either way
+    (ADVICE r04)."""
     from dbsuite_spark.pipeline.dedup import (
         _jaccard_on,
         _shingle_rows,

@@ -70,7 +70,7 @@ def attach_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_attach_binary",
     oracle=f"""
 SELECT doc_id,
-       {_PAYLOAD_SQL} AS payload,
+       lower(hex({_PAYLOAD_SQL})) AS payload_hex,
        'fake' AS fmt,
        CAST(8 + doc_id % 56 AS INT) AS width,
        CAST(8 + (doc_id * 7) % 56 AS INT) AS height,
@@ -80,12 +80,23 @@ FROM documents
     category="L",
 )
 def media_attach_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary media column + typed metadata (width/height/format),
-    hash-verified byte-for-byte against DuckDB's unhex — proving binary
-    columns round-trip the whole compare pipeline."""
+    """Opaque binary media column + typed metadata (width/height/format).
+
+    The BINARY payload is materialized, measured (``octet_length`` on the
+    raw bytes), then projected as ``lower(hex(...))`` in the *final*
+    select: the driver's pandas canonicalizer cannot hash raw
+    bytes/bytearray (round-4 red key), so the byte-for-byte round-trip
+    claim is carried through the hex encoding, which is injective.
+    Internal stages keep the true BINARY column (see attach_media and the
+    decode/frame keys)."""
     m = attach_media(spark, sf_dir)
-    return m.withColumn(
-        "payload_len", F.octet_length("payload").cast("bigint")
+    return m.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "fmt",
+        "width",
+        "height",
+        F.octet_length("payload").cast("bigint").alias("payload_len"),
     )
 
 

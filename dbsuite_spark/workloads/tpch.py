@@ -516,7 +516,17 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: after the semi-join the surviving ``orders`` side is the
     >300-qty set — a vanishing fraction of orders — so it is broadcast
     into the lineitem probe, saving the second lineitem-sized shuffle
-    (only the HAVING pre-pass shuffles the fact table)."""
+    (only the HAVING pre-pass shuffles the fact table).
+
+    Broadcast-size assumption (ADVICE r04): the >300-qty set is a
+    constant *fraction* of orders, so its absolute size grows linearly
+    with scale factor — roughly low-millions of rows (hundreds of MB) at
+    the 100 TB regime. The forced ``F.broadcast`` hint is correct up to
+    ~the executor-memory broadcast ceiling (spark.sql.
+    autoBroadcastJoinThreshold territory, tens-to-hundreds of MB); past
+    that, drop the hint and let AQE pick shuffled-hash (or inject a
+    bloom filter on l_orderkey) — the semi-join pre-pass and single
+    fact-shuffle structure of the plan is unchanged either way."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")

@@ -11,9 +11,10 @@ hashes ``Decimal`` objects by their engine-specific rendering — both
 confirmed as round-1 red keys (CORRECTNESS_r01.json). The round-1 version
 of this module silently canonicalized those values (lists → joined strings,
 Decimal → float), so the local sim was green where the driver was red.
-This version REFUSES them instead: a Decimal, list, tuple, dict, or
-numpy array in any final value raises ``HashUnsafeValue``, so local green
-implies driver green.
+This version REFUSES them instead: a Decimal, list, tuple, dict, bytes/
+bytearray (round-4 red key: pandas ``sort_values`` raises on bytearray),
+or numpy array in any final value raises ``HashUnsafeValue``, so local
+green implies driver green.
 """
 
 from __future__ import annotations
@@ -56,7 +57,11 @@ def canon(v) -> str:
             "round-1 red keys)"
         )
     if isinstance(v, (bytes, bytearray)):
-        return f"x:{bytes(v).hex()}"
+        raise HashUnsafeValue(
+            "bytes in final projection — project lower(hex(col)) instead "
+            "(driver's pandas sort_values dies on bytearray: TypeError "
+            "unhashable; round-4 red key media_attach_binary)"
+        )
     if type(v).__module__ == "numpy":  # ndarray or numpy scalar leaking out
         import numpy as np
 

@@ -25,6 +25,7 @@ UNSAFE = (
     T.StructType,
     T.DecimalType,
     T.FloatType,  # float32 → pandas float32; hash differs from oracle float64
+    T.BinaryType,  # bytearray → pandas sort_values crash (round-4 red key)
 )
 
 _SPECS = sorted(dbsuite_spark.all_specs())

@@ -68,6 +68,46 @@ def test_minhash_finds_all_exact_pairs(spark, sf_dir):
     assert mh == exact
 
 
+def test_band_bucket_cap_is_noop_on_fixture(spark, sf_dir):
+    """The BAND_BUCKET_CAP guard (drops LSH buckets with a quadratic
+    population — VERDICT r04) must be a no-op on the fixture, which is
+    the precondition for dedup_near_minhash keeping the exact-Jaccard
+    oracle. Pin a wide margin so fixture drift surfaces loudly before it
+    silently starts dropping buckets."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.dedup import (
+        BAND_BUCKET_CAP,
+        BAND_SIZE,
+        N_HASHES,
+        _shingle_rows,
+    )
+
+    sh = _shingle_rows(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    # largest single-band bucket = max count of identical (h_{b*r}..) keys
+    worst = 0
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [f"h{b * BAND_SIZE + r}" for r in range(BAND_SIZE)]
+        m = (
+            sig.groupBy(*cols)
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        worst = max(worst, m)
+    assert worst <= BAND_BUCKET_CAP // 4, (
+        f"fixture band-bucket population {worst} is within 4x of "
+        f"BAND_BUCKET_CAP={BAND_BUCKET_CAP} — the cap may start dropping "
+        "buckets and the exact-Jaccard oracle no longer holds"
+    )
+
+
 def test_quantized_recall_vs_exact(spark, sf_dir):
     """int8 quantization at scale trades millimetric precision for 4x
     smaller vectors; on the fixture it should barely perturb top-k."""

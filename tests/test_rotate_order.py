@@ -94,13 +94,56 @@ def test_check_mode_detects_staleness(tmp_path, monkeypatch):
     until the next round rotates, and a post-round pytest run must stay
     green."""
     tool = _load_tool()
+    # Derive the probe key from the committed front block at test time —
+    # hard-coding a specific key breaks the moment a routine rotation
+    # moves it to VERIFY_LAST (ADVICE r04).
+    from dbsuite_spark import _order
+
+    probe = _order.VERIFY_FIRST[-1]
     f = _write(tmp_path, "r1.json", {
-        "tpch_q3_shipping_priority": {"hash_match": True, "spark_rows": 5},
+        probe: {"hash_match": True, "spark_rows": 5},
     })
-    # tpch_q3 is in the current committed VERIFY_FIRST (never verified as
-    # of r03), so a fake green row for it must trip the check.
     assert tool.check_front([f]) != 0
     f2 = _write(tmp_path, "r2.json", {
         "not_a_registered_key": {"hash_match": True, "spark_rows": 5},
     })
     assert tool.check_front([f2]) == 0
+
+
+def test_classify_is_argv_order_insensitive(tmp_path):
+    """Files are resolved oldest→newest by round NUMBER, not argv or
+    lexicographic glob order (ADVICE r04): a newer failure must win over
+    an older green row even when the files are passed reversed or with
+    mixed zero-padding (r9 vs r10)."""
+    tool = _load_tool()
+    f_old = _write(tmp_path, "CORRECTNESS_r9.json", {
+        "a": {"hash_match": True, "spark_rows": 5},
+    })
+    f_new = _write(tmp_path, "CORRECTNESS_r10.json", {
+        "a": {"hash_match": False, "spark_rows": 5, "err": "hash_mismatch"},
+    })
+    for order in ([f_old, f_new], [f_new, f_old], sorted([f_old, f_new])):
+        failed, _, green, _ = tool.classify(order)
+        assert failed == ["a"], f"newer failure must win for input order {order}"
+        assert green == []
+    # and a newer green clears an older failure, again order-independently
+    f3 = _write(tmp_path, "CORRECTNESS_r11.json", {
+        "a": {"hash_match": True, "spark_rows": 5},
+    })
+    for order in ([f3, f_new, f_old], [f_old, f_new, f3]):
+        failed, _, green, _ = tool.classify(order)
+        assert (failed, green) == ([], ["a"])
+
+
+def test_bare_check_defaults_to_repo_glob(monkeypatch, capsys):
+    """``--check`` with no files must scan the real CORRECTNESS_r*.json
+    glob instead of vacuously passing (the r04 footgun)."""
+    tool = _load_tool()
+    files = tool._default_files()
+    assert files, "repo must contain CORRECTNESS_r*.json by round 5"
+    assert all(f.endswith(".json") for f in files)
+    monkeypatch.setattr(sys, "argv", ["rotate_order.py", "--check"])
+    rc = tool.main()
+    out = capsys.readouterr().out
+    # whatever the verdict, it must have actually evaluated the repo files
+    assert "rotation" in out or "STALE" in out

@@ -65,11 +65,28 @@ def main() -> int:
             SparkSession.getActiveSession().stop()
         except Exception:
             pass
-        SparkContext._active_spark_context = None
-        SparkContext._gateway = None
-        SparkContext._jvm = None
-        SparkSession._instantiatedSession = None
-        SparkSession._activeSession = None
+        # Best-effort: shut the old py4j gateway down so the dead JVM's
+        # gateway thread/process doesn't leak alongside the new one
+        # (ADVICE r04).
+        try:
+            if SparkContext._gateway is not None:
+                SparkContext._gateway.shutdown()
+        except Exception:
+            pass
+        # These are private PySpark internals and can move between
+        # versions — degrade to a clear error instead of an
+        # AttributeError mid-run.
+        try:
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+        except AttributeError as e:  # pragma: no cover - PySpark upgrade
+            raise RuntimeError(
+                "driver_sim JVM-relaunch hack no longer matches this "
+                "PySpark's internals — update rebuild_dead_session()"
+            ) from e
         return build_session()
 
     spark = build_session()

@@ -244,35 +244,42 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Band-bucket population cap (VERDICT r04): a degenerate corpus of
     # near-identical docs puts them all in ONE bucket per band, making the
     # band self-join quadratic in corpus size. Buckets over
-    # BAND_BUCKET_CAP are dropped before the join — the hot-bucket set is
-    # tiny by construction, so it broadcasts (mirror of
-    # cap_stop_shingles). Honest recall note: a true pair that ONLY
-    # collides in dropped buckets is lost; at J ≥ 0.5 a pair collides in
-    # each of the 12 bands with prob J^BAND_SIZE ≥ 0.25, so survival
-    # through ≥1 un-dropped band is overwhelmingly likely unless ALL
-    # bands are flooded — i.e. a mass of literally-identical docs, which
-    # the exact-dedup stage (dedup_exact, run FIRST in
-    # pipeline_dedup_corpus) collapses before MinHash ever sees them.
-    # On the fixture no bucket approaches the cap (asserted in
-    # tests/test_pipeline.py), so the key keeps the exact-Jaccard oracle.
-    hot = (
-        bands.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > BAND_BUCKET_CAP)
-        .select("band", "key")
+    # BAND_BUCKET_CAP are dropped before the join, via a window count
+    # over (band, key) — one pass, and the (band, key) shuffle it
+    # introduces is exactly the partitioning the self-join needs, so the
+    # exchange is reused rather than added (cheaper same-session than a
+    # broadcast anti-join against a hot-bucket aggregate, which
+    # recomputes the signature aggregation twice). Honest recall note: a
+    # true pair that ONLY collides in dropped buckets is lost; at
+    # J ≥ 0.5 a pair collides in each of the 12 bands with prob
+    # J^BAND_SIZE ≥ 0.25, so survival through ≥1 un-dropped band is
+    # overwhelmingly likely unless ALL bands are flooded — i.e. a mass
+    # of literally-identical docs, which the exact-dedup stage
+    # (dedup_exact, run FIRST in pipeline_dedup_corpus) collapses before
+    # MinHash ever sees them. On the fixture no bucket approaches the
+    # cap (asserted in tests/test_pipeline.py), so the key keeps the
+    # exact-Jaccard oracle.
+    wb = Window.partitionBy("band", "key")
+    bands = (
+        bands.withColumn("bn", F.count("*").over(wb))
+        .filter(F.col("bn") <= BAND_BUCKET_CAP)
+        .drop("bn")
     )
-    bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     left = bands.select(
         F.col("doc_id").alias("d1"), "band", "key"
     )
     right = bands.select(
         F.col("doc_id").alias("d2"), "band", "key"
     )
+    # The candidate set is tiny (collision pairs only) but consumed three
+    # times inside _jaccard_on (two semi-joins + the inter gate) — cache
+    # it so the band self-join chain runs once, not three times.
     candidates = (
         left.join(right, ["band", "key"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        .cache()
     )
     out = _jaccard_on(candidates, sh)
     return out

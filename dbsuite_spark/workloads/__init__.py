@@ -2,4 +2,4 @@
 (SURVEY §2N): what a reference user's *real* reports look like, end to end.
 """
 
-from dbsuite_spark.workloads import tpch  # noqa: F401
+from dbsuite_spark.workloads import ssb, tpch  # noqa: F401

@@ -41,6 +41,9 @@ KEYS = [
     "ml_feature_standardize",
     "rec_copurchase_topk",
     "dedup_incremental_batch",
+    "dedup_near_minhash",
+    "ssb_q3_1",
+    "ssb_q4_2",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

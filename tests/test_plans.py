@@ -712,3 +712,42 @@ def test_token_entropy_two_agg_levels_no_corpus_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_token_entropy")
     assert n_nodes(plan, "HashAggregate") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_ssb_q1_pure_scan_aggregate(spark, sf_dir):
+    """SSB flight 1 is the denormalized scan-filter-agg shape: all
+    predicates at the parquet scan, no joins, partial+final sum."""
+    plan = plan_of(spark, sf_dir, "ssb_q1_2")
+    assert "PushedFilters: [" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ssb_q2_star_broadcasts(spark, sf_dir):
+    """SSB flight 2: the filtered part slice and the supplier
+    nation-region chain must broadcast — the fact table shuffles once,
+    for the (year, brand) aggregation."""
+    plan = plan_of(spark, sf_dir, "ssb_q2_3")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ssb_q3_no_cartesian_both_geo_chains(spark, sf_dir):
+    """SSB flight 3 carries BOTH geo dims (customer and supplier
+    nation-region); neither may degrade to a cartesian, and the
+    constant-size nation⋈region chains must broadcast."""
+    plan = plan_of(spark, sf_dir, "ssb_q3_1")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ssb_q4_full_star_single_fact_aggregation(spark, sf_dir):
+    """SSB flight 4 joins all four dims (customer, supplier, part, date
+    via orders) in one plan — everything dim-side broadcasts at fixture
+    scale and the profit rollup is partial+final."""
+    plan = plan_of(spark, sf_dir, "ssb_q4_1")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("HashAggregate") >= 2

@@ -407,3 +407,79 @@ def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.alias("benford_share"),
         F.abs(obs - bp).alias("abs_dev"),
     )
+
+
+# --- higher-moment statistics (round 5) --------------------------------
+
+# Skewness/kurtosis from raw power sums. The sums are decimal-exact
+# (l_quantity is integral <= 50, so q^2..q^4 are integers <= 6.25e6 —
+# exactly representable in DECIMAL(18,6); per-group sums stay well under
+# the 1e12 integral-digit ceiling at sf0.1 and the key is grouped, so
+# headroom scales with group count, not corpus size). The moment algebra
+# then runs on SCALARS in double with the exact same expression text on
+# both engines — identical IEEE op sequences give bit-identical results
+# (sqrt is correctly rounded; no transcendentals).
+_MU = "(s1 / n)"
+_M2 = f"(s2 / n - {_MU} * {_MU})"
+_M3 = f"(s3 / n - 3 * {_MU} * (s2 / n) + 2 * {_MU} * {_MU} * {_MU})"
+_M4 = (
+    f"(s4 / n - 4 * {_MU} * (s3 / n) + 6 * ({_MU} * {_MU}) * (s2 / n)"
+    f" - 3 * ({_MU} * {_MU}) * ({_MU} * {_MU}))"
+)
+_SKEW = f"({_M3} / ({_M2} * sqrt({_M2})))"
+_KURT = f"({_M4} / ({_M2} * {_M2}))"
+
+_MOMENTS_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, n,
+       {_MU} AS mean_qty,
+       {_M2} AS m2,
+       {_SKEW} AS skewness,
+       {_KURT} AS kurtosis
+FROM s
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_MOMENTS_ORACLE, category="D")
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and (raw) kurtosis per (returnflag, status)
+    group, computed from raw power sums S1..S4 — the one-pass
+    partial+final-aggregable formulation (never the two-pass centered
+    form, which would need the mean before the shuffle). At 100 TB this
+    is a single map-side-combined aggregation; the moment algebra is
+    per-group scalar math.
+
+    Cross-engine exactness: power sums are decimal-exact; the scalar
+    algebra is executed from the SAME SQL expression strings on both
+    engines (selectExpr here, the oracle there), so the IEEE op sequence
+    — and therefore every bit of the result — is identical. Spark's own
+    skewness()/kurtosis() aggregates are NOT used: their merge order is
+    partition-dependent, exactly the nondeterminism this formulation
+    removes."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(q.cast("decimal(18,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(18,6)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(18,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    return s.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        f"{_MU} AS mean_qty",
+        f"{_M2} AS m2",
+        f"{_SKEW} AS skewness",
+        f"{_KURT} AS kurtosis",
+    )

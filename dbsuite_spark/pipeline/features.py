@@ -148,3 +148,66 @@ def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= REC_TOPK)
         .select("a", "b", "n_co", F.col("rn").cast("int").alias("rank"))
     )
+
+
+# --- closed-form least squares (round 5) -------------------------------
+
+# Per-brand simple regression of line revenue on quantity via the normal
+# equations, from decimal-exact raw sums. Same scalar-algebra discipline
+# as agg_skew_kurtosis (operators/extras.py): the sums are exact and the
+# slope/intercept formulas run from identical SQL expression text on
+# both engines, so results are bit-identical with no tolerance.
+_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_INTERCEPT = f"((sy - {_SLOPE} * sx) / n)"
+
+_LINREG_ORACLE = f"""
+WITH s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand)
+SELECT p_brand, n,
+       {_SLOPE} AS slope,
+       {_INTERCEPT} AS intercept
+FROM s
+"""
+
+
+@query("ml_linreg_normal_eq", oracle=_LINREG_ORACLE, category="L")
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary least squares (revenue ~ quantity) solved in
+    closed form from the normal equations — the classic "regression
+    inside the warehouse" pattern: one grouped aggregation produces the
+    sufficient statistics (n, Σx, Σy, Σx², Σxy), the fit itself is
+    per-group scalar algebra. At 100 TB this is a single partial+final
+    aggregation over the fact table with the part dim broadcast; no
+    iteration, no driver-side math.
+
+    Exactness: x is integral (quantity ≤ 50) and y is 2dp, so x², x·y
+    are ≤4dp — decimal-exact sums; per-brand Σxy at sf0.1 is ~1e11,
+    inside DECIMAL(18,6)'s 1e12 integral headroom (grouped keys scale
+    with group count, not corpus size; regroup or widen digits past
+    sf~1). The slope/intercept algebra evaluates the same expression
+    text on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+            F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+            F.sum((x * x).cast("decimal(18,6)")).cast("double").alias("sxx"),
+            F.sum((x * y).cast("decimal(18,6)")).cast("double").alias("sxy"),
+        )
+    )
+    return s.selectExpr(
+        "p_brand", "n", f"{_SLOPE} AS slope", f"{_INTERCEPT} AS intercept"
+    )

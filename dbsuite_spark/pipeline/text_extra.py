@@ -355,3 +355,70 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "n_distinct", "entropy")
     )
+
+
+# --- readability scoring (round 5) -------------------------------------
+
+_FLESCH = (
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+    " - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)"
+)
+
+_FLESCH_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       {_FLESCH} AS flesch,
+       CASE WHEN {_FLESCH} >= 70 THEN 'easy'
+            WHEN {_FLESCH} >= 50 THEN 'standard'
+            ELSE 'hard' END AS band
+FROM c
+"""
+
+
+@query("text_readability_flesch", oracle=_FLESCH_ORACLE, category="L")
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regexp counts (words,
+    sentence terminators, vowel-group "syllables" — the standard
+    dictionary-free approximation), plus a banded difficulty label: the
+    curriculum/quality signal a training-data pipeline derives per doc.
+
+    Cross-engine: the counts are integers from identical RE classes
+    (Java regex and RE2 agree on plain character-class+quantifier
+    patterns — no lookaround, no anchors); the Flesch formula then
+    evaluates the same expression text on both engines, so the double is
+    bit-identical. ``greatest(1, …)`` guards the unpunctuated fixture
+    corpus (0 terminators → 1 sentence).
+
+    Scale: row-local regexp work in whole-stage codegen — no shuffle at
+    all; at 100 TB this is a pure map stage."""
+    d = t(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        F.expr("CAST(size(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT)")
+        .alias("n_words"),
+        F.expr(
+            "CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))"
+            " AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_syllables"),
+    )
+    return c.selectExpr(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        f"{_FLESCH} AS flesch",
+        f"CASE WHEN {_FLESCH} >= 70 THEN 'easy' "
+        f"WHEN {_FLESCH} >= 50 THEN 'standard' "
+        f"ELSE 'hard' END AS band",
+    )

@@ -44,6 +44,9 @@ KEYS = [
     "dedup_near_minhash",
     "ssb_q3_1",
     "ssb_q4_2",
+    "agg_skew_kurtosis",
+    "ml_linreg_normal_eq",
+    "graph_kcore_fixed",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

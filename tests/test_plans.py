@@ -751,3 +751,28 @@ def test_ssb_q4_full_star_single_fact_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("HashAggregate") >= 2
+
+
+def test_skew_kurtosis_single_partial_final_agg(spark, sf_dir):
+    """Power-sum moments must be ONE partial+final aggregation (the whole
+    point of the raw-sums formulation — a centered two-pass form would
+    show two aggregation rounds over the fact table)."""
+    plan = plan_of(spark, sf_dir, "agg_skew_kurtosis")
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_linreg_broadcast_part_single_agg(spark, sf_dir):
+    """OLS sufficient statistics: part dim broadcasts, one partial+final
+    aggregation over the joined fact — no iteration, no second pass."""
+    plan = plan_of(spark, sf_dir, "ml_linreg_normal_eq")
+    assert "BroadcastHashJoin" in plan
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_readability_is_pure_map(spark, sf_dir):
+    """Flesch scoring is row-local regexp work — no shuffle at all."""
+    plan = plan_of(spark, sf_dir, "text_readability_flesch")
+    assert n_nodes(plan, "Exchange") == 0
+    assert "Join" not in plan

@@ -729,3 +729,30 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(parts, 2).alias("lang"),
         F.element_at(parts, 3).alias("text"),
     )
+
+
+# --- generator source (round 5) ----------------------------------------
+
+@query(
+    "scan_range_source",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS id,
+       CAST(i * i AS BIGINT) AS sq,
+       CAST(i % 7 AS BIGINT) AS bucket,
+       'row_' || CAST(i AS VARCHAR) AS tag
+FROM generate_series(1, 10000) t(i)
+""",
+    category="A",
+)
+def scan_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generator source: ``spark.range`` — the zero-I/O way to
+    synthesize dimension scaffolds, calendar spines, and test loads
+    (DuckDB twin: ``generate_series``). At cluster scale ``range()``
+    splits the interval across partitions with no storage read at all;
+    derived columns stay in whole-stage codegen."""
+    return spark.range(1, 10001).select(
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") * F.col("id")).cast("bigint").alias("sq"),
+        (F.col("id") % 7).cast("bigint").alias("bucket"),
+        F.concat(F.lit("row_"), F.col("id").cast("string")).alias("tag"),
+    )

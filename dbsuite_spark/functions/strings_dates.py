@@ -242,3 +242,43 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("prio", "n", "total")
     )
+
+
+# --- interval / calendar arithmetic battery (round 5) ------------------
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS INT) AS days_since_95,
+       CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders
+""",
+    category="H",
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic battery: day offsets, month offsets
+    (both engines clamp month-end: Jan 31 + 1 month = Feb 28/29),
+    month truncation, last_day, day-difference from an epoch, quarter —
+    the date-dimension derivations every warehouse load performs.
+    Row-local codegen expressions; zero shuffle."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )

@@ -1585,3 +1585,67 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > MAD_CUT).alias("is_anomaly"),
         )
     )
+
+
+# --- rolling regression (round 5) --------------------------------------
+
+# Trailing-10-row OLS slope per supplier: the rolling sufficient
+# statistics are decimal-exact window sums (order-free within the frame;
+# the frame itself is pinned by a unique (shipdate, orderkey,
+# linenumber) sort), and the slope algebra evaluates identical SQL
+# expression text on both engines — same discipline as
+# ml_linreg_normal_eq, lifted into a window frame.
+# NOTE: (l_orderkey, l_linenumber) is NOT unique in this fixture, so the
+# sort adds the measure columns as tiebreakers; rows still tied after
+# that are full duplicates, which are frame-equivalent under a ROWS
+# frame (swapping adjacent identical rows changes no frame's multiset).
+_ROLL_FRAME = (
+    "OVER (PARTITION BY l_suppkey "
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber, "
+    "l_quantity, l_extendedprice "
+    "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"
+)
+_ROLL_STATS = (
+    f"CAST(count(*) {_ROLL_FRAME} AS BIGINT) AS n",
+    f"CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) {_ROLL_FRAME} AS DOUBLE) AS sx",
+    f"CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) {_ROLL_FRAME} AS DOUBLE) AS sy",
+    f"CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) {_ROLL_FRAME} AS DOUBLE) AS sxx",
+    f"CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) {_ROLL_FRAME} AS DOUBLE) AS sxy",
+)
+_ROLL_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+_ROLLING_OLS_ORACLE = f"""
+WITH w AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         {", ".join(_ROLL_STATS)}
+  FROM lineitem)
+SELECT l_suppkey, l_orderkey, l_linenumber, n,
+       {_ROLL_SLOPE} AS slope
+FROM w
+WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+"""
+
+
+@query("win_rolling_ols_slope", oracle=_ROLLING_OLS_ORACLE, category="E")
+def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ordinary-least-squares slope (price sensitivity to
+    quantity) over each supplier's trailing 10 shipments — the local
+    trend estimator used for drift monitoring, computed entirely from
+    windowed sufficient statistics (no per-row Python, no second pass).
+
+    Scale: one shuffle on l_suppkey, one in-partition sort, and all five
+    rolling sums share a single window frame (one Window physical node);
+    frames never cross partitions so the operator is embarrassingly
+    partition-parallel at any scale. Degenerate frames (n < 2, zero
+    quantity variance) are filtered with exact comparisons."""
+    li = t(spark, sf_dir, "lineitem")
+    w = li.selectExpr(
+        "l_suppkey", "l_orderkey", "l_linenumber", *_ROLL_STATS
+    )
+    return w.filter("n >= 2 AND (n * sxx - sx * sx) <> 0").selectExpr(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        f"{_ROLL_SLOPE} AS slope",
+    )

@@ -483,3 +483,89 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_SKEW} AS skewness",
         f"{_KURT} AS kurtosis",
     )
+
+
+# --- skyline / Pareto front (round 5) ----------------------------------
+
+# Sort-based skyline: with acctbal in exact integer cents ordered DESC,
+# a supplier is Pareto-optimal (maximize acctbal AND revenue) iff its
+# revenue strictly exceeds the best revenue at any strictly higher
+# acctbal (RANGE ... 1 PRECEDING on the integer key = "strictly
+# greater"), and no same-acctbal peer has strictly more revenue. One
+# sort, no self-join — the O(n log n) skyline instead of the O(n²)
+# NOT-EXISTS formulation (which remains the oracle's *semantic*
+# definition, expressed here the same windowed way for bit-equality).
+_SKY_WIN_DESC = (
+    "max(revenue) OVER (ORDER BY cents DESC"
+    " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+)
+_SKY_WIN_TIE = (
+    "max(revenue) OVER (PARTITION BY cents)"
+)
+
+_SKYLINE_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey),
+pts AS (
+  SELECT s_suppkey, s_acctbal, revenue,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier JOIN rev ON s_suppkey = l_suppkey),
+w AS (
+  SELECT s_suppkey, s_acctbal, revenue,
+         {_SKY_WIN_DESC} AS best_above,
+         {_SKY_WIN_TIE} AS best_tie
+  FROM pts)
+SELECT s_suppkey, s_acctbal, revenue
+FROM w
+WHERE (best_above IS NULL OR revenue > best_above)
+  AND revenue = best_tie
+"""
+
+
+@query("agg_skyline_pareto", oracle=_SKYLINE_ORACLE, category="D")
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): suppliers not dominated on
+    (account balance, total lifetime revenue) — the multi-criteria
+    shortlist operator (dominance: ≥ on both axes, > on at least one).
+
+    Scale: revenue is one partial+final decimal aggregation over the
+    fact table; the skyline itself is one sort of the (tiny) supplier
+    aggregate — at 100 TB the sort input is |suppliers|, not |lineitem|,
+    and the windowed formulation avoids the quadratic NOT-EXISTS
+    self-join entirely. Exactness: acctbal is 2dp → exact integer cents;
+    revenue is decimal-exact; both window maxima and the dominance
+    comparisons are over bit-identical doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    pts = (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .selectExpr(
+            "s_suppkey",
+            "s_acctbal",
+            "revenue",
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS cents",
+        )
+    )
+    w = pts.selectExpr(
+        "s_suppkey",
+        "s_acctbal",
+        "revenue",
+        f"{_SKY_WIN_DESC} AS best_above",
+        f"{_SKY_WIN_TIE} AS best_tie",
+    )
+    return w.filter(
+        (F.col("best_above").isNull() | (F.col("revenue") > F.col("best_above")))
+        & (F.col("revenue") == F.col("best_tie"))
+    ).select("s_suppkey", "s_acctbal", "revenue")

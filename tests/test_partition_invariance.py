@@ -47,6 +47,8 @@ KEYS = [
     "agg_skew_kurtosis",
     "ml_linreg_normal_eq",
     "graph_kcore_fixed",
+    "agg_skyline_pareto",
+    "win_rolling_ols_slope",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -776,3 +776,33 @@ def test_readability_is_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_readability_flesch")
     assert n_nodes(plan, "Exchange") == 0
     assert "Join" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """The skyline must be the sort-based windowed formulation — one
+    revenue aggregation, Window nodes, and NO join of the point set to
+    itself (the quadratic NOT-EXISTS shape)."""
+    plan = plan_of(spark, sf_dir, "agg_skyline_pareto")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    # exactly the supplier⋈revenue join — no second (self) join
+    assert (
+        n_nodes(plan, "BroadcastHashJoin")
+        + n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+    ) == 1
+
+
+def test_rolling_ols_single_window_node(spark, sf_dir):
+    """All five rolling sufficient statistics must share ONE window
+    frame (one Window physical node, one exchange + sort)."""
+    plan = plan_of(spark, sf_dir, "win_rolling_ols_slope")
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "Exchange") == 1
+
+
+def test_range_source_no_scan(spark, sf_dir):
+    """The generator source must plan as Range — no file scan at all."""
+    plan = plan_of(spark, sf_dir, "scan_range_source")
+    assert n_nodes(plan, "Range") == 1
+    assert "Scan parquet" not in plan

@@ -1649,3 +1649,72 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         f"{_ROLL_SLOPE} AS slope",
     )
+
+
+# --- budget waterfall allocation (round 5) -----------------------------
+
+WATERFALL_BUDGET = 1000000  # per-nation budget to allocate, in price units
+
+_WF_CB = (
+    "coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))"
+    " OVER (PARTITION BY n_name ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0)"
+)
+_WF_ALLOC = (
+    f"LEAST(o_totalprice, GREATEST(0.0, {WATERFALL_BUDGET} - cum_before))"
+)
+
+_WATERFALL_ORACLE = f"""
+WITH j AS (
+  SELECT n_name, o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+w AS (
+  SELECT n_name, o_orderkey, o_orderdate, o_totalprice,
+         {_WF_CB} AS cum_before
+  FROM j)
+SELECT n_name, o_orderkey, o_orderdate, o_totalprice, cum_before,
+       {_WF_ALLOC} AS allocated
+FROM w
+WHERE {_WF_ALLOC} > 0.0
+"""
+
+
+@query("win_budget_waterfall", oracle=_WATERFALL_ORACLE, category="E")
+def win_budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential budget allocation (waterfall): each nation has a fixed
+    budget consumed by its orders in date order; an order receives
+    ``min(demand, max(0, budget - spent_so_far))`` — the greedy
+    fill that expresses quota/credit-line/inventory allocation as ONE
+    window pass (running sum with an exclusive frame) instead of an
+    iterative loop. Only funded rows are returned.
+
+    Exactness: the running "spent" is an exact decimal window sum over
+    2dp prices with a (date, orderkey)-pinned frame; the clamp algebra
+    evaluates identical expression text on both engines. Scale: one
+    shuffle on the partition key, one in-partition sort; nothing
+    iterative."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    w = j.selectExpr(
+        "n_name",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        f"{_WF_CB} AS cum_before",
+    )
+    return w.selectExpr(
+        "n_name",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        "cum_before",
+        f"{_WF_ALLOC} AS allocated",
+    ).filter(F.col("allocated") > 0.0)

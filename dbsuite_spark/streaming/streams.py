@@ -32,6 +32,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbsuite_spark.etl.io import artifact_path
 from dbsuite_spark.exact import BIGCOUNT, DSUM
@@ -835,3 +836,51 @@ def stream_stream_full_outer_join(
         "click_ts",
     )
     return _run_to_memory(spark, joined, "mem_ssfoj", "append")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, {BIGCOUNT('*')} AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT window_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY window_start
+              ORDER BY n DESC, event_type) AS INT) AS rnk
+  FROM counts)
+SELECT window_start, event_type, n, rnk
+FROM ranked WHERE rnk <= 3
+""",
+    category="I",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour over a file stream: the streaming
+    stage is the incremental windowed count (complete output mode — the
+    only mode where per-window ranks are well-defined, since a rank can
+    demote on any late increment); the rank itself is a batch window
+    function over the materialized state, exactly where a serving layer
+    computes it. Ties break on event_type for a deterministic multiset.
+
+    Scale: the streaming agg state is |windows × types| (tiny); the
+    ranking input is the same aggregate, so the top-k never touches the
+    raw stream."""
+    path, src = _land_events(spark, sf_dir, "wtopk", n_files=3)
+    sdf = (
+        _read_stream(spark, path, src.schema)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    counts = _run_to_memory(spark, sdf, "mem_wtopk", "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n", "rnk")
+    )

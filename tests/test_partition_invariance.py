@@ -49,6 +49,7 @@ KEYS = [
     "graph_kcore_fixed",
     "agg_skyline_pareto",
     "win_rolling_ols_slope",
+    "win_budget_waterfall",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -806,3 +806,11 @@ def test_range_source_no_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scan_range_source")
     assert n_nodes(plan, "Range") == 1
     assert "Scan parquet" not in plan
+
+
+def test_waterfall_single_window_pass(spark, sf_dir):
+    """The waterfall allocation must be ONE window pass (running sum
+    with an exclusive frame) — not an iterative/self-join shape."""
+    plan = plan_of(spark, sf_dir, "win_budget_waterfall")
+    assert n_nodes(plan, "Window") == 1
+    assert "CartesianProduct" not in plan

@@ -756,3 +756,44 @@ def scan_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % 7).cast("bigint").alias("bucket"),
         F.concat(F.lit("row_"), F.col("id").cast("string")).alias("tag"),
     )
+
+
+# --- schema-merged parquet scan (round 5) ------------------------------
+
+@query(
+    "scan_parquet_schema_merge",
+    oracle="""
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1997
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE EXTRACT(year FROM o_orderdate) > 1997
+""",
+    category="A",
+)
+def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations with different
+    column sets (an old extract carrying o_totalprice, a new one
+    carrying o_orderpriority) read back in ONE scan with
+    ``mergeSchema=true`` — absent columns null-fill per file, the
+    standard way a 100 TB lake absorbs additive schema change without
+    rewriting history. The oracle states the same union semantics over
+    the source table.
+
+    Scale note: mergeSchema reconciles footers at planning time (cost
+    scales with file count, not data); steady-state readers pin the
+    merged schema explicitly instead of re-inferring per query."""
+    o = t(spark, sf_dir, "orders")
+    base = artifact_path(sf_dir, "schema_merge_parquet")
+    old_gen = o.filter(F.year("o_orderdate") <= 1997).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_gen = o.filter(F.year("o_orderdate") > 1997).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    old_gen.write.mode("overwrite").parquet(f"{base}/gen=1")
+    new_gen.write.mode("overwrite").parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")

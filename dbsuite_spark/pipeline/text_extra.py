@@ -422,3 +422,50 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN {_FLESCH} >= 50 THEN 'standard' "
         f"ELSE 'hard' END AS band",
     )
+
+
+# --- light suffix stemming (round 5) -----------------------------------
+
+# Longest-first alternation makes leftmost-first (Java) and
+# leftmost-longest regex engines agree on which suffix strips.
+_STEM_SUFFIX = "(edly|ies|ing|es|ed|ly|s)$"
+_STEM_EXPR = (
+    "CASE WHEN length(regexp_replace(w, '(edly|ies|ing|es|ed|ly|s)$', ''))"
+    " >= 3 THEN regexp_replace(w, '(edly|ies|ing|es|ed|ly|s)$', '')"
+    " ELSE w END"
+)
+
+_STEM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stems AS (
+  SELECT doc_id, {_STEM_EXPR} AS stem FROM toks WHERE w <> '')
+SELECT stem,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM stems GROUP BY stem
+"""
+
+
+@query("text_stem_light", oracle=_STEM_ORACLE, category="L")
+def text_stem_light(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Light suffix-stripping stemmer (rule subset of Porter step 1) +
+    corpus-level stem statistics — vocabulary normalization before
+    token counting / TF-IDF, entirely in codegen string functions.
+
+    Cross-engine: the suffix alternation is ordered LONGEST-FIRST so
+    Java's leftmost-first and RE2's matching agree on the stripped
+    suffix; the ≥3-char guard prevents over-stripping short tokens and
+    evaluates identical expression text on both engines.
+
+    Scale: explode + two grouped counts — one shuffle on the stem key;
+    the distinct-doc count rides the same aggregation."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    stems = toks.selectExpr("doc_id", f"{_STEM_EXPR} AS stem")
+    return stems.groupBy("stem").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )

@@ -25,6 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import register_views, t
@@ -462,4 +463,55 @@ def udx_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_id bigint, n_events bigint, n_purchases bigint, "
             "n_orders bigint",
         )
+    )
+
+
+@query(
+    "udf_pandas_window_agg",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+         / count(*) OVER w AS roll_mean_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      l_quantity, l_extendedprice
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+    category="J",
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF evaluated over a bounded window frame —
+    the Spark surface for custom rolling aggregates when no built-in
+    fits (each frame's values arrive as one pandas Series per row). Here
+    the custom aggregate is a rolling mean of an INTEGRAL measure, so
+    the Arrow-side float64 sum is exact (values ≤ 50, frames of ≤ 4) and
+    the single division matches the SQL twin bit-for-bit; a real
+    deployment swaps the body for the custom statistic.
+
+    Scale: bounded-frame pandas aggregation ships one Arrow batch per
+    partition — the frame never crosses partitions, and the 10-or-fewer
+    row frames keep the per-row Python cost at vectorized-batch rates.
+    The frame sort reuses the fixture's non-unique-key tiebreak
+    discipline (see win_rolling_ols_slope)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf("double")
+    def roll_mean(v: pd.Series) -> float:
+        return float(v.sum()) / len(v)
+
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice",
+        )
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        roll_mean("l_quantity").over(w).alias("roll_mean_qty"),
     )

@@ -50,6 +50,8 @@ KEYS = [
     "agg_skyline_pareto",
     "win_rolling_ols_slope",
     "win_budget_waterfall",
+    "udf_pandas_window_agg",
+    "text_stem_light",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -609,3 +609,50 @@ def etl_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("d") >= 5).alias("is_weekend"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     )
+
+
+@query(
+    "etl_scd3_dimension",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+           AS c_mktsegment,
+       CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment END
+           AS prev_mktsegment,
+       CASE WHEN c_custkey % 7 = 0 THEN DATE '2000-01-01' END
+           AS changed_on
+FROM customer
+""",
+    category="K",
+)
+def etl_scd3_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 3: instead of SCD2's row
+    versioning, each key stays ONE row and the prior value moves into a
+    ``prev_`` column with a change date — the pattern for dimensions
+    where only the immediately-previous state matters. Same synthesized
+    change batch as etl_scd2_dimension (keys ≡ 0 mod 7 re-segment on
+    2000-01-01); unchanged keys carry NULL prev/changed_on.
+
+    Scale: one broadcast left join of the (small) change batch against
+    the dimension — no dim shuffle, no version explosion; the artifact
+    round-trips through parquet like the other loaders."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    changes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("UPDATED").alias("new_seg"),
+        F.lit("2000-01-01").cast("date").alias("eff"),
+    )
+    out = (
+        c.join(F.broadcast(changes), c.c_custkey == changes.k, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("new_seg", "c_mktsegment").alias("c_mktsegment"),
+            F.when(F.col("k").isNotNull(), F.col("c_mktsegment")).alias(
+                "prev_mktsegment"
+            ),
+            F.col("eff").alias("changed_on"),
+        )
+    )
+    path = artifact_path(sf_dir, "customer_scd3_parquet")
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -146,3 +146,55 @@ def etl_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("hv").cast("long").alias("xor_fingerprint"),
         )
     )
+
+
+# --- column statistical profile (round 5) ------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("catalog_column_profile", oracle=_PROFILE_ORACLE, category="K")
+def catalog_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistical profile of a table (row count, null count,
+    exact distinct count) — the db2look/ANALYZE-style documentation
+    report, one row per column. All six columns profile in a SINGLE
+    aggregation pass: count(col) and count(distinct col) per column ride
+    one grouped plan (Spark expands multi-distinct via a single expand +
+    aggregate), then the wide row unpivots to the report shape.
+
+    Scale: one scan + one aggregation regardless of column count; exact
+    distincts are the honest default at dim-table scale — switch the
+    expression to approx_count_distinct for 100 TB fact tables (the
+    approx tier's verdict-oracle pattern covers that path)."""
+    o = t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            x
+            for c in _PROFILE_COLS
+            for x in (
+                F.count(c).cast("bigint").alias(f"cnt_{c}"),
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            )
+        ],
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, "
+        + ", ".join(
+            f"'{c}', n_rows, n_rows - cnt_{c}, nd_{c}"
+            for c in _PROFILE_COLS
+        )
+        + ") AS (column_name, n_rows, n_nulls, n_distinct)"
+    )

@@ -1718,3 +1718,82 @@ def win_budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before",
         f"{_WF_ALLOC} AS allocated",
     ).filter(F.col("allocated") > 0.0)
+
+
+# --- representative-point downsampling (round 5) -----------------------
+
+DOWNSAMPLE_BUCKETS = 20  # points kept per series
+
+_DS_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, event_id, ts, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY ts, event_id) - 1 AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events),
+b AS (
+  SELECT event_type, event_id, ts, value,
+         rn * {DOWNSAMPLE_BUCKETS} // n AS bucket
+  FROM s),
+m AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS bucket_mean
+  FROM b GROUP BY event_type, bucket),
+d AS (
+  SELECT b.event_type, b.bucket, b.event_id, b.ts, b.value,
+         abs(b.value - m.bucket_mean) AS dev,
+         row_number() OVER (PARTITION BY b.event_type, b.bucket
+              ORDER BY abs(b.value - m.bucket_mean) DESC, b.event_id)
+           AS pick
+  FROM b JOIN m ON b.event_type = m.event_type AND b.bucket = m.bucket)
+SELECT event_type, bucket, event_id, ts, value, dev
+FROM d WHERE pick = 1
+"""
+
+
+@query("ts_downsample_bucket_rep", oracle=_DS_ORACLE, category="E")
+def ts_downsample_bucket_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series downsampling for visualization/sketching: each event-type
+    series is cut into 20 equal-count buckets and each bucket keeps its
+    most *informative* point — the one farthest from the bucket mean
+    (the shape-preserving idea behind largest-triangle downsampling,
+    made order-free: true LTTB's previously-selected-point recursion is
+    inherently sequential, while max-deviation-from-mean gives one
+    grouped pass). Tie-break on event_id.
+
+    Exactness: bucket ids are exact integer arithmetic (rn*B // n);
+    bucket means are decimal-exact sums over the 2dp value column
+    divided once; deviations and the argmax ordering compare
+    bit-identical doubles. Scale: two shuffles (series window, bucket
+    agg) regardless of series length; output is B rows per series."""
+    e = t(spark, sf_dir, "events")
+    ws = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", "event_id", "ts", "value",
+        (F.row_number().over(ws) - 1).cast("bigint").alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    b = s.withColumn(
+        "bucket", F.expr(f"rn * {DOWNSAMPLE_BUCKETS} div n")
+    ).drop("rn", "n")
+    m = b.groupBy("event_type", "bucket").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("bucket_mean")
+    )
+    d = b.join(F.broadcast(m), ["event_type", "bucket"]).withColumn(
+        "dev", F.abs(F.col("value") - F.col("bucket_mean"))
+    )
+    wp = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("dev"), "event_id"
+    )
+    return (
+        d.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select("event_type", "bucket", "event_id", "ts", "value", "dev")
+    )

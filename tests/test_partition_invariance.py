@@ -52,6 +52,8 @@ KEYS = [
     "win_budget_waterfall",
     "udf_pandas_window_agg",
     "text_stem_light",
+    "ts_downsample_bucket_rep",
+    "catalog_column_profile",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

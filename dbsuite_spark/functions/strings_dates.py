@@ -282,3 +282,42 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_95"),
         F.quarter("o_orderdate").cast("int").alias("qtr"),
     )
+
+
+@query(
+    "fn_string_pad_translate",
+    oracle="""
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+       rpad(c_mktsegment, 12, '.') AS padded_seg,
+       translate(c_name, '#_', '-:') AS translated,
+       repeat('=', CAST(c_custkey % 5 AS INT)) AS bar,
+       reverse(c_mktsegment) AS rev_seg,
+       CAST(ascii(c_mktsegment) AS INT) AS first_code,
+       chr(CAST(65 + c_custkey % 26 AS INT)) AS bucket_letter
+FROM customer
+""",
+    category="H",
+)
+def fn_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting-string battery: zero-padded fixed-width keys (lpad),
+    dot-fill alignment (rpad), character-map translate, repeat, reverse,
+    ascii/chr round-trip — the report/export formatting helpers of the
+    reference's string library. Pure codegen row-local expressions."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias(
+            "padded_key"
+        ),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.translate("c_name", "#_", "-:").alias("translated"),
+        F.repeat(F.lit("="), (F.col("c_custkey") % 5).cast("int")).alias(
+            "bar"
+        ),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.ascii("c_mktsegment").cast("int").alias("first_code"),
+        F.chr((F.lit(65) + F.col("c_custkey") % 26).cast("int")).alias(
+            "bucket_letter"
+        ),
+    )

@@ -1797,3 +1797,62 @@ def ts_downsample_bucket_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") == 1)
         .select("event_type", "bucket", "event_id", "ts", "value", "dev")
     )
+
+
+# --- OHLC bars (round 5) -----------------------------------------------
+
+_OHLC_ORACLE = """
+WITH s AS (
+  SELECT event_type, value,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_ts,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, bar_ts,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+FROM s GROUP BY event_type, bar_ts
+"""
+
+
+@query("ts_ohlc_bars", oracle=_OHLC_ORACLE, category="E")
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event-type series: open/close are the first/
+    last tick by a (ts, event_id)-pinned order, high/low are plain
+    extremes, volume is the decimal-exact value sum — the canonical
+    time-series compaction (tick → bar) every market/metrics store runs.
+
+    First/last are expressed as rank-1 conditional aggregates (two
+    row_number windows sharing one sort) rather than first_value(),
+    because engines disagree on first/last frame semantics but agree
+    exactly on rank-1-by-total-order. Scale: one shuffle on
+    (event_type, hour); bars output is |series × hours|."""
+    e = t(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", bar).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    s = e.select(
+        "event_type",
+        "value",
+        bar.alias("bar_ts"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return s.groupBy("event_type", "bar_ts").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("volume"),
+    )

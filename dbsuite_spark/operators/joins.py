@@ -707,3 +707,28 @@ def ml_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("view_age_us"),
     )
+
+
+@query(
+    "join_shuffle_merge_hint",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+""",
+    category="C",
+)
+def join_shuffle_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE join-strategy hint: forces a sort-merge join where the
+    optimizer would pick broadcast — the right call when BOTH sides are
+    too large to broadcast but arrive pre-sorted/bucketed on the key, or
+    when broadcast OOM risk must be excluded (the q18 discussion in
+    workloads/tpch.py is the mirror-image case). Results are
+    strategy-independent; the plan shape is pinned in tests/test_plans.py
+    — this key exists to keep the hint surface exercised and correct."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )

@@ -54,6 +54,7 @@ KEYS = [
     "text_stem_light",
     "ts_downsample_bucket_rep",
     "catalog_column_profile",
+    "ts_ohlc_bars",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -814,3 +814,19 @@ def test_waterfall_single_window_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "win_budget_waterfall")
     assert n_nodes(plan, "Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_merge_hint_forces_sort_merge_join(spark, sf_dir):
+    """The MERGE hint must actually produce a SortMergeJoin (the
+    optimizer would otherwise broadcast the filtered orders side)."""
+    plan = plan_of(spark, sf_dir, "join_shuffle_merge_hint")
+    assert n_nodes(plan, "SortMergeJoin") == 1
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_ohlc_two_windows_one_agg(spark, sf_dir):
+    """OHLC bars: the two rank windows must share one sort/partitioning
+    chain and feed a single partial+final aggregation."""
+    plan = plan_of(spark, sf_dir, "ts_ohlc_bars")
+    assert n_nodes(plan, "Window") <= 2
+    assert n_nodes(plan, "HashAggregate") == 2

@@ -797,3 +797,42 @@ def scan_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/gen=1", f"{base}/gen=2"
     )
     return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "scan_csv_multiline",
+    oracle="""
+SELECT c_custkey,
+       c_name || ',' || chr(10) || c_mktsegment AS note
+FROM customer
+""",
+    category="A",
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with embedded delimiters AND newlines inside
+    quoted fields (``multiLine=true`` + quote/escape handling) — the
+    messy-export case that breaks naive line-splitting readers. The
+    writer quotes the field; the reader must reassemble records across
+    physical lines. Oracle recomputes the embedded-newline value from
+    the source table, proving byte-exact round-trip.
+
+    Scale note: multiLine CSV parsing is NOT line-splittable, so each
+    file parses as one task — keep such files many-and-small (the write
+    side here inherits the source partitioning); columnar formats remain
+    the real answer for 100 TB."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(","), F.lit("\n"), F.col("c_mktsegment")
+        ).alias("note"),
+    )
+    path = artifact_path(sf_dir, "customer_multiline_csv")
+    c.write.mode("overwrite").option("header", "true").option(
+        "quoteAll", "true"
+    ).csv(path)
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("c_custkey BIGINT, note STRING")
+        .csv(path)
+    )

@@ -569,3 +569,80 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_above").isNull() | (F.col("revenue") > F.col("best_above")))
         & (F.col("revenue") == F.col("best_tie"))
     ).select("s_suppkey", "s_acctbal", "revenue")
+
+
+# --- correlation matrix (round 5) --------------------------------------
+
+# Pearson correlations among (quantity, discount, tax) from one pass of
+# decimal-exact power/cross sums; all pairwise products are <=4dp with
+# small magnitudes (qty<=50, rates<=0.1), so DECIMAL(18,6) holds them
+# exactly with wide headroom. The correlation algebra runs on scalars
+# from identical expression text (sqrt correctly rounded both engines).
+_CORR_PAIRS = [("q", "d"), ("q", "x"), ("d", "x")]
+_CORR_NAMES = {"q": "l_quantity", "d": "l_discount", "x": "l_tax"}
+
+
+def _corr_expr(a: str, b: str) -> str:
+    return (
+        f"((n * s_{a}{b} - s_{a} * s_{b})"
+        f" / (sqrt(n * s_{a}{a} - s_{a} * s_{a})"
+        f" * sqrt(n * s_{b}{b} - s_{b} * s_{b})))"
+    )
+
+
+def _corr_sums_sql() -> str:
+    terms = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for a in "qdx":
+        terms.append(
+            f"CAST(SUM(CAST({_CORR_NAMES[a]} AS DECIMAL(18,6)))"
+            f" AS DOUBLE) AS s_{a}"
+        )
+    for a, b in [("q", "q"), ("d", "d"), ("x", "x")] + _CORR_PAIRS:
+        terms.append(
+            f"CAST(SUM(CAST({_CORR_NAMES[a]} * {_CORR_NAMES[b]}"
+            f" AS DECIMAL(18,6))) AS DOUBLE) AS s_{a}{b}"
+        )
+    return ", ".join(terms)
+
+
+_CORR_ORACLE = f"""
+WITH s AS (SELECT {_corr_sums_sql()} FROM lineitem)
+SELECT n,
+       {_corr_expr('q', 'd')} AS corr_qty_discount,
+       {_corr_expr('q', 'x')} AS corr_qty_tax,
+       {_corr_expr('d', 'x')} AS corr_discount_tax
+FROM s
+"""
+
+
+@query("agg_corr_matrix", oracle=_CORR_ORACLE, category="D")
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three measures in ONE
+    partial+final aggregation pass (10 exact sums feed all 3
+    correlations) — feature-correlation screening before model training,
+    without Spark's ``corr()`` whose merge order is partition-dependent.
+    Bit-identical across engines and partitionings."""
+    li = t(spark, sf_dir, "lineitem")
+    s = li.selectExpr("l_quantity", "l_discount", "l_tax").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        *[
+            F.expr(
+                f"CAST(SUM(CAST({_CORR_NAMES[a]} AS DECIMAL(18,6)))"
+                " AS DOUBLE)"
+            ).alias(f"s_{a}")
+            for a in "qdx"
+        ],
+        *[
+            F.expr(
+                f"CAST(SUM(CAST({_CORR_NAMES[a]} * {_CORR_NAMES[b]}"
+                " AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias(f"s_{a}{b}")
+            for a, b in [("q", "q"), ("d", "d"), ("x", "x")] + _CORR_PAIRS
+        ],
+    )
+    return s.selectExpr(
+        "n",
+        f"{_corr_expr('q', 'd')} AS corr_qty_discount",
+        f"{_corr_expr('q', 'x')} AS corr_qty_tax",
+        f"{_corr_expr('d', 'x')} AS corr_discount_tax",
+    )

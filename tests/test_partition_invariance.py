@@ -55,6 +55,8 @@ KEYS = [
     "ts_downsample_bucket_rep",
     "catalog_column_profile",
     "ts_ohlc_bars",
+    "agg_corr_matrix",
+    "set_symmetric_difference",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -211,3 +211,60 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(
         "p_brand", "n", f"{_SLOPE} AS slope", f"{_INTERCEPT} AS intercept"
     )
+
+
+# --- hashing-trick features (round 5) ----------------------------------
+
+HASH_DIM = 16  # feature-vector width (buckets)
+
+# Engine-portable token hash: md5 hex prefix parsed as an integer (the
+# package's cross-engine hash idiom, see pipeline/graph_extra.py) —
+# xxhash64 exists only in Spark, so the hashing trick uses md5 on both.
+_HB_SPARK = "CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % 16"
+_HB_DUCK = "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 16"
+
+
+def _hash_feat_cols(bucket_expr: str) -> str:
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN {bucket_expr} = {k} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS h{k}"
+        for k in range(HASH_DIM)
+    )
+
+
+_HASH_FEAT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {_hash_feat_cols(_HB_DUCK)}
+FROM toks WHERE w <> '' GROUP BY doc_id
+"""
+
+
+@query("text_hash_features", oracle=_HASH_FEAT_ORACLE, category="L")
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): each document's token
+    counts fold into a fixed 16-bucket integer vector via a stable token
+    hash — the unbounded-vocabulary-to-fixed-width step that lets
+    downstream models train without a vocab build. Buckets flatten to
+    scalar columns h0..h15 (driver-hash-safe), one row per doc.
+
+    Scale: explode + one grouped conditional-sum pass — a single shuffle
+    on doc_id; the vector width is a constant so the aggregation row is
+    fixed-size no matter the corpus. Exactness: md5-derived buckets and
+    integer counts are bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return toks.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN {_HB_SPARK} = {k} THEN 1 ELSE 0 END)"
+                f" AS BIGINT)"
+            ).alias(f"h{k}")
+            for k in range(HASH_DIM)
+        ],
+    )

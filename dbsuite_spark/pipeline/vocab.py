@@ -675,3 +675,56 @@ def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+# --- OOV-rate gate (round 5) -------------------------------------------
+
+_OOV_ORACLE = f"""
+WITH terms AS ({_TERMS_SQL}),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM terms GROUP BY term),
+top AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT {VOCAB_SIZE}),
+j AS (
+  SELECT t.doc_id,
+         CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM terms t LEFT JOIN top v ON t.term = v.term)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
+@query("docs_oov_rate", oracle=_OOV_ORACLE, category="L")
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-512
+    vocabulary (docs_vocab_build's cut) — the tokenizer-coverage gate a
+    training pipeline runs before committing to a vocab: documents with
+    high OOV rates either need vocab growth or are noise.
+
+    Scale: the vocab is a bounded top-V (broadcast); the per-doc pass is
+    one broadcast join + one grouped count over the term stream — no
+    shuffle of the term space beyond the count that built the vocab.
+    Exactness: integer counts and one division of exact integers."""
+    terms = _terms(spark, sf_dir)
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(VOCAB_SIZE)
+        .select("term")
+    )
+    j = terms.join(
+        F.broadcast(vocab.withColumnRenamed("term", "vterm")),
+        terms.term == F.col("vterm"),
+        "left",
+    ).select(
+        "doc_id",
+        F.when(F.col("vterm").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("oov").cast("double") / F.count("*")).alias("oov_rate"),
+    )

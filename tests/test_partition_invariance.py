@@ -57,6 +57,8 @@ KEYS = [
     "ts_ohlc_bars",
     "agg_corr_matrix",
     "set_symmetric_difference",
+    "docs_oov_rate",
+    "text_hash_features",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

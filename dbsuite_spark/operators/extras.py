@@ -646,3 +646,59 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_corr_expr('q', 'x')} AS corr_qty_tax",
         f"{_corr_expr('d', 'x')} AS corr_discount_tax",
     )
+
+
+# --- weighted median (round 5) -----------------------------------------
+
+_WMED_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+              PARTITION BY l_returnflag ORDER BY l_extendedprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cw,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+              PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM lineitem)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median,
+       MIN(tw) AS total_weight
+FROM w WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMED_ORACLE, category="D")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (price weighted by quantity): the
+    lower weighted median — the first value whose running weight reaches
+    half the group total. Integer weights make the crossing test exact;
+    the output value depends only on the value ordering, so ties among
+    equal prices cannot change the result (no unique-key tiebreak
+    needed — the chosen VALUE is the same for any tie order).
+
+    Scale: one shuffle on the group key, one in-partition sort shared by
+    both window sums, then a grouped MIN over the crossing suffix —
+    no per-group collect, no percentile UDF."""
+    li = t(spark, sf_dir, "lineitem")
+    wg = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cw"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .over(Window.partitionBy("l_returnflag"))
+        .cast("bigint")
+        .alias("tw"),
+    )
+    return (
+        w.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+    )

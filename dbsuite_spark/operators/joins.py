@@ -732,3 +732,51 @@ def join_shuffle_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT p.event_id,
+       (SELECT MIN(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts)
+           AS next_click_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+    category="C",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the EARLIEST strictly
+    -later click of the same user — the look-ahead twin of ``join_asof``
+    (next-touch attribution, time-to-next-action). Same single-shuffle
+    pattern: union the roles, sort within user, carry the next click
+    backward with a first(ignorenulls) over the FOLLOWING frame; at
+    equal timestamps clicks sort before purchases so "strictly later"
+    holds (mirror of the backward key's role bit)."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("role"),  # clicks sort before purchases at equal ts
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("role"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "role")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "next_click_ts", F.first("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("role") == 1).select(
+        "event_id", "next_click_ts"
+    )

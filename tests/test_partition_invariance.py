@@ -59,6 +59,8 @@ KEYS = [
     "set_symmetric_difference",
     "docs_oov_rate",
     "text_hash_features",
+    "agg_weighted_median",
+    "join_asof_forward",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -469,3 +469,92 @@ def text_stem_light(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+# --- BM25 lexical scoring (round 5) ------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "fast")  # fixed query terms (fixture vocab)
+
+# Per-(doc, term) contribution rounded to 6dp then summed as exact
+# decimals — the package's 6dp-log discipline (ln is not correctly
+# rounded, so raw transcendental sums would drift cross-engine; a
+# 6dp-rounded double casts to the same DECIMAL(18,6) on both engines).
+_BM25_TERM = (
+    "round(ln((n_docs - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({BM25_K1} + 1))"
+    f" / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)"
+)
+
+_BM25_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+q AS (SELECT unnest(['spark', 'join', 'fast']) AS token),
+tf AS (SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok t JOIN q ON t.token = q.token GROUP BY t.doc_id, t.token),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok JOIN q USING (token) GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         {_BM25_TERM.replace("avgdl", "(CAST(total_tokens AS DOUBLE) / n_docs)")} AS s
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_bm25_score", oracle=_BM25_ORACLE, category="L")
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document scoring for a fixed query (k1=1.2, b=0.75) —
+    THE lexical ranking function (the first stage of every hybrid
+    retrieval cascade; sim_search_hybrid_rerank uses a simpler idf
+    recall — this key is the standard-scoring upgrade path).
+
+    Scale: doc lengths and corpus stats are one aggregation each (stats
+    broadcast as a 1-row frame); the query-term tf table only material-
+    izes for matching (doc, term) pairs — the inverted-index shape, so
+    work scales with postings of the query terms, not the corpus.
+    Exactness: per-term contributions are 6dp-rounded then summed as
+    exact decimals (cross-engine ln discipline)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    qtok = tok.filter(F.col("token").isin(list(BM25_QUERY)))
+    tf = qtok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfr = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfr), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            "token",
+            _BM25_TERM.replace(
+                "avgdl", "(CAST(total_tokens AS DOUBLE) / n_docs)"
+            )
+            + " AS s",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25"),
+    )

@@ -61,6 +61,7 @@ KEYS = [
     "text_hash_features",
     "agg_weighted_median",
     "join_asof_forward",
+    "text_bm25_score",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -1856,3 +1856,104 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("volume"),
     )
+
+
+# --- calendar spine with zero-fill (round 5) ---------------------------
+
+_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT CAST(DATE '1995-01-01' + INTERVAL (i) DAY AS DATE) AS d
+  FROM generate_series(0, 2404) t(i)),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1)
+SELECT s.d,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue,
+       (n_orders IS NULL) AS is_gap
+FROM spine s LEFT JOIN daily USING (d)
+"""
+
+
+@query("ts_calendar_spine_fill", oracle=_SPINE_ORACLE, category="E")
+def ts_calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily reporting spine: a zero-I/O generated calendar
+    (every day of the fixture's 1995-01-01..2001-08-01 span) left-joined
+    to daily order aggregates, gaps zero-filled and flagged — the
+    missing-days fix every time-series report needs (a GROUP BY alone
+    silently drops empty days).
+
+    Scale: the spine is |days| rows from ``range()`` (broadcastable
+    forever); the daily aggregate is one partial+final pass; the join
+    broadcasts the spine side. Exactness: integer day arithmetic,
+    decimal-exact revenue, boolean gap flag."""
+    spine = spark.range(0, 2405).select(
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("d")
+    )
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("n_orders").isNull().alias("is_gap"),
+        )
+    )
+
+
+# --- cumulative adoption curve (round 5) -------------------------------
+
+_ADOPTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0
+  FROM events GROUP BY user_id),
+per_day AS (
+  SELECT d0 AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY d0)
+SELECT d, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+"""
+
+
+@query("events_cumulative_adoption", oracle=_ADOPTION_ORACLE, category="E")
+def events_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User adoption curve: first-seen date per user, new users per day,
+    and the exact running total of distinct users ever seen — the
+    growth chart computed WITHOUT a sliding distinct (first-seen
+    reduces cumulative-distinct to a cumulative SUM of integers, the
+    100 TB-safe formulation; contrast win_sliding_distinct_users, whose
+    exact sliding sets are the documented scale ceiling).
+
+    Scale: one user-keyed aggregation, one tiny per-day rollup, one
+    global window over |days| rows (bounded)."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

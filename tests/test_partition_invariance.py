@@ -62,6 +62,7 @@ KEYS = [
     "agg_weighted_median",
     "join_asof_forward",
     "text_bm25_score",
+    "events_cumulative_adoption",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbsuite_spark.pipeline.text_extra import text_langid_ngram
 from dbsuite_spark.registry import query, spec
@@ -336,3 +337,75 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# --- rank-based AUC (round 5) ------------------------------------------
+
+_AUC = (
+    "((s_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))"
+)
+
+_AUC_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS score,
+         (user_id % 5 = 0) AS label
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT label,
+         CAST(rank() OVER (ORDER BY score) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS tie_n
+  FROM per_user),
+s AS (
+  SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         SUM(CASE WHEN label THEN r + (tie_n - 1) / 2.0 ELSE 0 END) AS s_pos
+  FROM ranked)
+SELECT n_pos, n_neg, {_AUC} AS auc FROM s
+"""
+
+
+@query("ml_auc_rank_eval", oracle=_AUC_ORACLE, category="L")
+def ml_auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney rank formula (tie-corrected average
+    ranks) — the standard scalable AUC: no threshold sweep, no curve
+    materialization, just one global rank of the score distribution.
+    Score = per-user event count; label = the deterministic user_id%5
+    holdout (the package's synthetic-label convention).
+
+    Exactness: ranks and tie counts are integers; average ranks add an
+    exact .5; the final AUC is one division of exactly-derived doubles
+    from identical expression text. The tie-corrected sum S_pos is a sum
+    of halves — exact in double up to 2^52, far beyond any user count.
+
+    Scale: the global rank window is the one global sort — over the
+    per-user aggregate (|users| rows), not events; at extreme scale,
+    bucket the score histogram and compute AUC from bin counts (same
+    formula on grouped ranks)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("score")
+    ).select(
+        "score", (F.col("user_id") % 5 == 0).alias("label")
+    )
+    wr = Window.orderBy("score")
+    wt = Window.partitionBy("score")
+    ranked = per_user.select(
+        "label",
+        F.rank().over(wr).cast("bigint").alias("r"),
+        F.count("*").over(wt).cast("bigint").alias("tie_n"),
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("label"), F.col("r") + (F.col("tie_n") - 1) / 2.0
+            ).otherwise(0.0)
+        ).alias("s_pos"),
+    )
+    return s.selectExpr("n_pos", "n_neg", f"{_AUC} AS auc")

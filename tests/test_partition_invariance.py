@@ -63,6 +63,7 @@ KEYS = [
     "join_asof_forward",
     "text_bm25_score",
     "events_cumulative_adoption",
+    "ml_auc_rank_eval",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -702,3 +702,50 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").alias("total_weight"),
         )
     )
+
+
+# --- 2-D equi-width histogram (round 5) --------------------------------
+
+# integer bin arithmetic: floor division spells `div` in Spark SQL and
+# `//` in DuckDB — the VALUES are exact integers either way.
+_H2D_QBIN_D = "CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT)"
+_H2D_DBIN_D = "CAST(CAST(round(l_discount * 100) AS BIGINT) // 2 AS BIGINT)"
+_H2D_QBIN_S = "CAST(CAST(l_quantity AS BIGINT) div 10 AS BIGINT)"
+_H2D_DBIN_S = "CAST(CAST(round(l_discount * 100) AS BIGINT) div 2 AS BIGINT)"
+
+_H2D_ORACLE = f"""
+SELECT {_H2D_QBIN_D} AS qty_bin,
+       {_H2D_DBIN_D} AS disc_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@query("agg_histogram_2d", oracle=_H2D_ORACLE, category="D")
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equi-width histogram over (quantity, discount) with a price
+    measure per cell — the joint-distribution profile behind heatmaps
+    and correlation sanity checks. Bin ids are exact integer arithmetic
+    (quantity is integral; discount is 2dp so round(×100) recovers the
+    exact integer percent before the width-2 floor division).
+
+    Scale: one partial+final aggregation; cell count is bounded by the
+    bin grid (6×6 here), so the reduce side is constant-size."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            f"{_H2D_QBIN_S} AS qty_bin",
+            f"{_H2D_DBIN_S} AS disc_bin",
+            "l_extendedprice",
+        )
+        .groupBy("qty_bin", "disc_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

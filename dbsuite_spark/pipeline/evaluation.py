@@ -409,3 +409,63 @@ def ml_auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_pos"),
     )
     return s.selectExpr("n_pos", "n_neg", f"{_AUC} AS auc")
+
+
+# --- calibration bins (round 5) ----------------------------------------
+
+CALIB_BINS = 10
+
+_CALIB_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS score,
+         (user_id % 5 = 0) AS label
+  FROM events GROUP BY user_id),
+binned AS (
+  SELECT score, label,
+         CAST(ntile({CALIB_BINS}) OVER (ORDER BY score, user_id) AS INT)
+           AS bin
+  FROM per_user)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS pos_rate,
+       CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mean_score
+FROM binned GROUP BY bin
+"""
+
+
+@query("ml_calibration_bins", oracle=_CALIB_ORACLE, category="L")
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: rank the score distribution into 10
+    equal-count bins (ntile over a unique (score, user_id) order) and
+    report per-bin positive rate vs mean score — the calibration
+    companion to ml_auc_rank_eval (AUC says *ranking* is good;
+    calibration says the *values* mean what they claim).
+
+    Exactness: ntile over a total order is deterministic; all cells are
+    integer counts/sums with one exact division each. Scale: the global
+    ntile runs over the per-user aggregate (|users| rows); at extreme
+    scale, derive bins from a pre-aggregated score histogram instead."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("score")
+    ).select(
+        "user_id", "score", (F.col("user_id") % 5 == 0).alias("label")
+    )
+    wb = Window.orderBy("score", "user_id")
+    binned = per_user.select(
+        "score", "label", F.ntile(CALIB_BINS).over(wb).cast("int").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        (
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("pos_rate"),
+        (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
+    )

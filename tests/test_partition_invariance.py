@@ -64,6 +64,7 @@ KEYS = [
     "text_bm25_score",
     "events_cumulative_adoption",
     "ml_auc_rank_eval",
+    "ml_calibration_bins",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

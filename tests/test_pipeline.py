@@ -656,3 +656,17 @@ def test_semantic_dedup_one_canonical_per_cluster(spark, sf_dir):
     for r in dedup_near_embcos(spark, sf_dir).select("d1", "d2").collect():
         assert comp[r.d1] == comp[r.d2], f"pair ({r.d1},{r.d2}) split"
     sd.unpersist()
+
+
+def test_band_bucket_cap_actually_drops_when_low(spark, sf_dir, monkeypatch):
+    """Behavioral check of the BAND_BUCKET_CAP guard: with the cap
+    forced to 1, every multi-doc LSH bucket is dropped, so the detector
+    must find strictly fewer (here: zero) pairs — proving the cap path
+    executes rather than being dead code behind a never-hit threshold."""
+    import dbsuite_spark.pipeline.dedup as dd
+
+    monkeypatch.setattr(dd, "BAND_BUCKET_CAP", 1)
+    capped = dd.dedup_near_minhash(spark, sf_dir).count()
+    assert capped == 0, (
+        f"cap=1 must drop every colliding bucket, got {capped} pairs"
+    )

@@ -830,3 +830,36 @@ def test_ohlc_two_windows_one_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ts_ohlc_bars")
     assert n_nodes(plan, "Window") <= 2
     assert n_nodes(plan, "HashAggregate") == 2
+
+
+def test_calendar_spine_broadcasts_generated_side(spark, sf_dir):
+    """The generated calendar must plan as a Range node broadcast into
+    the daily aggregate — zero file scans on the spine side."""
+    plan = plan_of(spark, sf_dir, "ts_calendar_spine_fill")
+    assert n_nodes(plan, "Range") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_median_shares_one_sort(spark, sf_dir):
+    """Both window sums (running + total weight) must share one
+    partitioning — a single exchange chain, no join."""
+    plan = plan_of(spark, sf_dir, "agg_weighted_median")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") <= 2
+
+
+def test_asof_forward_single_exchange_no_join(spark, sf_dir):
+    """Forward as-of must keep the union+window shape: one user_id
+    exchange, no physical join operator at all."""
+    plan = plan_of(spark, sf_dir, "join_asof_forward")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_bm25_broadcast_stats_no_cartesian_blowup(spark, sf_dir):
+    """BM25's corpus stats ride a 1-row broadcast; the only nested-loop
+    join allowed is that single-row cross join."""
+    plan = plan_of(spark, sf_dir, "text_bm25_score")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan

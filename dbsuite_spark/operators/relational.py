@@ -339,3 +339,26 @@ def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         rich, o.o_custkey == rich.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+    category="B",
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` — Spark 4's subtractive projection:
+    keep everything but the named columns, the ergonomic (and
+    evolution-safe) way to drop bulky/sensitive fields without
+    enumerating survivors. The oracle states the equivalent explicit
+    list; column pruning still reaches the scan either way (the analyzer
+    expands EXCEPT before optimization)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (o_orderstatus, o_orderdate) FROM orders "
+        "WHERE o_orderstatus = 'F'"
+    )

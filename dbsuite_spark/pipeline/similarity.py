@@ -503,3 +503,77 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "qdot", "rank")
     )
+
+
+# --- hard-negative mining (round 5) ------------------------------------
+
+HARDNEG_K = 3
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+           FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+         {COSINE('q.qe', 'e.embedding')} AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+)
+SELECT qid, qlabel, neighbor_id, nlabel, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs) WHERE rn <= {HARDNEG_K}
+"""
+
+
+@query("sim_hard_negatives", oracle=_HARDNEG_ORACLE, category="L")
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-3 most
+    similar corpus vectors carrying a DIFFERENT label — the contrastive-
+    training staple (easy negatives teach nothing; the highest-similarity
+    wrong-label examples are the gradient-rich ones).
+
+    Scale: identical cost envelope to the exact top-k (broadcast query
+    side × one corpus scan with per-side norms); the label filter prunes
+    before ranking. The same mining runs against the ANN paths at 100 TB
+    — exact here because this key is also the truth set for evaluating
+    that swap. Cosines are ordered-fold exact (pipeline/vectors.py), so
+    ranks are bit-deterministic."""
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    pairs = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("qid"))
+            & (F.col("nlabel") != F.col("qlabel")),
+        )
+        .select(
+            "qid",
+            "qlabel",
+            "neighbor_id",
+            "nlabel",
+            (
+                dot(F.col("qe"), F.col("ne"))
+                / (F.col("qn") * F.col("nn"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("qid", "qlabel", "neighbor_id", "nlabel", "cos_sim", "rank")
+    )

@@ -65,6 +65,7 @@ KEYS = [
     "events_cumulative_adoption",
     "ml_auc_rank_eval",
     "ml_calibration_bins",
+    "sim_hard_negatives",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -1957,3 +1957,80 @@ def events_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# --- single-row KPI scorecard (round 5) --------------------------------
+
+_KPI_ORACLE = """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         MAX(value) AS max_value
+  FROM events),
+ranked AS (
+  SELECT value,
+         CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM events),
+p95 AS (
+  SELECT MIN(value) AS p95_value FROM ranked
+  WHERE r >= CAST(ceil(0.95 * n) AS BIGINT)),
+tt AS (
+  SELECT event_type AS top_event_type FROM (
+    SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type
+    ORDER BY c DESC, event_type LIMIT 1))
+SELECT total_events, n_users,
+       CAST(total_events AS DOUBLE) / n_users AS events_per_user,
+       max_value, p95_value, top_event_type
+FROM base, p95, tt
+"""
+
+
+@query("events_kpi_scorecard", oracle=_KPI_ORACLE, category="E")
+def events_kpi_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row KPI scorecard: event volume, distinct users,
+    events/user, max value, an EXACT p95 (the rank-crossing element
+    under a pinned (value, event_id) total order — no interpolation, so
+    no engine-specific percentile math), and the modal event type
+    (tie-broken) — the one-glance dashboard row every metrics store
+    serves.
+
+    Scale: three bounded aggregations + one global rank over the value
+    column; at extreme scale the p95 swaps to the verdict-oracled
+    approx-percentile tier (same output shape)."""
+    e = t(spark, sf_dir, "events")
+    base = e.agg(
+        F.count("*").cast("bigint").alias("total_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.max("value").alias("max_value"),
+    )
+    wr = Window.orderBy("value", "event_id")
+    ranked = e.select(
+        "value",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    p95 = ranked.filter(
+        F.col("r") >= F.ceil(0.95 * F.col("n")).cast("bigint")
+    ).agg(F.min("value").alias("p95_value"))
+    tt = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("top_event_type"))
+    )
+    return (
+        base.crossJoin(F.broadcast(p95))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "total_events",
+            "n_users",
+            (F.col("total_events").cast("double") / F.col("n_users")).alias(
+                "events_per_user"
+            ),
+            "max_value",
+            "p95_value",
+            "top_event_type",
+        )
+    )

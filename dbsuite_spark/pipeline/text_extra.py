@@ -558,3 +558,44 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hit_terms"),
         F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25"),
     )
+
+
+# --- span extraction (round 5) -----------------------------------------
+
+_SPAN_PATTERN = "[a-z]*ing"  # suffix-span demo pattern over fixture vocab
+
+_SPAN_ORACLE = f"""
+SELECT doc_id,
+       regexp_extract(text, '{_SPAN_PATTERN}', 0) AS span,
+       CAST(strpos(text, regexp_extract(text, '{_SPAN_PATTERN}', 0))
+            AS BIGINT) AS span_pos,
+       CAST(length(regexp_extract(text, '{_SPAN_PATTERN}', 0)) AS BIGINT)
+         AS span_len,
+       regexp_extract(text, '{_SPAN_PATTERN}', 0) <> '' AS found
+FROM documents
+"""
+
+
+@query("text_span_extract", oracle=_SPAN_ORACLE, category="L")
+def text_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match span extraction with position and length — the
+    annotation primitive behind PII tagging, citation mining, and
+    weak-label span datasets: (span text, 1-based char offset, length,
+    found flag) per document. ``strpos`` of the extracted literal gives
+    the offset portably (both engines' regexp APIs return the match but
+    not its position; for a non-empty first match, leftmost regex match
+    position == first literal occurrence). Row-local codegen, zero
+    shuffle.
+
+    Caveat pinned by the pattern choice: the offset-via-strpos identity
+    needs the regex's leftmost match to BE the first literal occurrence
+    — true for deterministic patterns like this suffix class."""
+    d = t(spark, sf_dir, "documents")
+    span = F.regexp_extract("text", _SPAN_PATTERN, 0)
+    return d.select(
+        "doc_id",
+        span.alias("span"),
+        F.instr("text", span).cast("bigint").alias("span_pos"),
+        F.length(span).cast("bigint").alias("span_len"),
+        (span != "").alias("found"),
+    )

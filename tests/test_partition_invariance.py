@@ -66,6 +66,7 @@ KEYS = [
     "ml_auc_rank_eval",
     "ml_calibration_bins",
     "sim_hard_negatives",
+    "events_kpi_scorecard",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -884,3 +884,62 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n", "rnk")
     )
+
+
+@query(
+    "stream_stream_semi_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND CAST(c.ts AS TIMESTAMP)
+          BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+              AND CAST(p.ts AS TIMESTAMP))
+""",
+    category="I",
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases that HAD a same-user
+    click in the preceding 30 minutes, emitting only the left row — the
+    streaming existence filter (qualified-conversion gate) where the
+    inner join's row multiplication is unwanted. Same watermark + time-
+    range state-eviction story as stream_stream_join; semi output means
+    each purchase emits at most once, so append mode equals the batch
+    EXISTS → full SQL oracle."""
+    path, src = _land_events(spark, sf_dir, "sssemi", n_files=2)
+    purchases = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "35 days")
+    )
+    clicks = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "35 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "left_semi",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+    )
+    return _run_to_memory(spark, joined, "mem_sssemi", "append")

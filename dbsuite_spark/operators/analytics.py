@@ -2034,3 +2034,81 @@ def events_kpi_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_event_type",
         )
     )
+
+
+# --- Mann-Kendall trend test (round 5) ---------------------------------
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+           AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d),
+nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       FROM daily GROUP BY event_type)
+SELECT p.event_type,
+       nd.n,
+       CAST(SUM(p.sgn) AS BIGINT) AS s_statistic,
+       CAST(SUM(p.sgn) AS DOUBLE) / (nd.n * (nd.n - 1) / 2)
+         AS kendall_tau
+FROM pairs p JOIN nd ON p.event_type = nd.event_type
+GROUP BY p.event_type, nd.n
+"""
+
+
+@query("ts_trend_mann_kendall", oracle=_MK_ORACLE, category="E")
+def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic per event-type series: S = Σ sign
+    over all ordered day pairs of the daily-mean series, plus the
+    normalized Kendall tau — the nonparametric monotone-trend detector
+    (no distributional assumption, exact integer S).
+
+    Scale: the pairwise join is per-series over the DAILY aggregate —
+    |days|² pairs per series (bounded by the calendar, not event
+    volume), equi-keyed on the series so it shuffles once. The daily
+    means are decimal-exact sums over 2dp values divided once, so the
+    sign comparisons are bit-identical cross-engine."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.sum("sgn").cast("bigint").alias("s_statistic"))
+        .join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s_statistic",
+            (
+                F.col("s_statistic").cast("double")
+                / (F.col("n") * (F.col("n") - 1) / 2)
+            ).alias("kendall_tau"),
+        )
+    )

@@ -749,3 +749,85 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- chi-square independence (round 5) ---------------------------------
+
+_CHI2_CELL = (
+    "(o - CAST(rn AS DOUBLE) * cn / tot)"
+    " * (o - CAST(rn AS DOUBLE) * cn / tot)"
+    " / (CAST(rn AS DOUBLE) * cn / tot)"
+)
+
+_CHI2_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+rowt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rn
+         FROM obs GROUP BY event_type),
+colt AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS cn
+         FROM obs GROUP BY cohort),
+tott AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM obs),
+cells AS (
+  SELECT obs.event_type, obs.cohort,
+         CAST(obs.o AS DOUBLE) AS o, rn, cn, tot
+  FROM obs JOIN rowt USING (event_type) JOIN colt USING (cohort)
+  CROSS JOIN tott)
+SELECT CAST(SUM(CAST(round({_CHI2_CELL}, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) AS chi2,
+       CAST((SELECT COUNT(*) - 1 FROM rowt)
+            * (SELECT COUNT(*) - 1 FROM colt) AS BIGINT) AS dof,
+       (SELECT tot FROM tott) AS n
+FROM cells
+"""
+
+
+@query("events_chi_square_independence", oracle=_CHI2_ORACLE, category="D")
+def events_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square independence statistic for the (event_type ×
+    user-cohort) contingency table, with degrees of freedom — the
+    categorical-association test behind segment-mix monitoring (compare
+    the statistic against the chi² critical value offline; no p-value
+    here because no distribution function is engine-portable).
+
+    Exactness: observed/marginal counts are integers; each cell's
+    (O−E)²/E evaluates from identical expression text and is 6dp-rounded
+    then summed as exact decimals (cell count is bounded by the grid, so
+    the rounding-error budget is fixed). Scale: one contingency
+    aggregation + broadcast marginals — the table is |types × cohorts|
+    regardless of event volume."""
+    e = t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("bigint").alias("cohort")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rowt = obs.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("rn")
+    )
+    colt = obs.groupBy("cohort").agg(F.sum("o").cast("bigint").alias("cn"))
+    tott = obs.agg(F.sum("o").cast("bigint").alias("tot"))
+    cells = (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "cohort")
+        .crossJoin(F.broadcast(tott))
+        .selectExpr("CAST(o AS DOUBLE) AS o", "rn", "cn", "tot")
+    )
+    dof = (
+        rowt.agg((F.count("*") - 1).alias("r"))
+        .crossJoin(colt.agg((F.count("*") - 1).alias("c")))
+        .select((F.col("r") * F.col("c")).cast("bigint").alias("dof"))
+    )
+    chi2 = cells.agg(
+        F.sum(
+            F.expr(f"CAST(round({_CHI2_CELL}, 6) AS DECIMAL(18,6))")
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        chi2.crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(tott.withColumnRenamed("tot", "n")))
+        .select("chi2", "dof", "n")
+    )

@@ -67,6 +67,8 @@ KEYS = [
     "ml_calibration_bins",
     "sim_hard_negatives",
     "events_kpi_scorecard",
+    "ts_trend_mann_kendall",
+    "events_chi_square_independence",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

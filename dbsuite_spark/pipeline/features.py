@@ -268,3 +268,85 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(HASH_DIM)
         ],
     )
+
+
+# --- decision-split Gini scoring (round 5) -----------------------------
+
+SPLIT_CANDIDATES = (10, 20, 30, 40)
+
+# weighted Gini impurity of a (left, right) split on the returnflag
+# label: all inputs are integer counts, every division evaluates from
+# identical expression text → bit-identical doubles.
+_GINI_SIDE = (
+    "(1.0 - (CAST({p}_r AS DOUBLE) / {p}_n) * (CAST({p}_r AS DOUBLE) / {p}_n)"
+    " - (CAST({p}_a AS DOUBLE) / {p}_n) * (CAST({p}_a AS DOUBLE) / {p}_n)"
+    " - (CAST({p}_o AS DOUBLE) / {p}_n) * (CAST({p}_o AS DOUBLE) / {p}_n))"
+)
+_GINI_EXPR = (
+    f"(CAST(l_n AS DOUBLE) / (l_n + r_n)) * {_GINI_SIDE.format(p='l')}"
+    f" + (CAST(r_n AS DOUBLE) / (l_n + r_n)) * {_GINI_SIDE.format(p='r')}"
+)
+
+
+def _split_counts_sql(thr: int) -> str:
+    return f"""
+SELECT {thr} AS threshold,
+       CAST(SUM(CASE WHEN l_quantity < {thr} THEN 1 ELSE 0 END) AS BIGINT) AS l_n,
+       CAST(SUM(CASE WHEN l_quantity < {thr} AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS l_r,
+       CAST(SUM(CASE WHEN l_quantity < {thr} AND l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS l_a,
+       CAST(SUM(CASE WHEN l_quantity < {thr} AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS l_o,
+       CAST(SUM(CASE WHEN l_quantity >= {thr} THEN 1 ELSE 0 END) AS BIGINT) AS r_n,
+       CAST(SUM(CASE WHEN l_quantity >= {thr} AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_r,
+       CAST(SUM(CASE WHEN l_quantity >= {thr} AND l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS r_a,
+       CAST(SUM(CASE WHEN l_quantity >= {thr} AND l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS r_o
+FROM lineitem"""
+
+
+_GINI_ORACLE = f"""
+WITH counts AS ({" UNION ALL ".join(_split_counts_sql(t) for t in SPLIT_CANDIDATES)})
+SELECT CAST(threshold AS INT) AS threshold, l_n, r_n,
+       {_GINI_EXPR} AS weighted_gini
+FROM counts
+"""
+
+
+@query("ml_split_gini_scores", oracle=_GINI_ORACLE, category="L")
+def ml_split_gini_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split evaluation: weighted Gini impurity of the
+    returnflag label for four candidate thresholds on quantity — the
+    inner loop of distributed tree building (argmin over these rows is
+    the chosen split), computed as ONE conditional-aggregation pass for
+    ALL candidates (the histogram trick: never one scan per threshold).
+
+    Exactness: per-side class counts are integers from a single
+    aggregation; the impurity algebra evaluates identical expression
+    text on both engines. Scale: one scan, constant-width reduce row,
+    threshold count is the only multiplier."""
+    li = t(spark, sf_dir, "lineitem")
+    thr = F.explode(
+        F.array(*[F.lit(x) for x in SPLIT_CANDIDATES])
+    ).alias("threshold")
+    exploded = li.select("l_quantity", "l_returnflag").select(
+        thr, "l_quantity", "l_returnflag"
+    )
+    left = F.col("l_quantity") < F.col("threshold")
+
+    def side(cond, flag, name):
+        c = cond if flag is None else cond & (F.col("l_returnflag") == flag)
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(name)
+
+    counts = exploded.groupBy(
+        F.col("threshold").cast("int").alias("threshold")
+    ).agg(
+        side(left, None, "l_n"),
+        side(left, "R", "l_r"),
+        side(left, "A", "l_a"),
+        side(left, "N", "l_o"),
+        side(~left, None, "r_n"),
+        side(~left, "R", "r_r"),
+        side(~left, "A", "r_a"),
+        side(~left, "N", "r_o"),
+    )
+    return counts.selectExpr(
+        "threshold", "l_n", "r_n", f"{_GINI_EXPR} AS weighted_gini"
+    )

@@ -69,6 +69,7 @@ KEYS = [
     "events_kpi_scorecard",
     "ts_trend_mann_kendall",
     "events_chi_square_independence",
+    "ml_split_gini_scores",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -2112,3 +2112,53 @@ def ts_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_tau"),
         )
     )
+
+
+# --- exponential time-decay engagement score (round 5) -----------------
+
+_DECAY_ORACLE = """
+WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mts FROM events),
+per AS (
+  SELECT user_id,
+         round(power(0.5,
+             CAST(date_diff('day', CAST(ts AS DATE), CAST(mts AS DATE))
+                  AS DOUBLE) / 7.0), 6) AS w
+  FROM events, mx)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS decay_score
+FROM per GROUP BY user_id
+"""
+
+
+@query("events_decay_score", oracle=_DECAY_ORACLE, category="E")
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: each event contributes
+    0.5^(age_days/7) (7-day half-life, anchored at the corpus max
+    timestamp so the score is deterministic), summed per user — the
+    engagement/churn-risk feature every activation model starts from.
+
+    Exactness: pow is a transcendental, so each weight is 6dp-rounded
+    then summed as exact decimals (the package's ln/pow discipline);
+    ages are exact integer day diffs. Scale: one broadcast scalar (max
+    ts) + one grouped decimal sum."""
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("timestamp")).alias("mts"))
+    per = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                F.datediff(F.col("mts").cast("date"), F.col("ts").cast("date"))
+                .cast("double")
+                / 7.0,
+            ),
+            6,
+        ).alias("w"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias(
+            "decay_score"
+        ),
+    )

@@ -192,3 +192,39 @@ def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(PAGE_OFFSET)
         .limit(PAGE_SIZE)
     )
+
+
+@query(
+    "sort_nulls_last_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       nullif(o_orderpriority, '3-MEDIUM') AS prio_or_null
+FROM orders
+ORDER BY prio_or_null ASC NULLS LAST, o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    category="F",
+)
+def sort_nulls_last_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-ordering in a top-k: a nullable sort expression
+    (priority with the modal value nulled out) ordered ASC NULLS LAST —
+    engines DISAGREE on default null placement (Spark: nulls first on
+    ASC; many SQL engines: last), so portable top-k over nullable keys
+    must spell the placement. Unique-key tie-break keeps the cut
+    deterministic; plans as TakeOrderedAndProject like every top-k."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias(
+                "prio_or_null"
+            ),
+        )
+        .orderBy(
+            F.col("prio_or_null").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            "o_orderkey",
+        )
+        .limit(20)
+    )

@@ -70,6 +70,7 @@ KEYS = [
     "ts_trend_mann_kendall",
     "events_chi_square_independence",
     "ml_split_gini_scores",
+    "events_decay_score",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

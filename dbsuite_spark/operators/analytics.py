@@ -2162,3 +2162,125 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decay_score"
         ),
     )
+
+
+# --- maximum drawdown (round 5) ----------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+runmax AS (
+  SELECT event_type, d, v,
+         MAX(v) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM daily)
+SELECT event_type,
+       MAX(peak - v) AS max_drawdown,
+       MAX(peak) AS peak_value,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM runmax GROUP BY event_type
+"""
+
+
+@query("ts_max_drawdown", oracle=_DRAWDOWN_ORACLE, category="E")
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event-type's daily-total series: the
+    largest peak-to-trough decline (running max minus current, maxed) —
+    the risk metric that a single pass of one running-max window + one
+    grouped max computes, no pairwise scan.
+
+    Exactness: daily totals are decimal-exact; the running max SELECTS
+    an existing exact value, so peak − v is one deterministic IEEE
+    subtraction. Scale: one series shuffle + sort; drawdown state is a
+    scalar per row."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runmax = daily.withColumn("peak", F.max("v").over(wp))
+    return runmax.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("v")).alias("max_drawdown"),
+        F.max("peak").alias("peak_value"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+# --- historic value-at-risk (round 5) ----------------------------------
+
+VAR_ALPHA_PCT = 5  # 5% tail → the p5 of the day-over-day change
+
+_VAR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+chg AS (
+  SELECT event_type, d,
+         v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS delta
+  FROM daily),
+ranked AS (
+  SELECT event_type, delta,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY delta, d) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM chg WHERE delta IS NOT NULL)
+SELECT event_type,
+       MIN(n) AS n_changes,
+       MAX(CASE WHEN r = CAST(ceil(0.05 * n) AS BIGINT) THEN delta END)
+         AS var_p5
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("ts_var_historic", oracle=_VAR_ORACLE, category="E")
+def ts_var_historic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historic value-at-risk: the exact 5th-percentile day-over-day
+    change of each series (the rank-crossing element under a pinned
+    (delta, day) order — no interpolation, so no engine-specific
+    percentile math). A negative var_p5 of X reads "on the worst 5% of
+    days, the daily total drops by at least |X|".
+
+    Scale: daily rollup + lag + one per-series rank — everything after
+    the rollup is |days|-bounded. Deltas subtract two decimal-exact
+    doubles, so ranks are bit-deterministic."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    chg = daily.select(
+        "event_type",
+        "d",
+        (F.col("v") - F.lag("v").over(wl)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("delta", "d")
+    ranked = chg.select(
+        "event_type",
+        "delta",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("n").alias("n_changes"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("delta"),
+            )
+        ).alias("var_p5"),
+    )

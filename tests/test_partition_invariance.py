@@ -71,6 +71,8 @@ KEYS = [
     "events_chi_square_independence",
     "ml_split_gini_scores",
     "events_decay_score",
+    "ts_max_drawdown",
+    "ts_var_historic",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -831,3 +831,64 @@ def events_chi_square_independence(
         .crossJoin(F.broadcast(tott.withColumnRenamed("tot", "n")))
         .select("chi2", "dof", "n")
     )
+
+
+# --- exact percentile grid (round 5) -----------------------------------
+
+PCT_GRID = (25, 50, 75, 95)
+
+_PCTGRID_ORACLE = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+              AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       MIN(n) AS n_rows,
+       {", ".join(
+           f"MAX(CASE WHEN r = CAST(ceil(0.{p:02d} * n) AS BIGINT)"
+           f" THEN l_extendedprice END) AS p{p}"
+           for p in PCT_GRID)}
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_grid_exact", oracle=_PCTGRID_ORACLE, category="D")
+def agg_percentile_grid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95 per group in ONE ranked pass: every
+    percentile is the rank-crossing ELEMENT (ceil(q·n), pinned total
+    order), so all four come from the same window + one conditional
+    aggregation — no interpolation (engine-specific), no one-pass-per-
+    quantile, no percentile UDF.
+
+    Scale: one shuffle + sort per group key; the grid width only adds
+    conditional-aggregate columns. For 100 TB fact tables the
+    approx-percentile verdict tier is the swap-in (same output shape)."""
+    li = t(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("l_returnflag"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.min("n").alias("n_rows"),
+        *[
+            F.max(
+                F.when(
+                    F.col("r")
+                    == F.ceil(F.lit(p / 100.0) * F.col("n")).cast("bigint"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"p{p}")
+            for p in PCT_GRID
+        ],
+    )

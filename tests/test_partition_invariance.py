@@ -73,6 +73,7 @@ KEYS = [
     "events_decay_score",
     "ts_max_drawdown",
     "ts_var_historic",
+    "agg_percentile_grid_exact",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -615,3 +615,59 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_redundant"),
     )
+
+
+# --- cluster representative selection (round 5) ------------------------
+
+def _cluster_rep_oracle() -> str:
+    from dbsuite_spark.registry import spec
+
+    cc_sql = spec("dedup_connected_components").oracle
+    return f"""
+WITH cc AS ({cc_sql}),
+scored AS (
+  SELECT cc.doc_id, cc.component, cc.comp_size, d.n_chars,
+         row_number() OVER (PARTITION BY cc.component
+              ORDER BY d.n_chars DESC, cc.doc_id) AS pick
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+  WHERE cc.comp_size > 1)
+SELECT component, doc_id AS representative_id,
+       CAST(n_chars AS BIGINT) AS rep_chars,
+       CAST(comp_size AS BIGINT) AS comp_size,
+       CAST(comp_size - 1 AS BIGINT) AS n_removed
+FROM scored WHERE pick = 1
+"""
+
+
+@query(
+    "dedup_cluster_representative", oracle=_cluster_rep_oracle(), category="L"
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the step that turns duplicate
+    CLUSTERS into a keep/drop decision: within each multi-doc component,
+    keep the highest-quality member (longest text, tie-broken by
+    doc_id); everything else is the removal set. This is the policy
+    point of a dedup pipeline (swap the ORDER BY for any quality score —
+    perplexity bucket, decay-weighted source trust, …).
+
+    Scale: one join of the (already-bounded) component labels to the doc
+    quality column + one per-component window — nothing touches raw
+    text. Oracle composes the verified CC oracle as a CTE."""
+    cc = dedup_connected_components(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = cc.filter(F.col("comp_size") > 1).join(d, "doc_id")
+    wp = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("representative_id"),
+            F.col("n_chars").cast("bigint").alias("rep_chars"),
+            F.col("comp_size").cast("bigint").alias("comp_size"),
+            (F.col("comp_size") - 1).cast("bigint").alias("n_removed"),
+        )
+    )
+

@@ -198,3 +198,82 @@ def catalog_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ") AS (column_name, n_rows, n_nulls, n_distinct)"
     )
+
+
+# --- pseudonymization (round 5) ----------------------------------------
+
+PSEUDO_SALT = "dbsuite-pepper-1"  # deployment-secret stand-in (fixture const)
+
+_PSEUDO_ORACLE = f"""
+SELECT sha256('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+       event_type,
+       value
+FROM events
+"""
+
+
+@query("etl_pseudonymize", oracle=_PSEUDO_ORACLE, category="K")
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization pass (GDPR Art. 4(5) shape): direct identifiers
+    become salted SHA-256 pseudonyms (stable joins survive; re-
+    identification requires the salt) and timestamps generalize to hour
+    grain — the privacy transform run before data leaves the trusted
+    zone. Row-local codegen; zero shuffle; the salt is a deployment
+    secret injected at runtime (a fixture constant here so the key
+    stays hash-verifiable)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        F.sha2(
+            F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")),
+            256,
+        ).alias("user_pseudo"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        "event_type",
+        "value",
+    )
+
+
+# --- freshness SLA report (round 5) ------------------------------------
+
+FRESHNESS_SLA_HOURS = 24
+
+_FRESHNESS_ORACLE = f"""
+WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS corpus_max FROM events),
+per AS (
+  SELECT event_type,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type)
+SELECT p.event_type, p.last_seen, p.n_events,
+       CAST(date_diff('second', p.last_seen, mx.corpus_max) AS BIGINT)
+         AS lag_seconds,
+       date_diff('second', p.last_seen, mx.corpus_max)
+         <= {FRESHNESS_SLA_HOURS} * 3600 AS within_sla
+FROM per p, mx
+"""
+
+
+@query("etl_freshness_report", oracle=_FRESHNESS_ORACLE, category="K")
+def etl_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness SLA report: last event time, lag behind the
+    corpus high-water mark in exact integer seconds, and the SLA verdict
+    — the ops dashboard that catches a stalled feed before consumers do.
+    Two bounded aggregations + a 1-row broadcast; integer timestamp
+    arithmetic is bit-identical cross-engine."""
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("timestamp")).alias("corpus_max"))
+    per = e.groupBy("event_type").agg(
+        F.max(F.col("ts").cast("timestamp")).alias("last_seen"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    lag = (
+        F.unix_timestamp("corpus_max") - F.unix_timestamp("last_seen")
+    ).cast("bigint")
+    return per.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "last_seen",
+        "n_events",
+        lag.alias("lag_seconds"),
+        (lag <= FRESHNESS_SLA_HOURS * 3600).alias("within_sla"),
+    )

@@ -892,3 +892,41 @@ def agg_percentile_grid_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in PCT_GRID
         ],
     )
+
+
+# --- geometric mean, log domain (round 5) ------------------------------
+
+_GEO_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         round(ln(l_extendedprice), 6) AS lnp
+  FROM lineitem WHERE l_extendedprice > 0)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(lnp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS mean_ln_price
+FROM w GROUP BY l_returnflag
+"""
+
+
+@query("agg_geometric_mean_log", oracle=_GEO_ORACLE, category="D")
+def agg_geometric_mean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean in the LOG domain: mean of 6dp-rounded ln(price)
+    per group (the geometric mean itself is exp of this — applied by the
+    consumer, because exp is not correctly rounded cross-engine while
+    the log-domain statistic is bit-exact under the package's
+    round-then-decimal-sum discipline). The right average for
+    multiplicative quantities (growth rates, price ratios); one
+    partial+final pass."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    w = li.select(
+        "l_returnflag",
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("lnp"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("lnp").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_ln_price"),
+    )

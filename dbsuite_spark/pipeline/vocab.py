@@ -728,3 +728,69 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("bigint").alias("n_oov"),
         (F.sum("oov").cast("double") / F.count("*")).alias("oov_rate"),
     )
+
+
+# --- vocabulary drift monitor (round 5) --------------------------------
+
+DRIFT_TOP = 64  # per-half vocabulary cut for the drift comparison
+
+_DRIFT_ORACLE = f"""
+WITH terms AS ({_TERMS_SQL}),
+halves AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS half, term
+  FROM terms),
+counts AS (
+  SELECT half, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM halves GROUP BY half, term),
+topa AS (SELECT term, n FROM counts WHERE half = 'a'
+         ORDER BY n DESC, term LIMIT {DRIFT_TOP}),
+topb AS (SELECT term, n FROM counts WHERE half = 'b'
+         ORDER BY n DESC, term LIMIT {DRIFT_TOP})
+SELECT COALESCE(a.term, b.term) AS term,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_b,
+       a.term IS NOT NULL AS in_top_a,
+       b.term IS NOT NULL AS in_top_b
+FROM topa a FULL OUTER JOIN topb b ON a.term = b.term
+"""
+
+
+@query("docs_vocab_drift", oracle=_DRIFT_ORACLE, category="L")
+def docs_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor: the top-64 term vocabularies of two
+    deterministic corpus halves (doc_id parity — stand-in for
+    two ingest snapshots), full-outer joined — terms present in only one
+    half's top list are the drift signal a tokenizer/ingest dashboard
+    alerts on.
+
+    Scale: each half's vocab is a TakeOrdered cut of a partial+final
+    count (the docs_vocab_build shape); the drift join is top-N × top-N
+    — constant size."""
+    terms = _terms(spark, sf_dir).withColumn(
+        "half",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b"),
+    )
+    counts = terms.groupBy("half", "term").agg(F.count("*").alias("n"))
+
+    def top(h: str) -> DataFrame:
+        return (
+            counts.filter(F.col("half") == h)
+            .orderBy(F.col("n").desc(), "term")
+            .limit(DRIFT_TOP)
+            .select(
+                F.col("term").alias(f"term_{h}"),
+                F.col("n").cast("bigint").alias(f"n_{h}"),
+            )
+        )
+
+    a, b = top("a"), top("b")
+    return (
+        a.join(b, a.term_a == b.term_b, "full_outer")
+        .select(
+            F.coalesce("term_a", "term_b").alias("term"),
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+            F.col("term_a").isNotNull().alias("in_top_a"),
+            F.col("term_b").isNotNull().alias("in_top_b"),
+        )
+    )

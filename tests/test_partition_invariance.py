@@ -74,6 +74,8 @@ KEYS = [
     "ts_max_drawdown",
     "ts_var_historic",
     "agg_percentile_grid_exact",
+    "agg_geometric_mean_log",
+    "docs_vocab_drift",
     "sim_search_rrf_fusion",
     "sim_search_ann_recall",
     "events_ks_test",

@@ -277,3 +277,42 @@ def etl_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_seconds"),
         (lag <= FRESHNESS_SLA_HOURS * 3600).alias("within_sla"),
     )
+
+
+# --- k-anonymity audit --------------------------------------------------
+
+K_ANON = 5  # minimum admissible quasi-identifier group size
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       COUNT(*) >= {K_ANON} AS k_anonymous
+FROM customer GROUP BY 1, 2
+"""
+
+
+@query("etl_k_anonymity", oracle=_KANON_ORACLE, category="K")
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): every equivalence class with its size and
+    the k>=5 verdict — the privacy gate run before an export, companion
+    to ``etl_pseudonymize`` (which removes direct identifiers; this
+    measures re-identification risk from the *indirect* ones). Classes
+    failing the bound are the rows a release must suppress or
+    generalize.
+
+    Scale: one partial+final count keyed by the quasi-identifier tuple —
+    the same O(scan) + |classes|-row shuffle as any groupBy; the audit
+    report is dimension-sized. Integer counts → bit-identical verdicts
+    everywhere."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") >= K_ANON).alias("k_anonymous"),
+        )
+    )

@@ -11,5 +11,6 @@ from dbsuite_spark.operators import (  # noqa: F401
     setops,
     sorting,
     stats,
+    stats_extra,
     windows,
 )

@@ -1,0 +1,311 @@
+"""Experimentation & time-series statistics, batch 2 (round 5 cont.):
+two-proportion z-test, lagged cross-correlation, windowed conditional
+running aggregates, and linear multi-touch attribution — the remaining
+report-layer statistics a metrics team runs on the event stream.
+
+Cross-engine exactness discipline (dbsuite_spark.exact): every aggregate
+is an integer count or a decimal-cast sum (order-independent on both
+engines); the scalar IEEE arithmetic that follows is mirrored
+operation-for-operation in the oracle so every double is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbsuite_spark.exact import DEC
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+# --- two-proportion z-test ---------------------------------------------
+
+_ZT_A, _ZT_B = "click", "view"
+_ZT_CUT = 50.0  # "conversion" = value above the cut
+
+_PROP_ZTEST_ORACLE = f"""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE event_type = '{_ZT_A}') AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (WHERE event_type = '{_ZT_A}' AND value > {_ZT_CUT})
+         AS BIGINT) AS x1,
+    CAST(COUNT(*) FILTER (WHERE event_type = '{_ZT_B}') AS BIGINT) AS n2,
+    CAST(COUNT(*) FILTER (WHERE event_type = '{_ZT_B}' AND value > {_ZT_CUT})
+         AS BIGINT) AS x2
+  FROM events),
+p AS (
+  SELECT n1, x1, n2, x2,
+         CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+         CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p_pool
+  FROM s)
+SELECT n1, x1, n2, x2, p1, p2, p_pool,
+       (p1 - p2) / SQRT(p_pool * (1 - p_pool)
+                        * (1.0 / CAST(n1 AS DOUBLE)
+                           + 1.0 / CAST(n2 AS DOUBLE))) AS z
+FROM p
+"""
+
+
+@query("events_proportion_ztest", oracle=_PROP_ZTEST_ORACLE, category="E")
+def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B two-proportion z-test: conversion (value > cut) rates of the
+    click vs view arms, pooled-variance z statistic. Companion to
+    ``events_ab_welch`` (means); this is the rates test every growth
+    dashboard runs.
+
+    Scale: one full scan with four filtered counts folded into a single
+    partial+final aggregation (map-side combine, one 1-row exchange) —
+    the whole test is O(scan) with no wide shuffle, so it runs unchanged
+    on 100 TB of events. The z arithmetic is scalar post-aggregation."""
+    e = t(spark, sf_dir, "events")
+    is_a = F.col("event_type") == _ZT_A
+    is_b = F.col("event_type") == _ZT_B
+    conv = F.col("value") > _ZT_CUT
+    s = e.agg(
+        F.count_if(is_a).alias("n1"),
+        F.count_if(is_a & conv).alias("x1"),
+        F.count_if(is_b).alias("n2"),
+        F.count_if(is_b & conv).alias("x2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    p1 = (F.col("x1").cast("double") / n1d).alias("p1")
+    p2 = (F.col("x2").cast("double") / n2d).alias("p2")
+    p_pool = (
+        (F.col("x1") + F.col("x2")).cast("double")
+        / (F.col("n1") + F.col("n2")).cast("double")
+    ).alias("p_pool")
+    p = s.select("n1", "x1", "n2", "x2", p1, p2, p_pool)
+    z = (
+        (F.col("p1") - F.col("p2"))
+        / F.sqrt(
+            F.col("p_pool")
+            * (F.lit(1) - F.col("p_pool"))
+            * (F.lit(1.0) / F.col("n1").cast("double")
+               + F.lit(1.0) / F.col("n2").cast("double"))
+        )
+    ).alias("z")
+    return p.select("n1", "x1", "n2", "x2", "p1", "p2", "p_pool", z)
+
+
+# --- lagged cross-correlation ------------------------------------------
+
+_XC_X, _XC_Y = "click", "purchase"
+_XC_MAX_LAG = 6  # hours
+
+_XCORR_ORACLE = f"""
+WITH hx AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS xc
+  FROM events WHERE event_type = '{_XC_X}' GROUP BY 1),
+hy AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM events WHERE event_type = '{_XC_Y}' GROUP BY 1),
+lags AS (SELECT unnest(generate_series(0, {_XC_MAX_LAG})) AS lag),
+m AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(hx.xc) AS BIGINT) AS sx,
+         CAST(SUM(hy.yc) AS BIGINT) AS sy,
+         CAST(SUM(hx.xc * hy.yc) AS BIGINT) AS sxy,
+         CAST(SUM(hx.xc * hx.xc) AS BIGINT) AS sx2,
+         CAST(SUM(hy.yc * hy.yc) AS BIGINT) AS sy2
+  FROM lags l
+  JOIN hy ON TRUE
+  JOIN hx ON hx.h = hy.h + l.lag
+  GROUP BY l.lag),
+v AS (
+  SELECT lag, n,
+         CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM m)
+SELECT CAST(lag AS INT) AS lag, n,
+       CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+            ELSE num / (SQRT(vx) * SQRT(vy))
+       END AS xcorr
+FROM v
+"""
+
+
+@query("ts_cross_correlation", oracle=_XCORR_ORACLE, category="E")
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two hourly event series (does
+    click activity lead purchases?): Pearson r at lags 0..6 h over the
+    hours where both (lag-shifted) series have observations.
+
+    All six sufficient statistics are BIGINT sums of hourly counts —
+    exact and commutative on both engines; the r formula then runs in
+    double from the double-cast stats (identical IEEE expression text →
+    bit-identical), because the moment *products* exceed int64 under
+    ANSI sessions once hourly counts grow. A nonpositive variance on
+    either side yields NULL, never a division error or a sqrt NaN.
+
+    Scale: the only fact-sized shuffle is the hourly rollup (partial
+    count then one exchange on ~hours×types rows). The lag fan-out and
+    the self-join run on the tiny rollup; the 7-row lag spine is
+    broadcast. 100 TB of events still reduces to one rollup pass."""
+    e = t(spark, sf_dir, "events")
+    hour = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600)) \
+        .cast("bigint")
+    hx = (
+        e.filter(F.col("event_type") == _XC_X)
+        .groupBy(hour.alias("h"))
+        .agg(F.count("*").alias("xc"))
+    )
+    hy = (
+        e.filter(F.col("event_type") == _XC_Y)
+        .groupBy(hour.alias("h"))
+        .agg(F.count("*").alias("yc"))
+    )
+    lags = spark.range(0, _XC_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    m = (
+        hy.crossJoin(F.broadcast(lags))
+        .join(hx, hx.h == hy.h + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xc").alias("sx"),
+            F.sum("yc").alias("sy"),
+            F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+            F.sum(F.col("xc") * F.col("xc")).alias("sx2"),
+            F.sum(F.col("yc") * F.col("yc")).alias("sy2"),
+        )
+    )
+    # The moment products exceed int64 once hourly counts grow (ANSI
+    # sessions would raise ARITHMETIC_OVERFLOW) — so the r formula runs
+    # entirely in double from the double-cast BIGINT stats: identical
+    # IEEE expression text on both engines → still bit-identical, at any
+    # magnitude. A (rounding-)nonpositive variance yields NULL, never a
+    # NaN from sqrt.
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nd * F.col("sx2").cast("double") - sxd * sxd
+    vy = nd * F.col("sy2").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    xcorr = (
+        F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(num / (F.sqrt(vx) * F.sqrt(vy)))
+    ).alias("xcorr")
+    return m.select(F.col("lag").cast("int").alias("lag"), "n", xcorr)
+
+
+# --- windowed conditional running aggregates ---------------------------
+
+_CONDRUN_ORACLE = f"""
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER w AS BIGINT) AS run_purchases,
+       CAST(SUM(CAST(CASE WHEN value > {_ZT_CUT} THEN value ELSE 0 END
+                     AS DECIMAL(18,6))) OVER w AS DOUBLE) AS run_hi_value,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER w AS DOUBLE)
+           / CAST(row_number() OVER w AS DOUBLE) AS purchase_share
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("win_conditional_running", oracle=_CONDRUN_ORACLE, category="E")
+def win_conditional_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running *conditional* aggregates per user timeline: cumulative
+    purchase count, cumulative high-value spend, and the purchases-per-
+    event share so far — the filtered-window idiom (CASE inside a frame)
+    that plain running totals (``win_running_total``) can't express.
+
+    The running money sum is decimal-cast inside the frame so every
+    prefix is order-independent-exact; the share divides two exact
+    integers. Tie-safety: (ts, event_id) is a total order.
+
+    Scale: one hash-partition by user_id, one sort per partition, all
+    three aggregates evaluated in the same window pass — identical cost
+    profile to any single running total at 100 TB."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    hi_v = F.when(F.col("value") > _ZT_CUT, F.col("value")).otherwise(
+        F.lit(0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.sum(is_p).over(w).cast("bigint").alias("run_purchases"),
+        F.sum(hi_v.cast(DEC)).over(w).cast("double").alias("run_hi_value"),
+        (
+            F.sum(is_p).over(w).cast("double")
+            / F.row_number().over(w).cast("double")
+        ).alias("purchase_share"),
+    )
+
+
+# --- linear multi-touch attribution ------------------------------------
+
+_ATTR_ORACLE = """
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS fp_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+touch AS (
+  SELECT DISTINCT e.user_id, e.event_type
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'),
+per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_touch FROM touch
+  GROUP BY user_id)
+SELECT t.event_type, CAST(p.n_touch AS INT) AS n_touch_types,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS DOUBLE) / CAST(p.n_touch AS DOUBLE) AS credit
+FROM touch t JOIN per_user p ON t.user_id = p.user_id
+GROUP BY t.event_type, p.n_touch
+"""
+
+
+@query("events_attribution_linear", oracle=_ATTR_ORACLE, category="E")
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every distinct channel a user
+    touched before their first purchase shares the conversion credit
+    equally (1/n each). Output stays grouped by (channel, n_touch) so the
+    credit is a single exact division of two integers — summing the
+    irrational 1/n shares would be float-order-dependent, the same
+    decomposition ``win_first_touch_attribution`` avoids differently.
+
+    Scale: first-purchase timestamps are one partial-min aggregation;
+    the touch set is a distinct on (user, channel) after an equi-join on
+    user_id (the per-user dimension, naturally co-partitioned); both
+    follow-up aggs run on the compressed touch set. No fact×fact join."""
+    e = t(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    touch = (
+        e.join(fp, "user_id")
+        .filter((F.col("ts") < F.col("fp_ts"))
+                & (F.col("event_type") != "purchase"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    per_user = touch.groupBy("user_id").agg(F.count("*").alias("n_touch"))
+    return (
+        touch.join(per_user, "user_id")
+        .groupBy("event_type", "n_touch")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "event_type",
+            F.col("n_touch").cast("int").alias("n_touch_types"),
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.col("n_touch").cast("double")
+            ).alias("credit"),
+        )
+    )

@@ -12,6 +12,7 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     graph,
     graph_extra,
     media,
+    mlprep,
     multimodal,
     packing,
     quantization,

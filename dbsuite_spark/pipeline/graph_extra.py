@@ -323,3 +323,108 @@ def graph_kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(kv))
         .select(F.col("src").alias("node"), "residual_degree", "k")
     )
+
+
+# --- degree assortativity ----------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'e' || event_type AS v
+  FROM events),
+edges AS (
+  SELECT u AS src, v AS dst FROM base
+  UNION ALL
+  SELECT v AS src, u AS dst FROM base),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+xy AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e
+  JOIN deg ds ON e.src = ds.node
+  JOIN deg dd ON e.dst = dd.node),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM xy),
+v AS (
+  SELECT m,
+         CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM s)
+SELECT m,
+       CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+            ELSE num / (SQRT(vx) * SQRT(vy))
+       END AS assortativity
+FROM v
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE, category="L")
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient of the user↔event-type
+    interaction graph (``pipeline/graph.py``'s substrate): Pearson
+    correlation between the endpoint degrees over all directed edges of
+    the symmetrized graph — negative for hub-and-spoke (bipartite
+    interaction graphs typically are), positive for core-periphery.
+    The one-number topology health check run before any graph algorithm
+    is trusted.
+
+    Exactness: all six sufficient statistics are BIGINT sums of degree
+    products — exact/commutative on both engines — and the final r is
+    one mirrored IEEE expression; zero variance yields NULL. (Degree
+    products can approach int64 at extreme hub sizes; the upgrade path
+    is the decimal(38,0) cast used elsewhere in the family.)
+
+    Scale: degrees are one partial count on the edge list; the two
+    degree joins hash-partition the edge list by src then dst (the deg
+    table is node-sized → broadcastable); the moment aggregation is a
+    single 1-row map-side-combined pass."""
+    from dbsuite_spark.pipeline.graph import _edges
+
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    xy = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("sn"),
+                                   F.col("d").alias("x"))),
+            F.col("src") == F.col("sn"),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dn"),
+                                   F.col("d").alias("y"))),
+            F.col("dst") == F.col("dn"),
+        )
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    # Double-domain r from the double-cast BIGINT stats — hub-degree
+    # moment products overflow int64 under ANSI sessions well before
+    # 100 TB, and identical IEEE expression text keeps both engines
+    # bit-identical at any magnitude. Nonpositive variance → NULL.
+    md = F.col("m").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = md * F.col("sx2").cast("double") - sxd * sxd
+    vy = md * F.col("sy2").cast("double") - syd * syd
+    num = md * F.col("sxy").cast("double") - sxd * syd
+    r = (
+        F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(num / (F.sqrt(vx) * F.sqrt(vy)))
+    ).alias("assortativity")
+    return s.select("m", r)

@@ -863,3 +863,79 @@ def test_bm25_broadcast_stats_no_cartesian_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_proportion_ztest_single_filtered_count_pass(spark, sf_dir):
+    """All four arm counts must fold into ONE partial+final aggregation
+    over one events scan — no join, no per-arm scans."""
+    plan = plan_of(spark, sf_dir, "events_proportion_ztest")
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_xcorr_broadcasts_lag_spine(spark, sf_dir):
+    """The 7-row lag spine must ride a broadcast; the only fact-sized
+    work is the two hourly rollups (each partial+final)."""
+    plan = plan_of(spark, sf_dir, "ts_cross_correlation")
+    assert n_nodes(plan, "Range") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conditional_running_single_window_pass(spark, sf_dir):
+    """All three running aggregates must share one Window node over one
+    user_id exchange — no join, no second sort."""
+    plan = plan_of(spark, sf_dir, "win_conditional_running")
+    assert n_nodes(plan, "Window") == 1
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") <= 1
+
+
+def test_quantile_bin_broadcasts_spine_prunes_scan(spark, sf_dir):
+    """The distinct-value spine must broadcast back into the fact, and
+    the fact scan must read only the binned column."""
+    plan = plan_of(spark, sf_dir, "ml_feature_quantile_bin")
+    assert "BroadcastHashJoin" in plan
+    read = next(
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "o_totalprice" in line
+    )
+    assert "o_orderkey" not in read, "unprojected column read from scan"
+
+
+def test_target_encode_broadcasts_global_row(spark, sf_dir):
+    """The global-mean side is one row — it must ride a broadcast
+    (nested-loop on a 1-row build is fine), never a shuffle."""
+    plan = plan_of(spark, sf_dir, "ml_target_encode_smooth")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(plan, "Exchange") >= 1  # the category rollup
+
+
+def test_confusion_matrix_no_wide_shuffle(spark, sf_dir):
+    """Scores are one partial+final count by user; the threshold is a
+    1-row broadcast; the cells fold into one more aggregation."""
+    plan = plan_of(spark, sf_dir, "ml_confusion_matrix")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_assortativity_broadcasts_degree_table(spark, sf_dir):
+    """Both degree lookups must broadcast (node-sized dim vs edge
+    fact); the moment aggregation is one partial+final pass."""
+    plan = plan_of(spark, sf_dir, "graph_assortativity")
+    assert plan.count("BroadcastHashJoin") >= 2 or \
+        n_nodes(plan, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_single_agg_prunes_scan(spark, sf_dir):
+    """One partial+final count keyed by the quasi-identifier pair; the
+    scan must read only those two columns."""
+    plan = plan_of(spark, sf_dir, "etl_k_anonymity")
+    assert n_nodes(plan, "HashAggregate") == 2
+    read = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "c_acctbal" not in read and "c_name" not in read

@@ -205,14 +205,13 @@ def dedup_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash", oracle=_JACCARD_ORACLE, category="L")
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection at scale: 24 xxhash64 MinHashes per doc (one
-    groupBy), 12 bands of 2 exploded to a band index, self-join on band
-    collisions for candidates, exact-Jaccard verification of candidates
-    only. Deterministic (fixed hash seeds) with <1e-8 analytic miss risk on
-    the fixture's J≥0.889 pairs → verified output equals the exact result,
-    so it shares the exact key's SQL oracle (tested at every sf)."""
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pair pipeline (MinHash → banded LSH →
+    exact-Jaccard verify), shared by ``dedup_near_minhash`` (which emits
+    it) and ``dedup_connected_components`` (which clusters it). Both the
+    shingle index and the candidate set are ``cache()``d, so a session
+    that runs several dedup stages (the bench, the corpus pipeline) pays
+    for the signature/banding chain once."""
     sh = _shingle_rows(spark, sf_dir).cache()
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -285,17 +284,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("dedup_near_minhash", oracle=_JACCARD_ORACLE, category="L")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection at scale: 24 xxhash64 MinHashes per doc (one
+    groupBy), 12 bands of 2 exploded to a band index, self-join on band
+    collisions for candidates, exact-Jaccard verification of candidates
+    only. Deterministic (fixed hash seeds) with <1e-8 analytic miss risk on
+    the fixture's J≥0.889 pairs → verified output equals the exact result,
+    so it shares the exact key's SQL oracle (tested at every sf)."""
+    return _minhash_verified_pairs(spark, sf_dir)
+
+
 CC_MAX_ROUNDS = 50  # safety bound well above any near-dup cluster diameter
 
 _CC_ORACLE = f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sh0 AS (SELECT DISTINCT doc_id,
-               unnest(list_transform(generate_series(1, len(tk) - 2),
-                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-        FROM toks),
-stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
-sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       FROM toks),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -340,7 +348,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .select("id", F.least("id", "mn").alias("lbl"))
         .localCheckpoint()
     )
-    prev_sum = None
+    # Baseline the convergence metric on the SEED labels: near-dup
+    # clusters are usually cliques (every pair detected), where the
+    # min(id, min-neighbor) seed is already the fixpoint — priming
+    # prev_sum lets round 1's equality check exit after ONE propagation
+    # round instead of needing a second confirming round. One scalar
+    # action on the already-checkpointed seed.
+    prev_sum = labels.agg(F.sum("lbl").alias("s")).first()["s"]
     for _ in range(CC_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges.src == labels.id)
@@ -370,16 +384,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 @query("dedup_connected_components", oracle=_CC_ORACLE, category="L")
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster formation — near-dup PAIRS (capped exact-Jaccard,
-    same substrate as ``dedup_exact_jaccard``) become connected components
-    via ``connected_components`` min-label propagation; component id = min
-    doc_id in the cluster. Near-dup clusters are shallow by nature
-    (diameter ≪ rounds); the fixpoint is asserted in tests/
-    test_pipeline.py. The DuckDB oracle computes the same components with
-    a recursive CTE."""
-    pairs = _jaccard_on(
-        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
-    ).select("d1", "d2")
+    """Duplicate-cluster formation — the PRODUCTION near-dup pairs
+    (``_minhash_verified_pairs``: MinHash → banded LSH → exact-Jaccard
+    verify, the same pipeline ``dedup_near_minhash`` emits) become
+    connected components via ``connected_components`` min-label
+    propagation; component id = min doc_id in the cluster. Consuming the
+    LSH path here is the 100 TB design — cluster formation never touches
+    the quadratic exact self-join — and same-session it rides the cached
+    signature/candidate chain instead of recomputing a second pair
+    substrate. The verified pairs provably equal the exact-Jaccard pairs
+    (the <1e-8 analytic miss bound in ``dedup_near_minhash``, plus the
+    independent ``dedup_minhash_recall`` gate), so the DuckDB oracle is
+    the exact-pair recursive CTE. Near-dup clusters are shallow by
+    nature (diameter ≪ rounds); the fixpoint is asserted in
+    tests/test_pipeline.py."""
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("d1", "d2")
     labels = connected_components(pairs)
     w_comp = Window.partitionBy("component")
     return labels.select(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import fan_out, t
 
 
 @query(
@@ -208,7 +208,9 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse ``events.props`` JSON: string path extraction
     (get_json_object) + schema-typed extraction (from_json). Missing paths
     yield NULL on both engines."""
-    e = t(spark, sf_dir, "events")
+    # fan_out on the 2-column projection: double JSON parse per row is
+    # the CPU; a narrow scan must not run it single-task.
+    e = fan_out(t(spark, sf_dir, "events").select("event_id", "props"))
     parsed = F.from_json(F.col("props"), "k INT, missing INT")
     return e.select(
         "event_id",

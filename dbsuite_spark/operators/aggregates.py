@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from dbsuite_spark.exact import BIGCOUNT, DAVG, DEC, DSUM, davg, dsum
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import register_views, t
+from dbsuite_spark.tables import fan_out, register_views, t
 
 _FLAGSHIP_CUTOFF = "2001-09-02"
 
@@ -38,8 +38,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.col("count_order")
+    # fan_out: the 5 decimal partial aggregates are the CPU; a narrow
+    # scan (few row groups) must not serialize them onto one core.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(_FLAGSHIP_CUTOFF).cast("timestamp"))
+        fan_out(li.filter(
+            F.col("l_shipdate") <= F.lit(_FLAGSHIP_CUTOFF).cast("timestamp")
+        ))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -218,6 +218,9 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
+    # No fan_out (measured): lineitem⋈orders is a shuffled join, so the
+    # fact already re-partitions on the join key — an up-front exchange
+    # would be pure overhead.
     li = t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

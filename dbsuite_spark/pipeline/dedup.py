@@ -58,6 +58,11 @@ def shingles(text_col: Column, n: int = 3) -> Column:
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded index — the substrate for both the exact
     and the MinHash paths."""
+    # Deliberately NOT fan_out here (measured): the substrate feeds
+    # many tiny multi-stage consumers (banding windows, CC rounds),
+    # where widening every stage costs more scheduler overhead than the
+    # single-threaded explode costs CPU at fixture scale. At corpus
+    # scale the documents scan is already wide.
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")

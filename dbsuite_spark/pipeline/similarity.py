@@ -35,7 +35,7 @@ from dbsuite_spark.pipeline.vectors import (
     l2_norm,
 )
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import fan_out, t
 
 TOP_K = 5
 QUERY_MOD = 100  # vec_id % 100 == 0 → the query subset
@@ -484,7 +484,9 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qz.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
     )
-    pairs = qz.alias("c").join(
+    # fan_out the corpus side: the ADC fold (64 multiplies/row/query)
+    # is the CPU; identity when the corpus scan is already wide.
+    pairs = fan_out(qz).alias("c").join(
         F.broadcast(q), F.col("c.vec_id") != F.col("qid")
     ).select(
         "qid",

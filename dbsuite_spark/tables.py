@@ -136,3 +136,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise a narrow scan's parallelism to the session default before
+    CPU-heavy per-row work (decimal aggregation, JSON parsing, vector
+    math).
+
+    A Parquet scan's task count is bounded by its split count — row
+    groups, not bytes — so a few large single-row-group files (this
+    fixture; in production: gzip'd text, badly-compacted uploads) serve
+    ONE task regardless of cluster size, and everything fused into the
+    scan stage runs on one core. When the observed scan parallelism is
+    far below the session's (4× margin), a round-robin repartition buys
+    full-width execution for one narrow shuffle of the scanned rows —
+    the same call a cluster job makes after reading unsplittable inputs.
+    When the source already fans out (healthy warehouse layouts), this
+    is the identity: no exchange is added at scale.
+
+    Apply AFTER pushed filters/pruned projections so the exchange moves
+    only surviving rows; results are unaffected — every consumer here is
+    order-independent by the package's exactness discipline."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df

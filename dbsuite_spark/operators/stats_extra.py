@@ -309,3 +309,57 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credit"),
         )
     )
+
+
+# --- conversion latency ------------------------------------------------
+
+_TTC_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+  GROUP BY e.user_id)
+SELECT fv.user_id, fv.first_view, fp.first_purchase,
+       epoch_us(fp.first_purchase) - epoch_us(fv.first_view) AS latency_us
+FROM fv JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+@query("events_time_to_convert", oracle=_TTC_ORACLE, category="E")
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency per user: first view → first subsequent
+    purchase, in exact integer microseconds (second-grain epoch would
+    expose DuckDB-rounds vs Spark-truncates on sub-second stamps) — the
+    funnel-velocity metric
+    behind ``events_funnel_conversion``'s counts (how MANY convert) and
+    ``events_survival_km``'s curve (the distribution); this is the
+    per-user fact table both aggregate.
+
+    Scale: two conditional-min aggregations keyed by user_id plus one
+    user-keyed join — the purchase side joins the first-view table
+    before aggregating so the 'after the view' predicate filters
+    map-side. Integer epoch arithmetic → bit-identical latencies."""
+    e = t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return fv.join(fp, "user_id").select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).cast("bigint").alias("latency_us"),
+    )

@@ -228,3 +228,251 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_.isNull() | r_.isNull() | (p_ + r_ == 0), F.lit(None)
     ).otherwise(F.lit(2) * p_ * r_ / (p_ + r_)).alias("f1")
     return pr.select("tp", "fp", "fn", "tn", "precision_", "recall_", f1)
+
+
+# --- decile lift / gains table -----------------------------------------
+
+_LIFT_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+         (user_id % 5 = 0) AS label
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT label,
+         CAST(rank() OVER (ORDER BY score DESC) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_user),
+dec AS (
+  SELECT CAST(((rk - 1) * 10) // n AS INT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY 1),
+cum AS (
+  SELECT decile, n_users, n_pos,
+         CAST(SUM(n_users) OVER w AS BIGINT) AS cum_users,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+         CAST(SUM(n_users) OVER () AS BIGINT) AS tot_users,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM dec
+  WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT decile, n_users, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE) AS response_rate,
+       (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
+           / (CAST(tot_pos AS DOUBLE) / CAST(tot_users AS DOUBLE)) AS lift,
+       (CAST(cum_pos AS DOUBLE) / CAST(cum_users AS DOUBLE))
+           / (CAST(tot_pos AS DOUBLE) / CAST(tot_users AS DOUBLE))
+           AS cum_lift
+FROM cum
+"""
+
+
+@query("ml_lift_curve", oracle=_LIFT_ORACLE, category="L")
+def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table on the package's deterministic
+    score/label substrate (score = per-user event count, label =
+    user_id % 5): users ranked by score into min-rank deciles, per-decile
+    response rate, lift vs the global rate, and cumulative lift — the
+    targeting-model report every campaign review reads, complementing
+    ``ml_auc_rank_eval`` (ranking) and ``ml_confusion_matrix``
+    (operating point).
+
+    All cells are integer counts; every rate is a mirrored division.
+    Min-rank deciles are tie-stable (ties share a bin — NTILE would
+    split them). Scale: the user rollup is the only fact-sized shuffle;
+    the rank/decile windows run on the reduced user table (the
+    ``events_rfm_segmentation`` compromise), and the cumulative pass on
+    10 rows."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("score")).select(
+        (F.col("user_id") % 5 == 0).alias("label"), "score"
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "label",
+        F.rank().over(Window.orderBy(F.col("score").desc())).alias("rk"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    dec = (
+        ranked.withColumn(
+            "decile", F.expr("CAST(((rk - 1) * 10) div n AS INT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count_if(F.col("label")).alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dec.select(
+        "decile", "n_users", "n_pos",
+        F.sum("n_users").over(w_cum).alias("cum_users"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n_users").over(w_tot).alias("tot_users"),
+        F.sum("n_pos").over(w_tot).alias("tot_pos"),
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_users").cast("double")
+    grate = F.col("tot_pos").cast("double") / F.col("tot_users").cast("double")
+    crate = F.col("cum_pos").cast("double") / F.col("cum_users").cast("double")
+    return cum.select(
+        "decile", "n_users", "n_pos",
+        rate.alias("response_rate"),
+        (rate / grate).alias("lift"),
+        (crate / grate).alias("cum_lift"),
+    )
+
+
+# --- population stability index (PSI) drift ----------------------------
+
+_PSI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+         CAST(user_id % 2 AS INT) AS pop
+  FROM events GROUP BY user_id),
+binned AS (
+  SELECT pop, CAST(FLOOR(LOG2(score)) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM per_user GROUP BY 1, 2),
+e AS (SELECT bin, n AS n_exp,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot_exp
+      FROM binned WHERE pop = 0),
+a AS (SELECT bin, n AS n_act,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot_act
+      FROM binned WHERE pop = 1),
+j AS (
+  SELECT e.bin, n_exp, n_act,
+         CAST(n_exp AS DOUBLE) / CAST(tot_exp AS DOUBLE) AS p_exp,
+         CAST(n_act AS DOUBLE) / CAST(tot_act AS DOUBLE) AS p_act
+  FROM e JOIN a ON e.bin = a.bin)
+SELECT bin, n_exp, n_act, p_exp, p_act,
+       (p_exp - p_act) * LN(p_exp / p_act) AS psi_term
+FROM j
+"""
+
+
+@query("ml_psi_drift", oracle=_PSI_ORACLE, category="L")
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms between two score populations
+    (even vs odd user_id — the deployment-time "expected vs actual"
+    split): per-log2-bin shares and (p-q)·ln(p/q) — the model-monitoring
+    drift metric. Emitted per bin over bins populated on BOTH sides
+    (the epsilon-free variant); the scalar PSI is the consumer's sum —
+    an unordered float total would be summation-order-dependent, the one
+    hazard this package never ships.
+
+    Scale: one user rollup (the fact shuffle), one |bins×2| aggregation,
+    and a bins-sized join. Log2 binning is scale-invariant in the score
+    magnitude, so the bin layout survives growth."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("score")).select(
+        (F.col("user_id") % 2).cast("int").alias("pop"), "score"
+    )
+    binned = (
+        per_user.select(
+            "pop",
+            F.floor(F.log2("score")).cast("int").alias("bin"),
+        )
+        .groupBy("pop", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    w_tot = Window.partitionBy("pop").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sides = binned.withColumn("tot", F.sum("n").over(w_tot))
+    ex = sides.filter(F.col("pop") == 0).select(
+        "bin", F.col("n").alias("n_exp"), F.col("tot").alias("tot_exp")
+    )
+    ac = sides.filter(F.col("pop") == 1).select(
+        "bin", F.col("n").alias("n_act"), F.col("tot").alias("tot_act")
+    )
+    p_exp = F.col("n_exp").cast("double") / F.col("tot_exp").cast("double")
+    p_act = F.col("n_act").cast("double") / F.col("tot_act").cast("double")
+    j = ex.join(ac, "bin").select(
+        "bin", "n_exp", "n_act",
+        p_exp.alias("p_exp"), p_act.alias("p_act"),
+    )
+    return j.select(
+        "bin", "n_exp", "n_act", "p_exp", "p_act",
+        (
+            (F.col("p_exp") - F.col("p_act"))
+            * F.log(F.col("p_exp") / F.col("p_act"))
+        ).alias("psi_term"),
+    )
+
+
+# --- ROC curve points --------------------------------------------------
+
+_ROC_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+         (user_id % 5 = 0) AS label
+  FROM events GROUP BY user_id),
+by_score AS (
+  SELECT score,
+         CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) FILTER (WHERE NOT label) AS BIGINT) AS n_neg
+  FROM per_user GROUP BY score),
+cum AS (
+  SELECT score,
+         CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_tp,
+         CAST(SUM(n_neg) OVER w AS BIGINT) AS cum_fp,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+         CAST(SUM(n_neg) OVER () AS BIGINT) AS tot_neg
+  FROM by_score
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT score AS threshold, cum_tp, cum_fp,
+       CAST(cum_tp AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS tpr,
+       CAST(cum_fp AS DOUBLE) / CAST(tot_neg AS DOUBLE) AS fpr
+FROM cum
+"""
+
+
+@query("ml_roc_points", oracle=_ROC_ORACLE, category="L")
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points — one (TPR, FPR) operating point per distinct
+    score threshold (predict positive when score ≥ t), on the package's
+    deterministic score/label substrate. The curve whose area
+    ``ml_auc_rank_eval`` computes and whose single point
+    ``ml_confusion_matrix`` reports.
+
+    Scale: per-score pos/neg counts compress the user table to
+    |distinct scores| rows; the cumulative window and the mirrored TPR/
+    FPR divisions run on that spine. Integer cells, exact divisions."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("score")).select(
+        (F.col("user_id") % 5 == 0).alias("label"), "score"
+    )
+    by_score = per_user.groupBy("score").agg(
+        F.count_if(F.col("label")).alias("n_pos"),
+        F.count_if(~F.col("label")).alias("n_neg"),
+    )
+    w_cum = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_score.select(
+        "score",
+        F.sum("n_pos").over(w_cum).alias("cum_tp"),
+        F.sum("n_neg").over(w_cum).alias("cum_fp"),
+        F.sum("n_pos").over(w_tot).alias("tot_pos"),
+        F.sum("n_neg").over(w_tot).alias("tot_neg"),
+    )
+    return cum.select(
+        F.col("score").alias("threshold"),
+        "cum_tp",
+        "cum_fp",
+        (F.col("cum_tp").cast("double") / F.col("tot_pos").cast("double"))
+        .alias("tpr"),
+        (F.col("cum_fp").cast("double") / F.col("tot_neg").cast("double"))
+        .alias("fpr"),
+    )

@@ -599,3 +599,93 @@ def text_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(span).cast("bigint").alias("span_len"),
         (span != "").alias("found"),
     )
+
+
+# --- RAKE-style keyword scoring (round 5 cont.) -------------------------
+
+RAKE_STOP = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by",
+)
+RAKE_TOP = 20
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOP)
+
+_RAKE_ORACLE = f"""
+WITH toks AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+w0 AS (SELECT unnest(tk) AS w FROM toks),
+freq AS (SELECT w, COUNT(*) AS c FROM w0
+         WHERE w NOT IN ({_RAKE_STOP_SQL}) GROUP BY w),
+pairs0 AS (
+  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> [tk[i], tk[i + 1]])) AS p
+  FROM toks),
+adjw AS (
+  SELECT p[1] AS w FROM pairs0
+  WHERE p[1] NOT IN ({_RAKE_STOP_SQL}) AND p[2] NOT IN ({_RAKE_STOP_SQL})
+  UNION ALL
+  SELECT p[2] FROM pairs0
+  WHERE p[1] NOT IN ({_RAKE_STOP_SQL}) AND p[2] NOT IN ({_RAKE_STOP_SQL})),
+adj AS (SELECT w, COUNT(*) AS a FROM adjw GROUP BY w)
+SELECT f.w AS word, CAST(f.c AS BIGINT) AS freq,
+       CAST(COALESCE(adj.a, 0) AS BIGINT) AS n_adj,
+       CAST(f.c + COALESCE(adj.a, 0) AS DOUBLE) / CAST(f.c AS DOUBLE)
+           AS rake_score
+FROM freq f LEFT JOIN adj ON f.w = adj.w
+ORDER BY rake_score DESC, word
+LIMIT {RAKE_TOP}
+"""
+
+
+@query("text_keyword_rake", oracle=_RAKE_ORACLE, category="L")
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword scoring (Rose et al. 2010, public), word grain:
+    a word's degree is its frequency plus its adjacency count inside
+    stopword-free runs; score = degree/freq, favoring words that appear
+    in multi-word phrases over isolated fillers. Top-20 by score with
+    lexical tie-break — the cheap unsupervised keyword extractor run
+    before embedding-based methods.
+
+    Exactness: frequency and adjacency are integer counts; the score is
+    one mirrored division; the top-k cut is a deterministic total order
+    (score DESC, word). Scale: two token-keyed partial+final counts and
+    a vocab-sized join; the top-k plans as TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("tk"))
+    stop = list(RAKE_STOP)
+    w0 = toks.select(F.explode("tk").alias("w"))
+    freq = (
+        w0.filter(~F.col("w").isin(stop))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    k = F.size("tk") - 1
+    pair_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array(
+                F.element_at("tk", i), F.element_at("tk", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    pairs0 = toks.select(F.explode(pair_arr).alias("p")).filter(
+        ~F.col("p")[0].isin(stop) & ~F.col("p")[1].isin(stop)
+    )
+    adjw = pairs0.select(F.col("p")[0].alias("w")).unionAll(
+        pairs0.select(F.col("p")[1].alias("w"))
+    )
+    adj = adjw.groupBy("w").agg(F.count("*").alias("a"))
+    a0 = F.coalesce(F.col("a"), F.lit(0))
+    return (
+        freq.join(adj, "w", "left")
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").alias("freq"),
+            a0.cast("bigint").alias("n_adj"),
+            ((F.col("c") + a0).cast("double") / F.col("c").cast("double"))
+            .alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "word")
+        .limit(RAKE_TOP)
+    )

@@ -939,3 +939,42 @@ def test_k_anonymity_single_agg_prunes_scan(spark, sf_dir):
         line for line in plan.splitlines() if "ReadSchema" in line
     )
     assert "c_acctbal" not in read and "c_name" not in read
+
+
+def test_lift_curve_single_fact_shuffle(spark, sf_dir):
+    """Only the user rollup touches the fact; rank/decile/cumulative
+    windows run on the reduced table. No join anywhere."""
+    plan = plan_of(spark, sf_dir, "ml_lift_curve")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_psi_no_unordered_float_total(spark, sf_dir):
+    """PSI emits per-bin terms over a bins-sized join — one fact scan,
+    no cartesian blowup (1-row totals ride windows, not joins)."""
+    plan = plan_of(spark, sf_dir, "ml_psi_drift")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Scan parquet") <= 2
+
+
+def test_roc_points_windows_on_score_spine(spark, sf_dir):
+    """Cumulative TPR/FPR windows run on the distinct-score spine after
+    one user rollup — no join, single fact scan."""
+    plan = plan_of(spark, sf_dir, "ml_roc_points")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_time_to_convert_user_keyed_joins_only(spark, sf_dir):
+    """Both sides aggregate user-keyed; no cartesian, filters pushed."""
+    plan = plan_of(spark, sf_dir, "events_time_to_convert")
+    assert "CartesianProduct" not in plan
+    assert plan.count("PushedFilters: [") >= 1
+
+
+def test_rake_topk_plans_take_ordered(spark, sf_dir):
+    """The top-20 cut must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    plan = plan_of(spark, sf_dir, "text_keyword_rake")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -2,6 +2,7 @@
 
 from dbsuite_spark.functions import (  # noqa: F401
     extras,
+    geo,
     numeric,
     semistructured,
     strings_dates,

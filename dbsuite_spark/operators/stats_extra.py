@@ -363,3 +363,53 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("first_purchase") - F.unix_micros("first_view")
         ).cast("bigint").alias("latency_us"),
     )
+
+
+# --- Apdex score -------------------------------------------------------
+
+APDEX_T = 50.0  # satisfied threshold; tolerating up to 4T
+
+_APDEX_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE value <= {APDEX_T}) AS BIGINT)
+           AS n_satisfied,
+       CAST(COUNT(*) FILTER (WHERE value > {APDEX_T}
+                             AND value <= {4 * APDEX_T}) AS BIGINT)
+           AS n_tolerating,
+       CAST(COUNT(*) FILTER (WHERE value > {4 * APDEX_T}) AS BIGINT)
+           AS n_frustrated,
+       (CAST(COUNT(*) FILTER (WHERE value <= {APDEX_T}) AS DOUBLE)
+        + CAST(COUNT(*) FILTER (WHERE value > {APDEX_T}
+                                AND value <= {4 * APDEX_T}) AS DOUBLE) / 2)
+           / CAST(COUNT(*) AS DOUBLE) AS apdex
+FROM events GROUP BY event_type
+"""
+
+
+@query("events_apdex_score", oracle=_APDEX_ORACLE, category="E")
+def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index) per event type: satisfied
+    (≤ T), tolerating (≤ 4T), frustrated buckets over the value column,
+    apdex = (satisfied + tolerating/2) / n — the SRE satisfaction score,
+    companion to ``events_kpi_scorecard``'s latency percentiles.
+
+    One partial+final filtered-count pass per the module's discipline;
+    the score divides exact integers. O(scan) at any size."""
+    sat = F.col("value") <= APDEX_T
+    tol = (F.col("value") > APDEX_T) & (F.col("value") <= 4 * APDEX_T)
+    fru = F.col("value") > 4 * APDEX_T
+    g = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(sat).alias("n_satisfied"),
+        F.count_if(tol).alias("n_tolerating"),
+        F.count_if(fru).alias("n_frustrated"),
+    )
+    return g.select(
+        "event_type", "n", "n_satisfied", "n_tolerating", "n_frustrated",
+        (
+            (F.col("n_satisfied").cast("double")
+             + F.col("n_tolerating").cast("double") / 2)
+            / F.col("n").cast("double")
+        ).alias("apdex"),
+    )

@@ -978,3 +978,29 @@ def test_rake_topk_plans_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_keyword_rake")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_battery_pure_map_no_shuffle(spark, sf_dir):
+    """Coordinates/distance/cells are row expressions — codegen project,
+    zero exchange."""
+    plan = plan_of(spark, sf_dir, "fn_geo_haversine")
+    assert "Exchange" not in plan
+    assert "* Project" in plan
+
+
+def test_geo_radius_broadcasts_exploded_dim(spark, sf_dir):
+    """The cell-collision join must be a hash equi-join on cell id —
+    never a nested loop over the raw radius predicate. The only
+    nested-loop crosses allowed are the two 3-row delta-spine fan-outs
+    (Range-built broadcasts on the dim side)."""
+    plan = plan_of(spark, sf_dir, "join_geo_radius_grid")
+    assert "BroadcastHashJoin" in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2
+    assert n_nodes(plan, "Range") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_apdex_single_filtered_count_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_apdex_score")
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "Join" not in plan

@@ -316,3 +316,38 @@ def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") >= K_ANON).alias("k_anonymous"),
         )
     )
+
+
+L_DIVERSITY = 3  # minimum distinct sensitive values per QI class
+
+_LDIV_ORACLE = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT c_mktsegment) >= {L_DIVERSITY} AS l_diverse
+FROM customer GROUP BY c_nationkey
+"""
+
+
+@query("etl_l_diversity", oracle=_LDIV_ORACLE, category="K")
+def etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion gate to ``etl_k_anonymity``:
+    a k-anonymous class is still unsafe if every member shares the same
+    sensitive value (homogeneity attack), so each quasi-identifier class
+    (nation) must contain ≥ l distinct sensitive values (market
+    segment). One grouped count-distinct — an expand-style partial
+    aggregation at scale, dimension-sized output."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "group_size",
+            "n_sensitive",
+            (F.col("n_sensitive") >= L_DIVERSITY).alias("l_diverse"),
+        )
+    )

@@ -428,3 +428,96 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num / (F.sqrt(vx) * F.sqrt(vy)))
     ).alias("assortativity")
     return s.select("m", r)
+
+
+# --- community modularity ----------------------------------------------
+
+_MODULARITY_ORACLE = f"""
+WITH lp AS ({_LABELPROP_ORACLE}),
+base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'e' || event_type AS v
+  FROM events),
+edges AS (
+  SELECT u AS src, v AS dst FROM base
+  UNION ALL
+  SELECT v AS src, u AS dst FROM base),
+lab AS (SELECT node, label FROM lp),
+le AS (
+  SELECT ls.label AS src_label, ld.label AS dst_label
+  FROM edges e
+  JOIN lab ls ON e.src = ls.node
+  JOIN lab ld ON e.dst = ld.node),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_m FROM le),
+deg AS (
+  SELECT src_label AS label, CAST(COUNT(*) AS BIGINT) AS degree_sum
+  FROM le GROUP BY src_label),
+inner_ AS (
+  SELECT src_label AS label, CAST(COUNT(*) AS BIGINT) AS inner_edges
+  FROM le WHERE src_label = dst_label GROUP BY src_label)
+SELECT d.label, d.degree_sum,
+       CAST(COALESCE(i.inner_edges, 0) AS BIGINT) AS inner_edges,
+       CAST(COALESCE(i.inner_edges, 0) AS DOUBLE) / CAST(big_m AS DOUBLE)
+           - (CAST(d.degree_sum AS DOUBLE) / CAST(big_m AS DOUBLE))
+             * (CAST(d.degree_sum AS DOUBLE) / CAST(big_m AS DOUBLE))
+           AS q_term
+FROM deg d LEFT JOIN inner_ i ON d.label = i.label, m
+"""
+
+
+@query("graph_community_modularity", oracle=_MODULARITY_ORACLE, category="L")
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the ``graph_label_propagation``
+    communities over the symmetrized interaction graph: per community c,
+    q_c = A_c/M − (d_c/M)² (A_c = within-community directed edges,
+    d_c = degree mass, M = directed edge count) — the quality score that
+    decides whether a community structure is real. Emitted per community
+    (the scalar Q is the consumer's sum — an unordered float total would
+    be summation-order-dependent); every input is an exact BIGINT count,
+    so each term is one mirrored IEEE expression.
+
+    Scale: the label join hash-partitions the edge list by endpoint
+    (label table is node-sized → broadcast); both aggregations are
+    |communities|-sized with map-side partials; M rides a 1-row
+    broadcast."""
+    from dbsuite_spark.pipeline.graph import _edges
+
+    labels = graph_label_propagation(spark, sf_dir).select("node", "label")
+    edges = _edges(spark, sf_dir)
+    le = (
+        edges.join(
+            F.broadcast(labels.withColumnsRenamed(
+                {"node": "sn", "label": "src_label"})),
+            F.col("src") == F.col("sn"),
+        )
+        .join(
+            F.broadcast(labels.withColumnsRenamed(
+                {"node": "dn", "label": "dst_label"})),
+            F.col("dst") == F.col("dn"),
+        )
+        .select("src_label", "dst_label")
+    )
+    m = le.agg(F.count("*").alias("big_m"))
+    deg = le.groupBy(F.col("src_label").alias("label")).agg(
+        F.count("*").alias("degree_sum")
+    )
+    inner = (
+        le.filter(F.col("src_label") == F.col("dst_label"))
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(F.count("*").alias("inner_edges"))
+    )
+    md = F.col("big_m").cast("double")
+    a0 = F.coalesce(F.col("inner_edges"), F.lit(0))
+    dd = F.col("degree_sum").cast("double")
+    return (
+        deg.join(inner, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "degree_sum",
+            a0.cast("bigint").alias("inner_edges"),
+            (
+                a0.cast("double") / md - (dd / md) * (dd / md)
+            ).alias("q_term"),
+        )
+    )

@@ -1004,3 +1004,18 @@ def test_apdex_single_filtered_count_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_apdex_score")
     assert n_nodes(plan, "HashAggregate") == 2
     assert "Join" not in plan
+
+
+def test_modularity_broadcasts_labels(spark, sf_dir):
+    """Node-sized label table must broadcast into both endpoint joins;
+    M rides a 1-row broadcast; no cartesian."""
+    plan = plan_of(spark, sf_dir, "graph_community_modularity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_l_diversity_single_distinct_agg(spark, sf_dir):
+    """One grouped count-distinct (expand partials), no join."""
+    plan = plan_of(spark, sf_dir, "etl_l_diversity")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1

@@ -413,3 +413,58 @@ def events_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("apdex"),
     )
+
+
+# --- WAPE forecast evaluation ------------------------------------------
+
+_WAPE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS actual
+  FROM events GROUP BY 1, 2),
+fc AS (
+  SELECT event_type, d, actual,
+         lag(actual) OVER (PARTITION BY event_type ORDER BY d) AS forecast
+  FROM daily)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CAST(ABS(actual - forecast) AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(ABS(actual) AS DECIMAL(18,6))) AS DOUBLE)
+           AS wape
+FROM fc WHERE forecast IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("ts_wape_eval", oracle=_WAPE_ORACLE, category="E")
+def ts_wape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation by WAPE (weighted absolute
+    percentage error) of the naive lag-1 forecast per daily series —
+    the baseline every forecasting model (``ts_holt_linear``,
+    ``ts_ewma``) must beat. WAPE = Σ|aᵗ−fᵗ| / Σ|aᵗ| is the
+    scale-robust choice: unlike MAPE's per-row ratios (whose float sum
+    is order-dependent and blows up on near-zero actuals), both WAPE
+    sums are decimal-cast → order-free exact, with ONE final division.
+
+    Scale: one daily rollup (the fact shuffle), one lag window per
+    series, one grouped decimal aggregation."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("actual"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = daily.withColumn("forecast", F.lag("actual").over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    return fc.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (
+            F.sum(F.abs(F.col("actual") - F.col("forecast")).cast(DEC))
+            .cast("double")
+            / F.sum(F.abs(F.col("actual")).cast(DEC)).cast("double")
+        ).alias("wape"),
+    )

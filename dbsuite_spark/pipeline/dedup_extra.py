@@ -436,3 +436,65 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch1.join(hist, "k", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# --- structured entity resolution (round 5 cont.) -----------------------
+
+ER_LEV_MAX = 2  # max edit distance for a candidate match
+ER_BLOCK_CHARS = 3  # block on the name's trailing digits
+
+
+_ER_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         right(c_name, {ER_BLOCK_CHARS}) AS blk
+  FROM customer)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev_dist
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ER_LEV_MAX}
+"""
+
+
+@query("er_fuzzy_match_blocked", oracle=_ER_ORACLE, category="L")
+def er_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured entity resolution — the record-linkage counterpart of
+    the document dedup family: candidate customer pairs from a blocking
+    key (nation × trailing name digits), verified by Levenshtein edit
+    distance ≤ 2. Blocking is THE ER scale technique: the quadratic
+    pairwise compare runs only inside blocks (bounded populations), as
+    the LSH bands do for documents. Levenshtein is an exact integer on
+    both engines — no tolerance anywhere.
+
+    Scale: one hash shuffle on the block key, per-block self-join with
+    population bounded by the key's selectivity (add block-size caps per
+    ``BAND_BUCKET_CAP`` under adversarial skew), edit distance only on
+    collided pairs."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.expr(f"right(c_name, {ER_BLOCK_CHARS})").alias("blk"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(lev <= ER_LEV_MAX)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            lev.cast("int").alias("lev_dist"),
+        )
+    )

@@ -350,3 +350,71 @@ def ml_split_gini_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.selectExpr(
         "threshold", "l_n", "r_n", f"{_GINI_EXPR} AS weighted_gini"
     )
+
+
+# --- association rules (round 5 cont.) ---------------------------------
+
+ASSOC_MIN_CO = 2  # minimum co-occurrence (absolute support) for a rule
+
+_ASSOC_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+pa AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM op GROUP BY p),
+co AS (
+  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+  GROUP BY x.p, y.p
+  HAVING COUNT(*) >= {ASSOC_MIN_CO})
+SELECT co.a, co.b, co.n_ab, pa.n_p AS n_a, pb.n_p AS n_b,
+       CAST(co.n_ab AS DOUBLE) / CAST(nn.n_orders AS DOUBLE) AS support,
+       CAST(co.n_ab AS DOUBLE) / CAST(pa.n_p AS DOUBLE) AS conf_a_to_b,
+       CAST(co.n_ab AS DOUBLE) / CAST(pb.n_p AS DOUBLE) AS conf_b_to_a,
+       (CAST(co.n_ab AS DOUBLE) * CAST(nn.n_orders AS DOUBLE))
+           / (CAST(pa.n_p AS DOUBLE) * CAST(pb.n_p AS DOUBLE)) AS lift
+FROM co JOIN pa ON co.a = pa.p JOIN pa pb ON co.b = pb.p, nn
+"""
+
+
+@query("rec_assoc_rules", oracle=_ASSOC_ORACLE, category="L")
+def rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: support,
+    directional confidence, and lift per unordered pair with absolute
+    support ≥ 2 — the Apriori 2-itemset layer on the same basket
+    substrate as ``rec_copurchase_topk`` (which ranks raw counts; this
+    emits the normalized rule metrics a recommender thresholds on).
+
+    All counts are integers; every metric is a mirrored division of
+    double-cast counts. Scale: the pair fan-out is bounded by basket
+    width; the min-support HAVING prunes before the dimension joins;
+    item counts are dimension-sized → broadcast; the order count is a
+    1-row broadcast."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nn = op.agg(F.countDistinct("o").alias("n_orders"))
+    pa = op.groupBy("p").agg(F.count("*").alias("n_p"))
+    x, y = op.alias("x"), op.alias("y")
+    co = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_CO)
+    )
+    co_d = F.col("n_ab").cast("double")
+    nn_d = F.col("n_orders").cast("double")
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    return (
+        co.join(F.broadcast(pa.withColumnsRenamed({"p": "a", "n_p": "n_a"})), "a")
+        .join(F.broadcast(pa.withColumnsRenamed({"p": "b", "n_p": "n_b"})), "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            (co_d / nn_d).alias("support"),
+            (co_d / na_d).alias("conf_a_to_b"),
+            (co_d / nb_d).alias("conf_b_to_a"),
+            ((co_d * nn_d) / (na_d * nb_d)).alias("lift"),
+        )
+    )

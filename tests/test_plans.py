@@ -1019,3 +1019,28 @@ def test_l_diversity_single_distinct_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "etl_l_diversity")
     assert "Join" not in plan
     assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_er_blocking_is_equi_join(spark, sf_dir):
+    """The block key must make the pair generation a hash equi-join —
+    levenshtein only as a post-join filter, never a join condition over
+    the raw cross space."""
+    plan = plan_of(spark, sf_dir, "er_fuzzy_match_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_prune_before_dim_joins(spark, sf_dir):
+    """Min-support HAVING must sit between the pair aggregation and the
+    item-count joins; item counts broadcast."""
+    plan = plan_of(spark, sf_dir, "rec_assoc_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wape_single_window_then_group(spark, sf_dir):
+    """One daily rollup, one lag window, one grouped decimal agg — no
+    join anywhere."""
+    plan = plan_of(spark, sf_dir, "ts_wape_eval")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") == 1

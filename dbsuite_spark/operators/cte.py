@@ -105,3 +105,94 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 5000.0, "n0": 0, "n1": 1, "n2": 2},
     )
+
+
+@query(
+    "sql_values_inline",
+    oracle="""
+WITH tiers(tier_name, lo, hi) AS (
+  VALUES ('small', 0.0, 200000.0),
+         ('medium', 200000.0, 400000.0),
+         ('large', 400000.0, 1000000.0))
+SELECT tier_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN tiers
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier_name
+""",
+    category="B",
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES derived table (the dialect's literal-table
+    constructor) joined against a fact — the idiomatic way to ship a
+    small lookup (tier bounds, code maps) inside the query text rather
+    than a side file. The 3-row literal relation broadcasts; the fact
+    is scanned once with the banding as a nested-loop over 3 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH tiers AS (
+          SELECT * FROM VALUES
+            ('small', 0.0D, 200000.0D),
+            ('medium', 200000.0D, 400000.0D),
+            ('large', 400000.0D, 1000000.0D)
+          AS t(tier_name, lo, hi))
+        SELECT tier_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN tiers
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier_name
+        """
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('o_totalprice')} AS total
+FROM orders
+GROUP BY ALL
+""",
+    category="B",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (group by every non-aggregate select item) —
+    the dialect sugar both engines added for wide rollups where
+    repeating the key list invites drift. Parses to the same
+    partial+final aggregate as the explicit form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "join_natural",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, r_name
+FROM nation NATURAL JOIN (
+  SELECT r_regionkey AS n_regionkey, r_name FROM region) r
+""",
+    category="C",
+)
+def join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN — implicit equi-join over the shared column names,
+    coalescing the key into one output column (the dialect construct;
+    production code prefers explicit USING, but the parser surface
+    matters for ported queries). Dim×dim here; the plan is the same
+    broadcast hash join as the explicit form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name, n_regionkey, r_name
+        FROM nation NATURAL JOIN (
+          SELECT r_regionkey AS n_regionkey, r_name FROM region) r
+        """
+    )

@@ -836,3 +836,52 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("c_custkey BIGINT, note STRING")
         .csv(path)
     )
+
+
+@query(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+WITH full_agg AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, n_orders, o_orderstatus
+FROM full_agg WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT o_orderpriority, n_orders, o_orderstatus
+FROM full_agg WHERE o_orderstatus = 'F' AND n_orders >= 100
+""",
+    category="A",
+)
+def sink_partition_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reload primitive:
+    a full partitioned write, then a second write that touches ONLY the
+    'F' partition (recomputed with a filter), with
+    ``partitionOverwriteMode=dynamic`` so untouched partitions survive.
+    The read-back proves it: non-F partitions hold the first write's
+    rows, F holds the second's. Static mode (the default) would have
+    wiped the whole table — the difference between reloading one day
+    and re-writing 100 TB.
+
+    The mode rides a per-write option (no session mutation). At sf0.001
+    the n_orders >= 100 refresh filter keeps some F rows and drops
+    others, so both behaviors are exercised."""
+    path = artifact_path(sf_dir, "orders_dynpart_parquet")
+    agg = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    agg.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    refresh = agg.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("n_orders") >= 100)
+    )
+    (
+        refresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

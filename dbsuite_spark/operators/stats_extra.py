@@ -468,3 +468,126 @@ def ts_wape_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.abs(F.col("actual")).cast(DEC)).cast("double")
         ).alias("wape"),
     )
+
+
+# --- SMA crossover signals ---------------------------------------------
+
+SMA_SHORT, SMA_LONG = 3, 7  # days
+
+_SMA_DAILY = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM events GROUP BY 1, 2
+"""
+
+_SMA_ORACLE = f"""
+WITH daily AS ({_SMA_DAILY}),
+sma AS (
+  SELECT event_type, d,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER ws AS DOUBLE)
+             / CAST(COUNT(*) OVER ws AS DOUBLE) AS sma_short,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER wl AS DOUBLE)
+             / CAST(COUNT(*) OVER wl AS DOUBLE) AS sma_long
+  FROM daily
+  WINDOW ws AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN {SMA_SHORT - 1} PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN {SMA_LONG - 1} PRECEDING AND CURRENT ROW)),
+sig AS (
+  SELECT event_type, d, sma_short, sma_long,
+         sma_short > sma_long AS above,
+         lag(sma_short > sma_long) OVER (
+             PARTITION BY event_type ORDER BY d) AS prev_above
+  FROM sma)
+SELECT event_type, d, sma_short, sma_long,
+       CASE WHEN above THEN 'golden_cross' ELSE 'death_cross' END AS signal
+FROM sig WHERE prev_above IS NOT NULL AND above <> prev_above
+"""
+
+
+@query("ts_sma_crossover", oracle=_SMA_ORACLE, category="E")
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals (3-day vs 7-day SMA per daily
+    series): emit the days where the short average crosses the long one
+    — the classic trend-change detector. Every SMA is a decimal-cast
+    windowed sum divided by an exact count, so the crossing comparisons
+    evaluate identical doubles on both engines; signals are therefore
+    bit-deterministic, with the boundary day itself excluded only when
+    the previous day has no defined comparison.
+
+    Scale: one daily rollup (the fact shuffle); both SMA frames and the
+    lag share a single (series, day) sort — one window pass."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    base = Window.partitionBy("event_type").orderBy("d")
+    ws = base.rowsBetween(-(SMA_SHORT - 1), Window.currentRow)
+    wl = base.rowsBetween(-(SMA_LONG - 1), Window.currentRow)
+    sma = daily.select(
+        "event_type",
+        "d",
+        (F.sum(F.col("v").cast(DEC)).over(ws).cast("double")
+         / F.count("*").over(ws).cast("double")).alias("sma_short"),
+        (F.sum(F.col("v").cast(DEC)).over(wl).cast("double")
+         / F.count("*").over(wl).cast("double")).alias("sma_long"),
+    )
+    above = F.col("sma_short") > F.col("sma_long")
+    sig = sma.select(
+        "event_type", "d", "sma_short", "sma_long",
+        above.alias("above"),
+        F.lag(above).over(base).alias("prev_above"),
+    )
+    return sig.filter(
+        F.col("prev_above").isNotNull()
+        & (F.col("above") != F.col("prev_above"))
+    ).select(
+        "event_type", "d", "sma_short", "sma_long",
+        F.when(F.col("above"), F.lit("golden_cross"))
+        .otherwise(F.lit("death_cross")).alias("signal"),
+    )
+
+
+# --- time-series gap report --------------------------------------------
+
+GAP_MIN_US = 3_600_000_000  # report gaps longer than 1 hour
+
+_GAP_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type, ts, event_id,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS next_ts
+  FROM events)
+SELECT event_type, ts AS gap_start, next_ts AS gap_end,
+       epoch_us(next_ts) - epoch_us(ts) AS gap_us
+FROM seq
+WHERE next_ts IS NOT NULL
+  AND epoch_us(next_ts) - epoch_us(ts) > {GAP_MIN_US}
+"""
+
+
+@query("ts_gap_report", oracle=_GAP_ORACLE, category="E")
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-gap report per series: the actual silent intervals longer
+    than 1 h (start, end, exact integer-microsecond duration) — the
+    incident-shaped complement of ``events_interarrival_stats``
+    (distribution) and ``ts_calendar_spine_fill`` (repair). A feed
+    monitor pages on these rows.
+
+    Scale: one window pass over (series, time, id) — the total order
+    makes the lead deterministic under timestamp ties; integer epoch
+    microseconds keep durations bit-identical."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.lead("ts").over(w).alias("next_ts")
+    )
+    gap = F.unix_micros("next_ts") - F.unix_micros("ts")
+    return seq.filter(
+        F.col("next_ts").isNotNull() & (gap > GAP_MIN_US)
+    ).select(
+        "event_type",
+        F.col("ts").alias("gap_start"),
+        F.col("next_ts").alias("gap_end"),
+        gap.cast("bigint").alias("gap_us"),
+    )

@@ -1044,3 +1044,26 @@ def test_wape_single_window_then_group(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ts_wape_eval")
     assert "Join" not in plan
     assert n_nodes(plan, "Window") == 1
+
+
+def test_sma_crossover_single_window_pass(spark, sf_dir):
+    """Both SMA frames and the lag must share one (series, day) sort —
+    a single Window chain over one exchange, no join."""
+    plan = plan_of(spark, sf_dir, "ts_sma_crossover")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Exchange") <= 2  # rollup + window partition
+
+
+def test_gap_report_one_window_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ts_gap_report")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") == 1
+
+
+def test_naive_bayes_broadcasts_model(spark, sf_dir):
+    """The likelihood table (vocab × classes) and the priors must ride
+    broadcasts into the scoring join — the corpus shuffles only for the
+    grouped counts and the per-(doc, class) score."""
+    plan = plan_of(spark, sf_dir, "ml_naive_bayes_langid")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -321,3 +321,28 @@ def fn_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_letter"
         ),
     )
+
+
+@query(
+    "fn_regexp_extract_all",
+    oracle=r"""
+SELECT event_id,
+       array_to_string(regexp_extract_all(props, '\d+'), ',') AS nums,
+       CAST(len(regexp_extract_all(props, '\d+')) AS INT) AS n_nums
+FROM events
+""",
+    category="H",
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` — every match in match order (both engines
+    scan left-to-right, so the positional list is deterministic), plus
+    the match count. The battery row for bulk pattern harvesting (IDs
+    from logs, numbers from semi-structured text). The list is emitted
+    comma-joined: raw arrays crash the driver's canonicalizer (round-1
+    lesson). Pure row-local regex — codegen, zero shuffle."""
+    nums = F.regexp_extract_all(F.col("props"), F.lit(r"\d+"), F.lit(0))
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array_join(nums, ",").alias("nums"),
+        F.size(nums).cast("int").alias("n_nums"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbsuite_spark.exact import DSUM, dsum
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
@@ -929,4 +930,67 @@ def agg_geometric_mean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lnp").cast("decimal(18,6)")).cast("double")
             / F.count("*")
         ).alias("mean_ln_price"),
+    )
+
+
+# --- rollup share-of-parent (round 5 cont.) ----------------------------
+
+_ROLLUP_SHARE_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+         {DSUM('o_totalprice')} AS revenue
+  FROM orders
+  GROUP BY ROLLUP (o_orderstatus, o_orderpriority)),
+s AS (
+  SELECT o_orderstatus, o_orderpriority, gid, revenue,
+         MAX(CASE WHEN gid = 1 THEN revenue END)
+             OVER (PARTITION BY o_orderstatus) AS status_total,
+         MAX(CASE WHEN gid = 3 THEN revenue END) OVER () AS grand_total
+  FROM r)
+SELECT o_orderstatus, o_orderpriority, gid, revenue,
+       CASE WHEN gid = 0 THEN revenue / status_total
+            WHEN gid = 1 THEN revenue / grand_total
+            ELSE 1.0 END AS share_of_parent
+FROM s
+"""
+
+
+@query("agg_rollup_share_of_parent", oracle=_ROLLUP_SHARE_ORACLE,
+       category="D")
+def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLAP drill-down report: ROLLUP(status, priority) revenue with
+    each row's share of its PARENT level (leaf / status subtotal,
+    subtotal / grand total) — the percent-of-parent column every pivot
+    UI renders next to a hierarchy. Parent values are recovered from the
+    same rollup output via windows keyed on the grouping id, so the fact
+    is aggregated exactly once.
+
+    Decimal revenue sums; shares are mirrored double divisions (NULL
+    rollup keys partition subtotals with their leaves — the grand row
+    partitions alone). Scale: one expand-rollup aggregation plus two
+    windows over the |groups|-sized result."""
+    r = (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    w_status = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    s = r.select(
+        "o_orderstatus", "o_orderpriority", "gid", "revenue",
+        F.max(F.when(F.col("gid") == 1, F.col("revenue"))).over(w_status)
+        .alias("status_total"),
+        F.max(F.when(F.col("gid") == 3, F.col("revenue"))).over(w_all)
+        .alias("grand_total"),
+    )
+    return s.select(
+        "o_orderstatus", "o_orderpriority", "gid", "revenue",
+        F.when(F.col("gid") == 0, F.col("revenue") / F.col("status_total"))
+        .when(F.col("gid") == 1, F.col("revenue") / F.col("grand_total"))
+        .otherwise(F.lit(1.0))
+        .alias("share_of_parent"),
     )

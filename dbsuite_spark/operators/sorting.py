@@ -228,3 +228,34 @@ def sort_nulls_last_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "limit_fetch_with_ties",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         rank() OVER (ORDER BY o_totalprice DESC) AS rk
+  FROM orders) WHERE rk <= 5
+""",
+    category="F",
+)
+def limit_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST 5 ROWS WITH TIES semantics — the standard's
+    tie-inclusive top-k (every row whose sort key equals the 5th row's
+    key survives), expressed as the rank() <= k rewrite both engines
+    plan identically. Unlike plain LIMIT, the result is a deterministic
+    SET under ties without inventing a tie-break column.
+
+    Scale: rank over a global order — Spark runs a single-partition
+    window, acceptable because the k-th value cuts early via the rank
+    filter; for huge k use the compressed-ranking spine
+    (``ml_feature_quantile_bin``)."""
+    w = Window.orderBy(F.col("o_totalprice").desc())
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("o_orderkey", "o_totalprice")
+    )

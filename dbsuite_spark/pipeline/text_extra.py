@@ -689,3 +689,57 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "word")
         .limit(RAKE_TOP)
     )
+
+
+# --- inverted index (round 5 cont.) -------------------------------------
+
+INVIDX_MIN_DF = 5  # index only tokens appearing in >= 5 docs
+INVIDX_CAP = 20  # postings per token materialized in the report
+
+_INVIDX_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(
+           list_slice(list(doc_id ORDER BY doc_id), 1, {INVIDX_CAP}), ',')
+           AS postings
+FROM tok
+GROUP BY token
+HAVING COUNT(*) >= {INVIDX_MIN_DF}
+"""
+
+
+@query("text_inverted_index", oracle=_INVIDX_ORACLE, category="L")
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval-engine primitive
+    behind ``text_bm25_score`` and the hybrid reranker: token → document
+    frequency + the sorted posting list (capped at 20 ids for the
+    report; a real index sink writes the full lists partitioned by
+    token prefix). Postings are sorted integer lists emitted
+    comma-joined (raw arrays crash the driver's canonicalizer), so the
+    output is bit-identical and partition-invariant.
+
+    Scale: one distinct-pass over (doc, token) (map-side partial
+    distinct), one grouped sort-agg on the token key — the same single
+    fact shuffle as any vocabulary build; the df floor prunes the long
+    tail before materialization."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, INVIDX_CAP
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= INVIDX_MIN_DF)
+    )

@@ -1067,3 +1067,26 @@ def test_naive_bayes_broadcasts_model(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ml_naive_bayes_langid")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_share_single_expand_agg(spark, sf_dir):
+    """One expand-rollup aggregation over the fact; parents come from
+    windows on the groups-sized result, never a second fact pass."""
+    plan = plan_of(spark, sf_dir, "agg_rollup_share_of_parent")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "Expand") == 1
+    assert "Join" not in plan
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    """Distinct + grouped sort-agg on the token key — one fact-sized
+    shuffle chain, no join."""
+    plan = plan_of(spark, sf_dir, "text_inverted_index")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_regexp_extract_all_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "fn_regexp_extract_all")
+    assert "Exchange" not in plan
+    assert "* Project" in plan

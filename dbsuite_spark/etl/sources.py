@@ -885,3 +885,32 @@ def sink_partition_overwrite_dynamic(
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+@query(
+    "scan_parquet_bloom_filter",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_custkey = 42
+""",
+    category="A",
+)
+def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter round-trip: write orders with a bloom
+    filter on the point-lookup column, read back with an equality
+    predicate. At 100 TB the footer bloom filter is what lets a point
+    query skip row groups that column statistics (min/max on an
+    unsorted column) cannot prune — the storage-side complement of
+    ``join_bloom_filtered``'s runtime filter. The predicate still
+    pushes to the scan (plan-pinned); correctness is the plain
+    relational result."""
+    path = artifact_path(sf_dir, "orders_bloom_parquet")
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(F.col("o_custkey") == 42)

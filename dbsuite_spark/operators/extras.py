@@ -994,3 +994,72 @@ def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("share_of_parent"),
     )
+
+
+# --- period-over-period variance bridge (round 5 cont.) -----------------
+
+BRIDGE_PREV = ("1996-01-01", "1998-01-01")
+BRIDGE_CUR = ("1998-01-01", "2000-01-01")
+
+_BRIDGE_ORACLE = f"""
+WITH seg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{BRIDGE_PREV[0]}'
+                        AND o_orderdate < TIMESTAMP '{BRIDGE_PREV[1]}'
+                       THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+              AS DOUBLE) AS prev_rev,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{BRIDGE_CUR[0]}'
+                        AND o_orderdate < TIMESTAMP '{BRIDGE_CUR[1]}'
+                       THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+              AS DOUBLE) AS cur_rev
+  FROM orders GROUP BY o_orderpriority),
+d AS (
+  SELECT o_orderpriority, prev_rev, cur_rev,
+         cur_rev - prev_rev AS delta,
+         CAST(SUM(CAST(cur_rev - prev_rev AS DECIMAL(18,6))) OVER ()
+              AS DOUBLE) AS total_delta
+  FROM seg)
+SELECT o_orderpriority, prev_rev, cur_rev, delta,
+       CASE WHEN total_delta = 0 THEN NULL
+            ELSE delta / total_delta END AS contribution
+FROM d
+"""
+
+
+@query("agg_variance_bridge", oracle=_BRIDGE_ORACLE, category="D")
+def agg_variance_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period variance bridge by segment: each priority's
+    revenue in two date windows, the delta, and its contribution share
+    of the total movement — the "what drove the change" decomposition
+    every finance/BI review opens with, companion to
+    ``win_budget_waterfall`` (which sequences one period).
+
+    Both period sums come from ONE filtered-aggregation pass over the
+    fact (no per-period scans); deltas are decimal-exact doubles, the
+    total-delta window re-sums the segment deltas in decimal so the
+    normalizer is order-free, and the share is one guarded division."""
+    o = t(spark, sf_dir, "orders")
+    def period(lo: str, hi: str):
+        return F.when(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")),
+            F.col("o_totalprice").cast("decimal(18,6)"),
+        )
+    seg = o.groupBy("o_orderpriority").agg(
+        F.sum(period(*BRIDGE_PREV)).cast("double").alias("prev_rev"),
+        F.sum(period(*BRIDGE_CUR)).cast("double").alias("cur_rev"),
+    )
+    delta = F.col("cur_rev") - F.col("prev_rev")
+    w_all = Window.partitionBy()
+    d = seg.select(
+        "o_orderpriority", "prev_rev", "cur_rev",
+        delta.alias("delta"),
+        F.sum(delta.cast("decimal(18,6)")).over(w_all)
+        .cast("double").alias("total_delta"),
+    )
+    return d.select(
+        "o_orderpriority", "prev_rev", "cur_rev", "delta",
+        F.when(F.col("total_delta") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("delta") / F.col("total_delta"))
+        .alias("contribution"),
+    )

@@ -1090,3 +1090,18 @@ def test_regexp_extract_all_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "fn_regexp_extract_all")
     assert "Exchange" not in plan
     assert "* Project" in plan
+
+
+def test_variance_bridge_single_filtered_agg_pass(spark, sf_dir):
+    """Both period sums fold into ONE aggregation over one scan; the
+    normalizer is a window on the segments-sized result."""
+    plan = plan_of(spark, sf_dir, "agg_variance_bridge")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_bloom_scan_pushes_point_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_parquet_bloom_filter")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_custkey,42)" in plan

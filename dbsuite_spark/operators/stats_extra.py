@@ -591,3 +591,54 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").alias("gap_end"),
         gap.cast("bigint").alias("gap_us"),
     )
+
+
+# --- UCB1 arm allocation -----------------------------------------------
+
+_UCB_ORACLE = """
+WITH arms AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_value
+  FROM events GROUP BY event_type),
+wt AS (SELECT event_type, n, mean_value,
+             CAST(SUM(n) OVER () AS BIGINT) AS big_n FROM arms)
+SELECT event_type, n, mean_value,
+       mean_value + SQRT(2 * ROUND(LN(CAST(big_n AS DOUBLE)), 6)
+                         / CAST(n AS DOUBLE)) AS ucb_score
+FROM wt
+"""
+
+
+@query("events_ucb_allocation", oracle=_UCB_ORACLE, category="E")
+def events_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 (upper confidence bound) scores per experiment arm:
+    mean reward + sqrt(2·ln(N)/n) — the deterministic
+    explore/exploit allocator a decisioning layer runs on aggregate
+    stats (the bandit counterpart of the z-test's fixed-horizon view).
+    Means are decimal-exact; the single ln(N) is 6dp-rounded (the
+    package's trig/log discipline) so the bonus arithmetic is mirrored
+    on identical doubles.
+
+    Scale: one partial+final aggregation for the arms; N is a window
+    sum over the arms-sized result — the fact is scanned exactly once
+    (a separate global count would scan it twice)."""
+    arms = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"))
+        .alias("mean_value"),
+    )
+    w_all = Window.partitionBy()
+    wt = arms.withColumn(
+        "big_n", F.sum("n").over(w_all).cast("bigint")
+    )
+    return wt.select(
+        "event_type", "n", "mean_value",
+        (
+            F.col("mean_value")
+            + F.sqrt(
+                2 * F.round(F.log(F.col("big_n").cast("double")), 6)
+                / F.col("n").cast("double")
+            )
+        ).alias("ucb_score"),
+    )

@@ -498,3 +498,63 @@ def er_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("int").alias("lev_dist"),
         )
     )
+
+
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE
+c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         right(c_name, {ER_BLOCK_CHARS}) AS blk
+  FROM customer),
+prs AS (
+  SELECT a.c_custkey AS d1, b.c_custkey AS d2
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {ER_LEV_MAX}),
+edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+          UNION ALL SELECT d2, d1 FROM prs),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT comp.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(cu.c_acctbal) AS best_acctbal,
+       arg_min(cu.c_name, cu.c_custkey) AS canonical_name
+FROM comp JOIN customer cu ON comp.id = cu.c_custkey
+GROUP BY comp.cluster_id
+"""
+
+
+@query("er_golden_record", oracle=_GOLDEN_ORACLE, category="L")
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the step after matching: fuzzy-matched customers
+    (``er_fuzzy_match_blocked``) collapse into clusters via the shared
+    ``connected_components`` primitive, and each cluster emits one
+    golden record under explicit survivorship rules (canonical name
+    from the lowest key, best balance by max, member count). Only
+    matched entities appear — singletons need no merge.
+
+    Exactness: cluster ids are min-key integers from the deterministic
+    CC fixpoint; max/arg-min survivorship is tie-broken on the key.
+    Scale: the pair list is block-bounded (ER blocking), CC runs on
+    match-sized edges, and the final rollup joins the dimension once,
+    keyed by customer."""
+    from dbsuite_spark.pipeline.dedup import connected_components
+
+    pairs = er_fuzzy_match_blocked(spark, sf_dir).select(
+        F.col("custkey_a").alias("d1"), F.col("custkey_b").alias("d2")
+    )
+    labels = connected_components(pairs)
+    cu = t(spark, sf_dir, "customer")
+    return (
+        labels.join(cu, labels.id == cu.c_custkey)
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("c_acctbal").alias("best_acctbal"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+        )
+    )

@@ -1105,3 +1105,16 @@ def test_bloom_scan_pushes_point_filter(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scan_parquet_bloom_filter")
     assert "PushedFilters: [" in plan
     assert "EqualTo(o_custkey,42)" in plan
+
+
+def test_ucb_one_agg_one_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_ucb_allocation")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_golden_record_no_cartesian(spark, sf_dir):
+    """ER pairs → CC → one dimension join; everything match-sized after
+    the blocked self-join."""
+    plan = plan_of(spark, sf_dir, "er_golden_record")
+    assert "CartesianProduct" not in plan

@@ -642,3 +642,53 @@ def events_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ucb_score"),
     )
+
+
+# --- second-order differences ------------------------------------------
+
+_DIFF2_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+d1 AS (
+  SELECT event_type, d, v,
+         CAST(CAST(v AS DECIMAL(18,6))
+              - CAST(lag(v) OVER w AS DECIMAL(18,6)) AS DOUBLE)
+             AS velocity
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+SELECT event_type, d, v, velocity,
+       CAST(CAST(velocity AS DECIMAL(18,6))
+            - CAST(lag(velocity) OVER w2 AS DECIMAL(18,6)) AS DOUBLE)
+           AS acceleration
+FROM d1 WINDOW w2 AS (PARTITION BY event_type ORDER BY d)
+"""
+
+
+@query("ts_diff_second_order", oracle=_DIFF2_ORACLE, category="E")
+def ts_diff_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and second discrete differences per daily series — the
+    velocity/acceleration view trend monitors alert on (is growth
+    slowing?), complementing ``ts_ewma``/``ts_holt_linear``'s smoothed
+    levels. Differences are taken in decimal (the daily values are
+    6dp-exact decimals rendered as doubles), so both derivative columns
+    are bit-identical; boundary rows carry NULL.
+
+    Scale: one daily rollup, then both lags share one (series, day)
+    sort — a single window pass."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    d1 = daily.withColumn(
+        "velocity",
+        (F.col("v").cast(DEC) - F.lag("v").over(w).cast(DEC))
+        .cast("double"),
+    )
+    return d1.withColumn(
+        "acceleration",
+        (F.col("velocity").cast(DEC)
+         - F.lag("velocity").over(w).cast(DEC)).cast("double"),
+    )

@@ -285,8 +285,11 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    out = _jaccard_on(candidates, sh)
-    return out
+    # The verified pair set is tiny (near-dup pairs only) and consumed
+    # by several keys in one session (near_minhash's own emission, CC's
+    # cluster formation, the stats/representative layers above them) —
+    # cache it so the verify chain runs once.
+    return _jaccard_on(candidates, sh).cache()
 
 
 @query("dedup_near_minhash", oracle=_JACCARD_ORACLE, category="L")

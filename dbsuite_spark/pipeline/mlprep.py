@@ -476,3 +476,66 @@ def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_fp").cast("double") / F.col("tot_neg").cast("double"))
         .alias("fpr"),
     )
+
+
+# --- inter-rater agreement (Cohen's kappa) -----------------------------
+
+_KAPPA_ORACLE = """
+WITH r AS (
+  SELECT value > 50 AS a, value > 45 AS b FROM events),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE a AND b) AS BIGINT) AS yy,
+         CAST(COUNT(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS yn,
+         CAST(COUNT(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS ny,
+         CAST(COUNT(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS nn
+  FROM r),
+p AS (
+  SELECT n, yy, yn, ny, nn,
+         CAST(yy + nn AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         (CAST(yy + yn AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(yy + ny AS DOUBLE) / CAST(n AS DOUBLE))
+         + (CAST(ny + nn AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(yn + nn AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+  FROM cm)
+SELECT n, yy, yn, ny, nn, po, pe,
+       CASE WHEN pe = 1 THEN NULL ELSE (po - pe) / (1 - pe) END AS kappa
+FROM p
+"""
+
+
+@query("ml_cohens_kappa", oracle=_KAPPA_ORACLE, category="L")
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic binary raters (two value
+    thresholds standing in for two labeling heuristics): observed vs
+    chance-expected agreement — the inter-annotator reliability gate a
+    labeling pipeline runs before trusting weak labels.
+
+    Four integer cells from one filtered-count pass; po/pe/kappa are
+    mirrored divisions with a degenerate-pe guard. O(scan)."""
+    a = F.col("value") > 50
+    b = F.col("value") > 45
+    cm = t(spark, sf_dir, "events").agg(
+        F.count("*").alias("n"),
+        F.count_if(a & b).alias("yy"),
+        F.count_if(a & ~b).alias("yn"),
+        F.count_if(~a & b).alias("ny"),
+        F.count_if(~a & ~b).alias("nn"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("yy") + F.col("nn")).cast("double") / nd
+    pe = (
+        ((F.col("yy") + F.col("yn")).cast("double") / nd)
+        * ((F.col("yy") + F.col("ny")).cast("double") / nd)
+        + ((F.col("ny") + F.col("nn")).cast("double") / nd)
+        * ((F.col("yn") + F.col("nn")).cast("double") / nd)
+    )
+    p = cm.select(
+        "n", "yy", "yn", "ny", "nn", po.alias("po"), pe.alias("pe")
+    )
+    return p.select(
+        "n", "yy", "yn", "ny", "nn", "po", "pe",
+        F.when(F.col("pe") == 1, F.lit(None).cast("double"))
+        .otherwise((F.col("po") - F.col("pe")) / (1 - F.col("pe")))
+        .alias("kappa"),
+    )

@@ -1118,3 +1118,17 @@ def test_golden_record_no_cartesian(spark, sf_dir):
     the blocked self-join."""
     plan = plan_of(spark, sf_dir, "er_golden_record")
     assert "CartesianProduct" not in plan
+
+
+def test_kappa_single_filtered_count_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ml_cohens_kappa")
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_diff2_single_window_pass(spark, sf_dir):
+    """Both lags must share one (series, day) sort after the rollup."""
+    plan = plan_of(spark, sf_dir, "ts_diff_second_order")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Window") <= 2
+    assert n_nodes(plan, "Sort") == 1

@@ -134,13 +134,59 @@ KEYS += [
     "dedup_cluster_stats",
 ]
 
+# Round-5 continuation batches: the experimentation/eval tier (filtered
+# counts + mirrored divisions), compressed-ranking bins, geo trig
+# rounding, ER blocking + survivorship, NB's rounded-log decimal sums,
+# and the window/diff families — each a distinct exactness discipline
+# whose invariance claim should be executed, not just argued.
+KEYS += [
+    "events_proportion_ztest",
+    "ts_cross_correlation",
+    "win_conditional_running",
+    "events_attribution_linear",
+    "ml_feature_quantile_bin",
+    "ml_target_encode_smooth",
+    "ml_confusion_matrix",
+    "graph_assortativity",
+    "etl_k_anonymity",
+    "ml_lift_curve",
+    "ml_psi_drift",
+    "ml_roc_points",
+    "events_time_to_convert",
+    "text_keyword_rake",
+    "fn_geo_haversine",
+    "join_geo_radius_grid",
+    "events_apdex_score",
+    "graph_community_modularity",
+    "etl_l_diversity",
+    "er_fuzzy_match_blocked",
+    "er_golden_record",
+    "rec_assoc_rules",
+    "ts_wape_eval",
+    "ts_sma_crossover",
+    "ts_gap_report",
+    "ml_naive_bayes_langid",
+    "agg_rollup_share_of_parent",
+    "limit_fetch_with_ties",
+    "text_inverted_index",
+    "agg_variance_bridge",
+    "events_ucb_allocation",
+    "ml_cohens_kappa",
+    "ts_diff_second_order",
+]
+
 
 def _rows(spark, sf_dir, key, width):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         df = dbsuite_spark.all_specs()[key].fn(spark, sf_dir)
-        return sorted(tuple(r) for r in df.collect())
+        # None-safe sort key: rollup/outer-join keys carry NULLs, which
+        # Python's default tuple ordering refuses to compare.
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda r: tuple((v is None, v) for v in r),
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 

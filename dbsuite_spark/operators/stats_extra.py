@@ -692,3 +692,64 @@ def ts_diff_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("velocity").cast(DEC)
          - F.lag("velocity").over(w).cast(DEC)).cast("double"),
     )
+
+
+# --- contingency expected counts + residuals ----------------------------
+
+_RESID_ORACLE = """
+WITH obs AS (
+  SELECT event_type, (value > 50) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, hi, o,
+         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+         CAST(SUM(o) OVER (PARTITION BY hi) AS BIGINT) AS col_n,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM obs)
+SELECT event_type, hi, o,
+       CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)
+           AS expected,
+       (CAST(o AS DOUBLE)
+        - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+          / CAST(n AS DOUBLE))
+       / SQRT(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS pearson_residual
+FROM m
+"""
+
+
+@query("events_contingency_residuals", oracle=_RESID_ORACLE, category="E")
+def events_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell contingency diagnostics: observed count, independence-
+    expected count, and the Pearson residual (obs − exp)/√exp — WHERE
+    the association lives, the cell-level drill-down behind
+    ``events_chi_square_independence``'s single statistic.
+
+    Observed/marginal counts are integers recovered from one grouped
+    pass via three window sums (no re-scan per margin); expected and
+    residual are mirrored IEEE expressions. O(scan) + |cells| windows."""
+    obs = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", (F.col("value") > 50).alias("hi"))
+        .agg(F.count("*").alias("o"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("hi")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "event_type", "hi", "o",
+        F.sum("o").over(w_row).cast("bigint").alias("row_n"),
+        F.sum("o").over(w_col).cast("bigint").alias("col_n"),
+        F.sum("o").over(w_all).cast("bigint").alias("n"),
+    )
+    exp = (
+        F.col("row_n").cast("double") * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    return m.select(
+        "event_type", "hi", "o",
+        exp.alias("expected"),
+        ((F.col("o").cast("double") - exp) / F.sqrt(exp))
+        .alias("pearson_residual"),
+    )

@@ -539,3 +539,88 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("po") - F.col("pe")) / (1 - F.col("pe")))
         .alias("kappa"),
     )
+
+
+# --- quantile normalization (Q-Q mapping) ------------------------------
+
+_QNORM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+         CAST(user_id % 2 AS INT) AS pop
+  FROM events GROUP BY user_id),
+espine AS (
+  SELECT score AS ev, CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_user WHERE pop = 0 GROUP BY score),
+eranked AS (
+  SELECT ev, c,
+         CAST(1 + COALESCE(SUM(c) OVER (ORDER BY ev
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS rk,
+         CAST(SUM(c) OVER () AS BIGINT) AS n_e
+  FROM espine),
+oranked AS (
+  SELECT user_id, score,
+         CAST(rank() OVER (ORDER BY score) AS BIGINT) AS r_o,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_o
+  FROM per_user WHERE pop = 1)
+SELECT o.user_id, o.score,
+       e.ev AS mapped_score
+FROM oranked o
+JOIN eranked e
+  ON ((o.r_o - 1) * e.n_e) // o.n_o + 1 BETWEEN e.rk AND e.rk + e.c - 1
+"""
+
+
+@query("ml_quantile_normalize", oracle=_QNORM_ORACLE, category="L")
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Q-Q mapping): every odd-population user
+    score is replaced by the even population's value at the same
+    quantile — the batch-effect / domain-shift corrector (microarray
+    normalization, score calibration across cohorts). ENTIRELY integer:
+    min-ranks on both sides, the target rank ((r-1)·n_e) div n_o + 1,
+    and an interval lookup into the reference spine's rank ranges — no
+    float appears anywhere, so the mapping is bit-exact by construction.
+
+    Scale: both spines compress to distinct values (the
+    ``ml_feature_quantile_bin`` two-pass); the reference spine is
+    |distinct| rows → broadcast into the interval join; the fact is
+    touched once per population rollup (each with its pushed-down
+    parity filter)."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("score"))
+        .select(
+            "user_id", "score",
+            (F.col("user_id") % 2).cast("int").alias("pop"),
+        )
+    )
+    espine = (
+        per_user.filter(F.col("pop") == 0)
+        .groupBy(F.col("score").alias("ev"))
+        .agg(F.count("*").alias("c"))
+    )
+    w_prev = Window.orderBy("ev").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("ev").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    eranked = espine.select(
+        "ev", "c",
+        (F.coalesce(F.sum("c").over(w_prev), F.lit(0)) + 1)
+        .cast("bigint").alias("rk"),
+        F.sum("c").over(w_all).cast("bigint").alias("n_e"),
+    )
+    w_o = Window.orderBy("score")
+    w_oall = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    oranked = per_user.filter(F.col("pop") == 1).select(
+        "user_id", "score",
+        F.rank().over(w_o).cast("bigint").alias("r_o"),
+        F.count("*").over(w_oall).cast("bigint").alias("n_o"),
+    )
+    tgt = F.expr("((r_o - 1) * n_e) div n_o + 1")
+    return oranked.join(
+        F.broadcast(eranked),
+        (tgt >= F.col("rk")) & (tgt <= F.col("rk") + F.col("c") - 1),
+    ).select("user_id", "score", F.col("ev").alias("mapped_score"))

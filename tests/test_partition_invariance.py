@@ -173,6 +173,8 @@ KEYS += [
     "events_ucb_allocation",
     "ml_cohens_kappa",
     "ts_diff_second_order",
+    "ml_quantile_normalize",
+    "events_contingency_residuals",
 ]
 
 

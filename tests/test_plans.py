@@ -1132,3 +1132,21 @@ def test_diff2_single_window_pass(spark, sf_dir):
     assert "Join" not in plan
     assert n_nodes(plan, "Window") <= 2
     assert n_nodes(plan, "Sort") == 1
+
+
+def test_qnorm_broadcasts_reference_spine(spark, sf_dir):
+    """The reference spine must broadcast into the interval lookup; the
+    fact is touched only by the two population rollups (one pushed-down
+    filter each)."""
+    plan = plan_of(spark, sf_dir, "ml_quantile_normalize")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Scan parquet") <= 2
+
+
+def test_contingency_residuals_margins_are_windows(spark, sf_dir):
+    """Marginals come from windows over the cells-sized aggregate —
+    one scan, no join."""
+    plan = plan_of(spark, sf_dir, "events_contingency_residuals")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1

@@ -753,3 +753,50 @@ def events_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o").cast("double") - exp) / F.sqrt(exp))
         .alias("pearson_residual"),
     )
+
+
+# --- per-user behavioral entropy ---------------------------------------
+
+_UENTROPY_ORACLE = """
+WITH mix AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT user_id, event_type, c,
+         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM mix),
+terms AS (
+  SELECT user_id, n,
+         ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS term
+  FROM tot)
+SELECT user_id, n,
+       CAST(-SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+FROM terms GROUP BY user_id, n
+"""
+
+
+@query("events_user_entropy", oracle=_UENTROPY_ORACLE, category="E")
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of their
+    event-type mix — low entropy flags single-action (bot-like) users,
+    complementing ``events_bot_score``'s rule stack. Each −p·ln p term
+    is 6dp-rounded then decimal-summed (the ``agg_geometric_mean_log``
+    discipline), so the per-user entropy is order-free exact.
+
+    Scale: one (user, type) rollup (the fact shuffle), per-user totals
+    via a window on the rollup, one more small aggregation."""
+    mix = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    w_u = Window.partitionBy("user_id")
+    tot = mix.withColumn("n", F.sum("c").over(w_u).cast("bigint"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = tot.select(
+        "user_id", "n", F.round(p * F.log(p), 6).alias("term")
+    )
+    return terms.groupBy("user_id", "n").agg(
+        (-F.sum(F.col("term").cast(DEC))).cast("double").alias("entropy")
+    )

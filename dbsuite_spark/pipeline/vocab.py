@@ -794,3 +794,41 @@ def docs_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term_b").isNotNull().alias("in_top_b"),
         )
     )
+
+
+_HAPAX_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+vf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY tk)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) FILTER (WHERE f = 1) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) FILTER (WHERE f = 2) AS BIGINT) AS n_dis,
+       CAST(COUNT(*) FILTER (WHERE f = 1) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+FROM vf
+"""
+
+
+@query("docs_hapax_ratio", oracle=_HAPAX_ORACLE, category="L")
+def docs_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness summary: hapax legomena (frequency-1 words) and
+    dis legomena (frequency-2) counts plus the hapax share of the
+    vocabulary — the corpus-health companion to ``docs_heaps_curve`` /
+    ``docs_zipf_fit`` (a crawl whose hapax share spikes is full of
+    garbage tokens; one that collapses is template spam).
+
+    One token rollup + one 1-row filtered count; integer cells, one
+    mirrored division."""
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tk")
+    )
+    vf = tok.groupBy("tk").agg(F.count("*").alias("f"))
+    return vf.agg(
+        F.count("*").alias("vocab_size"),
+        F.count_if(F.col("f") == 1).alias("n_hapax"),
+        F.count_if(F.col("f") == 2).alias("n_dis"),
+        (
+            F.count_if(F.col("f") == 1).cast("double")
+            / F.count("*").cast("double")
+        ).alias("hapax_ratio"),
+    )

@@ -175,6 +175,8 @@ KEYS += [
     "ts_diff_second_order",
     "ml_quantile_normalize",
     "events_contingency_residuals",
+    "events_user_entropy",
+    "docs_hapax_ratio",
 ]
 
 

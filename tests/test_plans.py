@@ -1150,3 +1150,15 @@ def test_contingency_residuals_margins_are_windows(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_contingency_residuals")
     assert "Join" not in plan
     assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_user_entropy_windows_on_rollup(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_user_entropy")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_hapax_two_aggregations_one_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "docs_hapax_ratio")
+    assert "Join" not in plan
+    assert n_nodes(plan, "Scan parquet") == 1

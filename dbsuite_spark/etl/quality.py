@@ -351,3 +351,33 @@ def etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sensitive") >= L_DIVERSITY).alias("l_diverse"),
         )
     )
+
+
+_MASK_ORACLE = """
+SELECT c_custkey,
+       repeat('*', CAST(length(c_name) - 4 AS INT)) || right(c_name, 4)
+           AS masked_name,
+       CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_bucket
+FROM customer
+"""
+
+
+@query("etl_mask_pii_display", oracle=_MASK_ORACLE, category="K")
+def etl_mask_pii_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-safe PII masking: all but the last 4 identifier
+    characters starred out, balances generalized to 1000-unit buckets —
+    the third privacy mode alongside ``etl_pseudonymize`` (linkable
+    hashes) and ``etl_k_anonymity``/``etl_l_diversity`` (release
+    audits): what a support UI or partner export is allowed to show.
+    Pure row-local string/floor arithmetic — codegen, zero shuffle,
+    bit-identical."""
+    n = F.length("c_name")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.repeat(F.lit("*"), (n - 4).cast("int")),
+            F.expr("right(c_name, 4)"),
+        ).alias("masked_name"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double")
+        .alias("acctbal_bucket"),
+    )

@@ -800,3 +800,99 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("user_id", "n").agg(
         (-F.sum(F.col("term").cast(DEC))).cast("double").alias("entropy")
     )
+
+
+# --- day-of-week × hour activity heatmap -------------------------------
+
+_HEATMAP_ORACLE = """
+SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_heatmap_dow_hour", oracle=_HEATMAP_ORACLE, category="E")
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (counts + decimal
+    value mass per cell) — the capacity-planning / on-call staffing view.
+    Day-of-week derives from integer epoch-day arithmetic (Monday = 0):
+    the engines' native dayofweek() disagree on the week origin
+    (DuckDB Sunday=0, Spark Sunday=1), so the portable formula is part
+    of the operator.
+
+    One partial+final aggregation keyed by the 7×24 cell grid —
+    O(scan), constant-size output."""
+    dow = ((F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("bigint")
+           + 3) % 7
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            dow.cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --- A/B test power analysis -------------------------------------------
+
+MDE_ABS = 0.05  # minimum detectable effect, absolute
+Z_ALPHA = 1.959964  # two-sided 5%
+Z_BETA = 0.841621  # 80% power
+
+_POWER_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS x
+  FROM events WHERE event_type = 'click'),
+p AS (SELECT n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_base FROM s)
+SELECT n, x, p_base,
+       CAST(CEIL(2 * (({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA}))
+                 * (p_base * (1 - p_base)) / ({MDE_ABS} * {MDE_ABS}))
+            AS BIGINT) AS n_per_arm,
+       CAST(CEIL(2 * (({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA}))
+                 * (p_base * (1 - p_base)) / ({MDE_ABS} * {MDE_ABS}))
+            AS BIGINT) * 2 AS n_total
+FROM p
+"""
+
+
+@query("events_power_analysis", oracle=_POWER_ORACLE, category="E")
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed data: required samples per arm to
+    detect a 5-point absolute lift on the observed click conversion rate
+    at α = 5% (two-sided) / 80% power — n = 2(z_α+z_β)²·p(1−p)/MDE².
+    The planning step BEFORE ``events_proportion_ztest`` runs; both keys
+    share the conversion definition.
+
+    The base rate divides exact integers; the sizing formula is one
+    mirrored scalar expression with literal z constants; CEIL lands on
+    exact integers. One filtered-count pass."""
+    s = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("value") > 50).alias("x"),
+    )
+    p = s.select(
+        "n", "x",
+        (F.col("x").cast("double") / F.col("n").cast("double"))
+        .alias("p_base"),
+    )
+    zsum = F.lit(Z_ALPHA) + F.lit(Z_BETA)
+    n_arm = F.ceil(
+        2 * (zsum * zsum)
+        * (F.col("p_base") * (1 - F.col("p_base")))
+        / F.lit(MDE_ABS * MDE_ABS)
+    ).cast("bigint")
+    return p.select(
+        "n", "x", "p_base",
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2).alias("n_total"),
+    )

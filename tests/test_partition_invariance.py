@@ -177,6 +177,9 @@ KEYS += [
     "events_contingency_residuals",
     "events_user_entropy",
     "docs_hapax_ratio",
+    "events_heatmap_dow_hour",
+    "events_power_analysis",
+    "etl_mask_pii_display",
 ]
 
 

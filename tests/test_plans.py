@@ -1162,3 +1162,21 @@ def test_hapax_two_aggregations_one_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "docs_hapax_ratio")
     assert "Join" not in plan
     assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_heatmap_single_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_heatmap_dow_hour")
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert "Join" not in plan
+
+
+def test_power_analysis_single_filtered_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_power_analysis")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_mask_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "etl_mask_pii_display")
+    assert "Exchange" not in plan
+    assert "* Project" in plan

@@ -5,12 +5,14 @@ from dbsuite_spark.pipeline import (  # noqa: F401
     classify,
     cleaning,
     clustering,
+    corpus_filter,
     decomposition,
     dedup,
     dedup_extra,
     features,
     graph,
     graph_extra,
+    graph_paths,
     media,
     mlprep,
     multimodal,

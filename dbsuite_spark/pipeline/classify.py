@@ -257,3 +257,163 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_lang",
         (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
     )
+
+
+# --- ml_logreg_gd_fixed (round 5) -----------------------------------------
+#
+# Distributed logistic-regression training as a STATIC 3-step gradient-
+# descent DAG — the "can your engine train a linear model without leaving
+# SQL/DataFrame land?" benchmark (cf. MADlib / BigQuery ML's CREATE MODEL
+# with logistic_reg). Each step is one map-side-combinable aggregation of
+# three gradient sums + a 1-row broadcast of updated weights; nothing is
+# collected, the iteration count is fixed so the whole train+eval is one
+# Catalyst plan. At 100 TB each step is a single partial+final agg scan —
+# the textbook batch-GD layout on a cluster.
+#
+# Cross-engine exactness (no rounding tolerance anywhere):
+# - weights live as BIGINT micro-units (w * 1e6) — broadcast-joined back,
+#   so the margin z_units = w0u + w1u*x1 + w2u*x2 is pure int64 and exact;
+# - the link is the algebraic fast sigmoid 0.5 + z/(2(1+|z|)) — rational,
+#   no libm exp(); computed in IEEE doubles from identical inputs it is
+#   bit-identical on both engines;
+# - per-row gradient terms are rounded to DECIMAL(18,6) before the SUM
+#   (exact.py discipline: order-free exact decimal accumulation);
+# - the weight update (w - 0.05·s/n, then ×1e6 and round to BIGINT) is a
+#   fixed parenthesized IEEE sequence, identical on both engines.
+
+LOGREG_ITERS = 3
+# Features are centered with FIXED constants (26 ≈ E[quantity] for TPC-H's
+# uniform 1..50; 5 ≈ E[discount·100] for uniform 0..0.10) rather than
+# data-derived means: a constant shift keeps the pipeline one pass and the
+# margins near the boundary (un-centered, the intercept gradient saturates
+# the fast sigmoid and the model degenerates to majority-vote).
+_LR = "0.05"  # learning rate (exact literal shared by both engines)
+_WSCALE = "1000000.0"
+
+_LOGREG_DATA = """
+  SELECT CAST(round(l_quantity) AS BIGINT) - 26 AS x1,
+         CAST(round(l_discount * 100.0) AS BIGINT) - 5 AS x2,
+         CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM lineitem
+"""
+
+# residual r = sigmoid(z) - y from integer weight units (identical string
+# drives Spark's codegen and DuckDB):
+_Z = f"(CAST(w0u + w1u * x1 + w2u * x2 AS DOUBLE) / {_WSCALE})"
+_R = f"((0.5 + ({_Z} / (2.0 * (1.0 + abs({_Z}))))) - y)"
+
+
+def _upd_expr(j: int) -> str:
+    """w_ju_next = round((w_ju/1e6 - (lr·s_j)/n) · 1e6) as BIGINT."""
+    return (
+        f"CAST(round((CAST(w{j}u AS DOUBLE) / {_WSCALE}"
+        f" - ({_LR} * s{j}) / n) * {_WSCALE}) AS BIGINT)"
+    )
+
+
+def _upd(j: int) -> str:
+    return f"{_upd_expr(j)} AS w{j}u"
+
+
+def _logreg_step(i: int) -> str:
+    prev = f"it{i - 1}"
+    return f"""
+g{i} AS (
+  SELECT
+    CAST(SUM(CAST({_R} AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+    CAST(SUM(CAST({_R} * x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST({_R} * x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM data, {prev}),
+it{i} AS (
+  SELECT {_upd(0)}, {_upd(1)}, {_upd(2)}
+  FROM it{i - 1}, g{i}, nn)
+"""
+
+
+_LOGREG_ORACLE = (
+    f"""
+WITH data AS ({_LOGREG_DATA}),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM data),
+it0 AS (SELECT CAST(0 AS BIGINT) AS w0u,
+               CAST(0 AS BIGINT) AS w1u,
+               CAST(0 AS BIGINT) AS w2u),
+"""
+    + ",".join(_logreg_step(i) for i in range(1, LOGREG_ITERS + 1))
+    + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(w0u) AS DOUBLE) / {_WSCALE} AS w_intercept,
+       CAST(MIN(w1u) AS DOUBLE) / {_WSCALE} AS w_quantity,
+       CAST(MIN(w2u) AS DOUBLE) / {_WSCALE} AS w_discount,
+       CAST(SUM(CASE WHEN (CASE WHEN w0u + w1u * x1 + w2u * x2 > 0
+                           THEN 1 ELSE 0 END) = y
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+FROM data, it{LOGREG_ITERS}
+"""
+)
+
+
+@query("ml_logreg_gd_fixed", oracle=_LOGREG_ORACLE, category="L")
+def ml_logreg_gd_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step batch-gradient-descent logistic regression predicting
+    return status from quantity/discount, trained and evaluated in one
+    static DataFrame DAG (see block comment: integer-unit weights,
+    algebraic sigmoid, decimal-exact gradient sums — bit-identical to
+    the SQL oracle with zero tolerance)."""
+    li = t(spark, sf_dir, "lineitem")
+    data = li.select(
+        F.expr("CAST(round(l_quantity) AS BIGINT) - 26").alias("x1"),
+        F.expr("CAST(round(l_discount * 100.0) AS BIGINT) - 5").alias("x2"),
+        F.expr(
+            "CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    )
+    nn = data.agg(F.count("*").cast("double").alias("n"))
+    w = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("w0u"),
+        F.lit(0).cast("bigint").alias("w1u"),
+        F.lit(0).cast("bigint").alias("w2u"),
+    )
+    for _ in range(LOGREG_ITERS):
+        g = (
+            data.crossJoin(F.broadcast(w))
+            .agg(
+                F.expr(
+                    f"CAST(SUM(CAST({_R} AS DECIMAL(18,6))) AS DOUBLE)"
+                ).alias("s0"),
+                F.expr(
+                    f"CAST(SUM(CAST({_R} * x1 AS DECIMAL(18,6))) AS DOUBLE)"
+                ).alias("s1"),
+                F.expr(
+                    f"CAST(SUM(CAST({_R} * x2 AS DECIMAL(18,6))) AS DOUBLE)"
+                ).alias("s2"),
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.expr(_upd_expr(0)).alias("w0u"),
+                F.expr(_upd_expr(1)).alias("w1u"),
+                F.expr(_upd_expr(2)).alias("w2u"),
+            )
+        )
+    return (
+        data.crossJoin(F.broadcast(w))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"CAST(MIN(w0u) AS DOUBLE) / {_WSCALE}"
+            ).alias("w_intercept"),
+            F.expr(
+                f"CAST(MIN(w1u) AS DOUBLE) / {_WSCALE}"
+            ).alias("w_quantity"),
+            F.expr(
+                f"CAST(MIN(w2u) AS DOUBLE) / {_WSCALE}"
+            ).alias("w_discount"),
+            F.expr(
+                "CAST(SUM(CASE WHEN (CASE WHEN w0u + w1u * x1 + w2u * x2 > 0"
+                " THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("accuracy"),
+        )
+    )

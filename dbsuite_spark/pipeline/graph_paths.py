@@ -1,0 +1,163 @@
+"""Seeded graph traversals (round 5): BFS hop distance and personalized
+PageRank over the user ↔ event-type interaction graph of ``graph.py``.
+
+``graph_sssp_hops`` is breadth-first single-source shortest path (the
+unweighted SSSP special case) with a fixed 4-hop radius — the primitive
+behind "blast radius" / reachability queries. ``graph_ppr_seeded`` is
+personalized PageRank: all restart mass returns to ONE seed node, giving
+a similarity-to-seed ranking (the classic seed-expansion recommender) —
+contrast with ``graph_pagerank_fixed``'s uniform restart.
+
+Cross-engine exactness: hops are pure integers; PPR uses the same scaled
+BIGINT fixed-point arithmetic as ``graph.py`` (floor division, exact
+commutative integer sums) so both keys are bit-identical across engines
+and partitionings with no rounding tolerance.
+
+Scale design (100 TB): BFS keeps an explicit frontier — each round joins
+only the newly-reached nodes against the edge list (hash join on src)
+and anti-joins the known set, so per-round cost is O(frontier edges),
+not O(all reached); 4 rounds = a static 4-stage DAG, no driver loop
+state beyond the DataFrame lineage. PPR is per-round edge⋈rank joins
+exactly like PageRank; mass stays concentrated near the seed so the
+rank table is small and broadcastable in early rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsuite_spark.pipeline.graph import _S, _edges
+from dbsuite_spark.registry import query
+from dbsuite_spark.tables import t
+
+MAX_HOPS = 4
+PPR_ITERS = 3
+
+_GRAPH_PRELUDE = """
+base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'e' || event_type AS v
+  FROM events),
+edges AS (
+  SELECT u AS src, v AS dst FROM base
+  UNION ALL
+  SELECT v AS src, u AS dst FROM base),
+seed AS (SELECT MIN('e' || event_type) AS node FROM events)
+"""
+
+
+def _seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row seed: lexicographic min event node (engine-independent)."""
+    return t(spark, sf_dir, "events").agg(
+        F.min(F.concat(F.lit("e"), F.col("event_type"))).alias("node")
+    )
+
+
+@query(
+    "graph_sssp_hops",
+    oracle=f"""
+WITH RECURSIVE
+{_GRAPH_PRELUDE},
+walk (node, hop) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hop < {MAX_HOPS})
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+FROM walk GROUP BY node
+""",
+    category="L",
+)
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the min event node, radius 4. Frontier
+    BFS: round k joins only hop-(k-1) nodes to edges, anti-joins
+    already-reached nodes — each edge is expanded at most once per
+    endpoint discovery, the scale-correct unweighted SSSP. Oracle is
+    the equivalent bounded recursive CTE (UNION-dedup on (node, hop))."""
+    edges = _edges(spark, sf_dir)
+    dist = _seed(spark, sf_dir).select(
+        "node", F.lit(0).cast("bigint").alias("hop")
+    )
+    frontier = dist
+    for k in range(1, MAX_HOPS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(dist, "node", "left_anti").select(
+            "node", F.lit(k).cast("bigint").alias("hop")
+        )
+        dist = dist.unionAll(frontier)
+    return dist
+
+
+def _ppr_step(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+s{i} AS (
+  SELECT e.dst AS node, SUM(r.ru // d.outdeg) AS s
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d    ON e.src = d.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT node, CAST(SUM(x) AS BIGINT) AS ru
+  FROM (
+    SELECT node, (15 * CAST({_S} AS BIGINT)) // 100 AS x FROM seed
+    UNION ALL
+    SELECT node, (85 * s) // 100 AS x FROM s{i})
+  GROUP BY node)
+"""
+
+
+@query(
+    "graph_ppr_seeded",
+    oracle=(
+        "WITH\n"
+        + _GRAPH_PRELUDE
+        + """,
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({S} AS BIGINT) AS ru FROM seed),
+""".format(S=_S)
+        + ",".join(_ppr_step(i) for i in range(1, PPR_ITERS + 1))
+        + f"\nSELECT node, ru AS rank_units FROM r{PPR_ITERS}"
+    ),
+    category="L",
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration personalized PageRank (damping 0.85, ALL restart mass
+    to the seed node) in exact BIGINT units — similarity-to-seed scores
+    for seed-expansion recommendation. Per round: one edge⋈rank shuffle
+    join + grouped integer sum + the 1-row seed restart unioned in."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed = _seed(spark, sf_dir)
+    ranks = seed.select(
+        "node", F.lit(_S).cast("bigint").alias("ru")
+    )
+    restart = seed.select(
+        "node",
+        F.lit((15 * _S) // 100).cast("bigint").alias("x"),
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("ru div outdeg")).alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * s) div 100").alias("x"),
+            )
+        )
+        ranks = (
+            restart.unionAll(contrib)
+            .groupBy("node")
+            .agg(F.sum("x").cast("bigint").alias("ru"))
+        )
+    return ranks.select("node", F.col("ru").alias("rank_units"))

@@ -289,3 +289,193 @@ def sim_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- sim_search_mmr_diversify (round 5) -----------------------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank a
+# query's candidate list to balance relevance against redundancy —
+# greedily pick argmax 0.7·rel(c) − 0.3·max_{s∈S} sim(c, s). The standard
+# result-diversification pass for RAG retrieval, which Spark has no
+# built-in for. Implemented as a STATIC unrolled K-step DataFrame DAG:
+# greedy selection is inherently sequential in K, but K is a small fixed
+# constant (5), so each step is one bounded join + window argmax — no
+# Python, no collect, no iteration state outside the lineage.
+#
+# Scale (100 TB): the expensive part is the initial top-C candidate
+# generation, which reuses the broadcast-query brute-force substrate
+# (sim_search_cosine_topk); everything after runs on Q×C rows (C = 10 per
+# query — constant), so the K greedy steps cost O(Q·C²) TOTAL, independent
+# of corpus size. Candidate-pair similarities are computed once up front
+# (C² per query) and reused by every step.
+#
+# Determinism: cosines are the bit-identical sequential fold
+# (pipeline/vectors.py); the MMR score is the shared literal expression
+# `0.7 * rel - 0.3 * maxsim` (identical IEEE op order both engines);
+# every argmax tie-breaks on neighbor_id.
+
+MMR_CAND = 10  # candidates per query fed to MMR
+MMR_K = 5  # diversified results per query
+_MMR_SCORE = "0.7 * rel - 0.3 * maxsim"
+
+
+def _mmr_oracle() -> str:
+    from dbsuite_spark.pipeline.similarity import QUERY_MOD
+
+    head = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id % {QUERY_MOD} = 0),
+allp AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {COSINE('q.qe', 'e.embedding')} AS rel
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid),
+cand AS (
+  SELECT qid, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rn
+    FROM allp) WHERE rn <= {MMR_CAND}),
+csim AS (
+  SELECT a.qid, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         {COSINE('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand a
+  JOIN cand b ON a.qid = b.qid AND a.neighbor_id <> b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+s1 AS (
+  SELECT qid, neighbor_id, rel, 1 AS mmr_rank, 0.7 * rel AS mmr_score
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn = 1),
+sel1 AS (SELECT qid, neighbor_id FROM s1)"""
+    steps = []
+    for k in range(2, MMR_K + 1):
+        p = k - 1
+        steps.append(f"""
+score{k} AS (
+  SELECT c.qid, c.neighbor_id, c.rel, MAX(cs.sim) AS maxsim
+  FROM cand c
+  JOIN csim cs ON cs.qid = c.qid AND cs.a_id = c.neighbor_id
+  JOIN sel{p} s ON s.qid = cs.qid AND s.neighbor_id = cs.b_id
+  LEFT JOIN sel{p} me
+         ON me.qid = c.qid AND me.neighbor_id = c.neighbor_id
+  WHERE me.neighbor_id IS NULL
+  GROUP BY c.qid, c.neighbor_id, c.rel),
+s{k} AS (
+  SELECT qid, neighbor_id, rel, {k} AS mmr_rank,
+         {_MMR_SCORE} AS mmr_score
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid
+            ORDER BY {_MMR_SCORE} DESC, neighbor_id) AS rn
+        FROM score{k}) WHERE rn = 1),
+sel{k} AS (SELECT qid, neighbor_id FROM sel{p}
+           UNION ALL SELECT qid, neighbor_id FROM s{k})""")
+    tail = (
+        "\nSELECT qid, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,"
+        " rel, mmr_score FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM s{k}" for k in range(1, MMR_K + 1)
+        )
+        + ")"
+    )
+    return head + "," + ",".join(steps) + tail
+
+
+@query("sim_search_mmr_diversify", oracle=_mmr_oracle(), category="L")
+def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR result diversification, K=5 over C=10 cosine candidates per
+    query (block comment above: static unrolled greedy DAG, bounded
+    joins, bit-identical scores, id tie-breaks)."""
+    from dbsuite_spark.pipeline.similarity import _cosine_pairs, _topk
+    from dbsuite_spark.pipeline.vectors import dot, l2_norm
+
+    cand = (
+        _topk(_cosine_pairs(spark, sf_dir), MMR_CAND)
+        .select("qid", "neighbor_id", F.col("cos_sim").alias("rel"))
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    ce = cand.join(
+        e, cand.neighbor_id == e.vec_id
+    ).select("qid", "neighbor_id", "embedding", "nrm")
+    a = ce.select(
+        F.col("qid").alias("p_qid"),
+        F.col("neighbor_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = ce.select(
+        F.col("qid").alias("p_qid"),
+        F.col("neighbor_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    csim = (
+        a.join(b, ["p_qid"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.col("p_qid").alias("qid"),
+            "a_id",
+            "b_id",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+    )
+    w_rel = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), "neighbor_id"
+    )
+    out = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            "neighbor_id",
+            "rel",
+            F.lit(1).alias("mmr_rank"),
+            F.expr("0.7 * rel").alias("mmr_score"),
+        )
+    )
+    selected = out.select("qid", "neighbor_id")
+    for k in range(2, MMR_K + 1):
+        maxsim = (
+            csim.join(
+                selected.withColumnRenamed("neighbor_id", "b_id"),
+                ["qid", "b_id"],
+            )
+            .groupBy("qid", "a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            cand.join(selected, ["qid", "neighbor_id"], "left_anti")
+            .join(
+                maxsim.withColumnRenamed("a_id", "neighbor_id"),
+                ["qid", "neighbor_id"],
+            )
+            .withColumn("mmr_score", F.expr(_MMR_SCORE))
+        )
+        w_sc = Window.partitionBy("qid").orderBy(
+            F.col("mmr_score").desc(), "neighbor_id"
+        )
+        sk = (
+            scored.withColumn("rn", F.row_number().over(w_sc))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid",
+                "neighbor_id",
+                "rel",
+                F.lit(k).alias("mmr_rank"),
+                "mmr_score",
+            )
+        )
+        out = out.unionAll(sk)
+        selected = selected.unionAll(sk.select("qid", "neighbor_id"))
+    return out.select(
+        "qid",
+        "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "rel",
+        "mmr_score",
+    )

@@ -914,3 +914,40 @@ def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path).filter(F.col("o_custkey") == 42)
+
+
+@query(
+    "sink_jsonl",
+    oracle="""
+SELECT doc_id, lang, n_chars, source, text FROM documents
+""",
+    category="A",
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines corpus export + typed read-back — THE interchange
+    format of LLM training pipelines (every public corpus release ships
+    as .jsonl[.zst]): one JSON object per line, schema carried by an
+    explicit read schema rather than inference (inference would scan
+    twice and can widen types between shards). The round trip is
+    lossless for the document corpus, so the key carries the full
+    source-table hash oracle.
+
+    Scale: writer parallelism = partition count (each task streams its
+    shard; no driver materialization); readers split by line boundaries,
+    so a 100 TB corpus fans out to byte-range tasks exactly like the
+    text-lines source. Compression (zstd via option) and date-keyed
+    directory layout are one option away — deliberately not exercised
+    here to keep the artifact greppable."""
+    path = artifact_path(sf_dir, "documents_jsonl")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = t(spark, sf_dir, "documents").select(*[f.name for f in schema])
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(schema).json(path)

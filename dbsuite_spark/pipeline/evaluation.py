@@ -469,3 +469,118 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos_rate"),
         (F.sum("score").cast("double") / F.count("*")).alias("mean_score"),
     )
+
+
+# --- MinHash estimator calibration (round 6) ----------------------------
+
+MH_EST_HASHES = 24  # mirror the production signature width
+
+
+def _mh_est_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup import DF_CAP, JACCARD_THRESHOLD
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks),
+stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT d1, d2, CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}),
+hj AS (
+  SELECT doc_id, j,
+         MIN(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)
+             AS BIGINT)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MH_EST_HASHES - 1}))
+                      AS j)
+  GROUP BY doc_id, j),
+m AS (
+  SELECT p.d1, p.d2, p.jaccard,
+         CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM pairs p
+  JOIN hj a ON a.doc_id = p.d1
+  JOIN hj b ON b.doc_id = p.d2 AND b.j = a.j
+  GROUP BY p.d1, p.d2, p.jaccard)
+SELECT d1, d2, jaccard, n_match,
+       CAST(n_match AS DOUBLE) / {MH_EST_HASHES}.0 AS jaccard_est,
+       ABS(CAST(n_match AS DOUBLE) / {MH_EST_HASHES}.0 - jaccard) AS abs_err
+FROM m
+"""
+
+
+@query("dedup_minhash_estimate_error", oracle=_mh_est_oracle(), category="L")
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — per near-dup pair, the signature
+    Jaccard ESTIMATE (share of the {MH_EST_HASHES} per-shingle min-hashes
+    that agree: an unbiased Bernoulli({MH_EST_HASHES}, J) / n estimator,
+    Broder 1997) against the exact Jaccard, with the absolute error. The
+    banding gate (``dedup_minhash_recall``) answers "did we FIND the
+    pairs"; this answers "how well does the signature MEASURE them" —
+    the dashboard that justifies the signature width before anyone
+    resizes it. Hashes here are the 60-bit md5 family (exactly SQL-
+    reproducible, unlike the production xxhash64 — same estimator
+    statistics, since any uniform hash family gives the same
+    agree-probability J per row).
+
+    Scale: signatures are one groupBy over the DF-capped shingle index
+    ({MH_EST_HASHES} conditional mins, map-side combined); the estimate
+    joins signature rows only for already-qualified pairs — O(pairs ·
+    {MH_EST_HASHES}) on tiny inputs, never all-pairs."""
+    from dbsuite_spark.pipeline.dedup import (
+        _jaccard_on,
+        _shingle_rows,
+        cap_stop_shingles,
+    )
+
+    sh = cap_stop_shingles(_shingle_rows(spark, sf_dir)).cache()
+    pairs = _jaccard_on(None, sh).select("d1", "d2", "jaccard")
+    hcols = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(MH_EST_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*hcols)
+    a = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(MH_EST_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MH_EST_HASHES)],
+    )
+    n_match = None
+    for j in range(MH_EST_HASHES):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    est = F.col("n_match").cast("double") / F.lit(float(MH_EST_HASHES))
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .withColumn("n_match", n_match.cast("bigint"))
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            "n_match",
+            est.alias("jaccard_est"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )

@@ -567,7 +567,9 @@ _SPAN_PATTERN = "[a-z]*ing"  # suffix-span demo pattern over fixture vocab
 _SPAN_ORACLE = f"""
 SELECT doc_id,
        regexp_extract(text, '{_SPAN_PATTERN}', 0) AS span,
-       CAST(strpos(text, regexp_extract(text, '{_SPAN_PATTERN}', 0))
+       CAST(CASE WHEN regexp_extract(text, '{_SPAN_PATTERN}', 0) <> ''
+                 THEN strpos(text, regexp_extract(text, '{_SPAN_PATTERN}', 0))
+                 ELSE 0 END
             AS BIGINT) AS span_pos,
        CAST(length(regexp_extract(text, '{_SPAN_PATTERN}', 0)) AS BIGINT)
          AS span_len,
@@ -589,13 +591,19 @@ def text_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Caveat pinned by the pattern choice: the offset-via-strpos identity
     needs the regex's leftmost match to BE the first literal occurrence
-    — true for deterministic patterns like this suffix class."""
+    — true for deterministic patterns like this suffix class. Non-match
+    rows emit span_pos 0 EXPLICITLY on both sides (ADVICE r05: Spark's
+    instr returns 1 for an empty needle and DuckDB's strpos is not
+    pinned on that edge, so the guard removes the engine dependency)."""
     d = t(spark, sf_dir, "documents")
     span = F.regexp_extract("text", _SPAN_PATTERN, 0)
     return d.select(
         "doc_id",
         span.alias("span"),
-        F.instr("text", span).cast("bigint").alias("span_pos"),
+        F.when(span != "", F.instr("text", span))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("span_pos"),
         F.length(span).cast("bigint").alias("span_len"),
         (span != "").alias("found"),
     )

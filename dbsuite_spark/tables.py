@@ -9,6 +9,7 @@ pushes filters and prunes columns into the scan (verify with
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -156,9 +157,42 @@ def fan_out(df: DataFrame) -> DataFrame:
 
     Apply AFTER pushed filters/pruned projections so the exchange moves
     only surviving rows; results are unaffected — every consumer here is
-    order-independent by the package's exactness discipline."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 <= target:
+    order-independent by the package's exactness discipline.
+
+    The parallelism probe is STATIC (ADVICE r05): ``df.inputFiles()``
+    plus per-file sizes against ``maxPartitionBytes`` estimates the
+    scan's split count without ``df.rdd`` — the RDD conversion forced a
+    full physical plan per call, read a pre-AQE partition count that may
+    not match execution, and breaks under Spark Connect. The estimate
+    OVERCOUNTS actual scan tasks in two ways (a huge single-row-group
+    file planned as N byte-splits still serves one non-empty task; many
+    tiny files can be packed into fewer tasks), so the single-fat-file
+    pathology this guard exists for is always caught, while healthy
+    many-file layouts stay identity — the conservative direction for a
+    helper whose only cost is one narrow shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df  # non-file source (range, in-memory): already wide
+    if not files:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.match(r"(\d+)\s*([kmg]?)b?$", raw.strip().lower())
+    mpb = (
+        int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30}[m.group(2)]
+        if m
+        else 128 * 2**20
+    )
+    est_splits = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file:") and uri[5:7] == "//" else uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0  # remote FS: count the file as one split
+        est_splits += max(1, -(-size // mpb))
+    if est_splits * 4 <= target:
         return df.repartition(target)
     return df

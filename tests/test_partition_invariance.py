@@ -182,6 +182,18 @@ KEYS += [
     "etl_mask_pii_display",
 ]
 
+# Round-6 additions: cluster-scoped SemDeDup (per-cell GEMM pair stage),
+# the MinHash estimator dashboard (min-of-hash folds), the exact-k hash
+# reservoir (TakeOrdered cutoff), the SRM gate (distinct + filtered
+# counts), and the JSONL round trip (line-split read-back).
+KEYS += [
+    "docs_semantic_dedup_ivf",
+    "dedup_minhash_estimate_error",
+    "sample_reservoir_hash",
+    "events_srm_check",
+    "sink_jsonl",
+]
+
 
 def _rows(spark, sf_dir, key, width):
     old = spark.conf.get("spark.sql.shuffle.partitions")

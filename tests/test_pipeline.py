@@ -670,3 +670,122 @@ def test_band_bucket_cap_actually_drops_when_low(spark, sf_dir, monkeypatch):
     assert capped == 0, (
         f"cap=1 must drop every colliding bucket, got {capped} pairs"
     )
+
+
+def test_blocked_gemm_pairs_equal_fold_pairs(spark, sf_dir):
+    """The GEMM pair stage must emit EXACTLY the fold-exact pair set
+    (the docstring's threshold-margin argument, asserted): float64
+    matmul and the sequential fold differ by ~1e-15 while the closest
+    fixture cosine sits ≥6.6e-7 from the 0.3 threshold, so no pair may
+    flip sides."""
+    from dbsuite_spark.pipeline.dedup_extra import (
+        _embcos_pairs_blocked,
+        dedup_near_embcos,
+    )
+
+    gemm = {
+        (r.d1, r.d2)
+        for r in _embcos_pairs_blocked(spark, sf_dir).collect()
+    }
+    fold = {
+        (r.d1, r.d2)
+        for r in dedup_near_embcos(spark, sf_dir).select("d1", "d2").collect()
+    }
+    assert gemm == fold, (
+        f"GEMM/fold pair sets diverge: only_gemm={sorted(gemm - fold)[:5]} "
+        f"only_fold={sorted(fold - gemm)[:5]}"
+    )
+
+
+def test_semantic_dedup_ivf_is_cell_scoped(spark, sf_dir):
+    """Cluster-scoped SemDeDup contract: components never cross cells,
+    every component keeps exactly its min-id member, and every vector is
+    labeled exactly once."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.tables import t
+
+    out = (
+        dbsuite_spark.all_specs()["docs_semantic_dedup_ivf"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    n_vec = t(spark, sf_dir, "embeddings").count()
+    assert out.count() == n_vec
+    assert out.select("vec_id").distinct().count() == n_vec
+    per_comp = out.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+        F.min("vec_id").alias("lo"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+    assert per_comp.filter(F.col("kept") != 1).count() == 0
+    assert per_comp.filter(F.col("lo") != F.col("component")).count() == 0
+    assert per_comp.filter(F.col("n_cells") != 1).count() == 0, (
+        "a semantic component crossed an IVF cell — pair stage leaked"
+    )
+    out.unpersist()
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping keeps propagation rounds logarithmic: a 256-node
+    path graph (diameter 255) must converge inside CC_MAX_ROUNDS=50 —
+    plain min-label propagation would need ~255 rounds and raise."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.dedup import connected_components
+
+    pairs = (
+        spark.range(0, 255)
+        .select(
+            F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")
+        )
+    )
+    labels = connected_components(pairs)
+    assert labels.filter(F.col("lbl") != 0).count() == 0, (
+        "every node of the path must label to component min 0"
+    )
+
+
+def test_minhash_estimator_is_calibrated(spark, sf_dir):
+    """Broder estimator sanity on real pairs: every estimate is a
+    multiple of 1/24 in [0,1], and the mean absolute error across pairs
+    stays under 2σ of a Bernoulli(24, J≈0.9) estimator (~0.13) — a
+    miscalibrated hash family (biased, correlated seeds) blows this."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+
+    df = (
+        dbsuite_spark.all_specs()["dedup_minhash_estimate_error"]
+        .fn(spark, sf_dir)
+        .cache()
+    )
+    n = df.count()
+    assert n > 0
+    bad = df.filter(
+        (F.col("jaccard_est") < 0)
+        | (F.col("jaccard_est") > 1)
+        | (F.col("n_match") < 0)
+        | (F.col("n_match") > 24)
+    ).count()
+    assert bad == 0
+    mean_err = df.agg(F.avg("abs_err")).first()[0]
+    assert mean_err < 0.13, f"estimator off: mean |err| = {mean_err:.3f}"
+    df.unpersist()
+
+
+def test_reservoir_sample_exact_k_and_hash_stable(spark, sf_dir):
+    """The reservoir is exactly k rows (or the full table when smaller)
+    and re-running yields the identical row set — determinism is the
+    operator's whole point."""
+    import dbsuite_spark
+    from dbsuite_spark.operators.sorting import RESERVOIR_K
+    from dbsuite_spark.tables import t
+
+    fn = dbsuite_spark.all_specs()["sample_reservoir_hash"].fn
+    total = t(spark, sf_dir, "lineitem").count()
+    first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert len(first) == min(RESERVOIR_K, total)
+    second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert first == second

@@ -976,3 +976,147 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_srm"),
         (F.abs(z) > SRM_Z_CRIT).alias("srm_detected"),
     )
+
+
+# --- CUPED variance reduction (round 6) ----------------------------------
+
+_CUPED_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(CAST(SUM(CASE WHEN event_id % 2 = 0
+                            THEN CAST(value AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(18,6)) AS DOUBLE) AS x,
+         CAST(CAST(SUM(CASE WHEN event_id % 2 = 1
+                            THEN CAST(value AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END)
+              AS DECIMAL(18,6)) AS DOUBLE) AS y,
+         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 AS INT) AS arm
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy2
+  FROM per_user),
+arms AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n_arm,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx_arm,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy_arm
+  FROM per_user GROUP BY arm),
+theta AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sx2 - sx * sx) AS theta,
+         ((CAST(n AS DOUBLE) * sxy - sx * sy)
+           * (CAST(n AS DOUBLE) * sxy - sx * sy))
+           / ((CAST(n AS DOUBLE) * sx2 - sx * sx)
+              * (CAST(n AS DOUBLE) * sy2 - sy * sy)) AS var_reduction
+  FROM s)
+SELECT a.arm, a.n_arm,
+       a.sy_arm / CAST(a.n_arm AS DOUBLE) AS mean_raw,
+       a.sy_arm / CAST(a.n_arm AS DOUBLE)
+         - t.theta * (a.sx_arm / CAST(a.n_arm AS DOUBLE)
+                      - t.sx / CAST(t.n AS DOUBLE)) AS mean_cuped,
+       t.theta AS theta,
+       t.var_reduction AS var_reduction
+FROM arms a CROSS JOIN theta t
+"""
+
+
+@query("events_ab_cuped", oracle=_CUPED_ORACLE, category="E")
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the adjustment every
+    mature experimentation platform applies before reading a lift): per
+    user, a held-out covariate slice x (even event ids) and the metric
+    slice y (odd event ids); θ = cov(x,y)/var(x) pooled over users; each
+    arm's metric mean is reported raw AND θ-adjusted
+    (mean_y − θ·(mean_x − mean_x_overall)), plus the ρ² variance-
+    reduction share the covariate buys. Arms are the same hash
+    assignment as ``events_srm_check`` — the SRM gate validates exactly
+    the split this key consumes.
+
+    Exactness: per-user slices are decimal sums; the user-level moment
+    terms (xy, x², y²) are 6dp-rounded BEFORE the decimal re-sum (the
+    geo-trig discipline, here because a product of doubles is not
+    order-free), so all six sufficient statistics are order-independent
+    and the θ/ρ² scalar formulas are mirrored IEEE text.
+
+    Scale: one user-grain aggregation (partial+final on user_id), then
+    two constant-width reduces (overall + per arm) — O(scan) with one
+    bounded shuffle, unchanged at 100 TB of events."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_id") % 2 == 0, F.col("value").cast(DEC)
+            ).otherwise(F.lit(0).cast(DEC))
+        )
+        .cast(DEC)
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_id") % 2 == 1, F.col("value").cast(DEC)
+            ).otherwise(F.lit(0).cast(DEC))
+        )
+        .cast(DEC)
+        .cast("double")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int"),
+    )
+    per_user = per_user.cache()  # feeds the overall AND per-arm reduces
+
+    def dterm(c):
+        return F.sum(F.round(c, 6).cast(DEC)).cast("double")
+
+    s = per_user.agg(
+        F.count("*").alias("n"),
+        dterm(F.col("x")).alias("sx"),
+        dterm(F.col("y")).alias("sy"),
+        dterm(F.col("x") * F.col("y")).alias("sxy"),
+        dterm(F.col("x") * F.col("x")).alias("sx2"),
+        dterm(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_arm"),
+        dterm(F.col("x")).alias("sx_arm"),
+        dterm(F.col("y")).alias("sy_arm"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_n = nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("sy2") - F.col("sy") * F.col("sy")
+    theta = s.select(
+        "n",
+        "sx",
+        "sy",
+        (cov_n / var_n).alias("theta"),
+        ((cov_n * cov_n) / (var_n * vary_n)).alias("var_reduction"),
+    )
+    mean_raw = F.col("sy_arm") / F.col("n_arm").cast("double")
+    mean_cuped = mean_raw - F.col("theta") * (
+        F.col("sx_arm") / F.col("n_arm").cast("double")
+        - F.col("sx") / F.col("n").cast("double")
+    )
+    return arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "n_arm",
+        mean_raw.alias("mean_raw"),
+        mean_cuped.alias("mean_cuped"),
+        "theta",
+        "var_reduction",
+    )

@@ -89,9 +89,11 @@ WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}
 
 # Same computation over the DF-capped shingle index (stop-shingles with
 # document frequency > DF_CAP removed before the self-join) — the operator
-# semantics of dedup_exact_jaccard.
-_JACCARD_CAPPED_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+# semantics of dedup_exact_jaccard. The CTE prefix is exported so
+# downstream oracles (dedup_minhash_estimate_error) share the pair
+# definition instead of hand-copying it (round-6 review).
+JACCARD_CAPPED_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 sh0 AS (SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(tk) - 2),
                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
@@ -101,13 +103,17 @@ sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
-SELECT d1, d2,
-       CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
-FROM inter
-JOIN sizes s1 ON d1 = s1.doc_id
-JOIN sizes s2 ON d2 = s2.doc_id
-WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}
+          GROUP BY a.doc_id, b.doc_id),
+capped_pairs AS (
+  SELECT d1, d2, CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD})"""
+
+_JACCARD_CAPPED_ORACLE = f"""
+WITH {JACCARD_CAPPED_CTE}
+SELECT d1, d2, jaccard FROM capped_pairs
 """
 
 

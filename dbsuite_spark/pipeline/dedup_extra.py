@@ -376,9 +376,12 @@ def docs_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_CELLS = 16  # IVF cells for the cluster-scoped SemDeDup scale path
 
-_SEMDEDUP_IVF_ORACLE = f"""
-WITH RECURSIVE
-cents AS (
+# ONE definition of the deterministic cell assignment, shared (both as
+# the SQL CTE pair and the Spark helper below) by docs_semantic_dedup_ivf
+# and its honesty dashboard docs_semdedup_cell_recall — the dashboard's
+# contract is auditing EXACTLY the dedup's assignment, so the definition
+# must be physically un-forkable (round-6 review).
+_SEM_ASSIGN_CTE = f"""cents AS (
   SELECT vec_id AS cell, embedding AS ce
   FROM embeddings ORDER BY vec_id LIMIT {SEM_CELLS}),
 assign AS (
@@ -386,7 +389,37 @@ assign AS (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {COSINE('e.embedding', 'c.ce')} DESC, c.cell) AS rn
-    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)"""
+
+
+def _sem_cells_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, embedding): every vector assigned to its nearest of
+    ``SEM_CELLS`` seed centroids (lowest-id vectors), via the broadcast
+    fold-cosine argmax with cell tie-break that ``sim_search_ann_ivf``
+    proved bit-identical cross-engine."""
+    from dbsuite_spark.pipeline.vectors import cosine
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(SEM_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", cosine(F.col("embedding"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+
+
+_SEMDEDUP_IVF_ORACLE = f"""
+WITH RECURSIVE
+{_SEM_ASSIGN_CTE},
 p AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2
   FROM embeddings a
@@ -420,64 +453,60 @@ def docs_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     design). Assignment: every vector to its nearest of {SEM_CELLS} seed
     centroids (lowest-id vectors, the same deterministic broadcast
     fold-cosine argmax ``sim_search_ann_ivf`` proved bit-identical
-    cross-engine). Pair stage: per-cell exact GEMM via ``applyInPandas``
-    grouped by cell — each cell's Arrow batch does ONE numpy block
-    product, so the quadratic term is n_cell², never n², and the only
-    shuffle is the groupBy(cell). Components: the shared
-    ``connected_components`` propagation (edges never cross cells, so
-    global propagation ≡ per-cell CC). Threshold-margin safety of the
-    GEMM vs the oracle's fold: see ``_embcos_pairs_blocked``.
+    cross-engine). Pair stage AND components run INSIDE one
+    ``applyInPandas`` group per cell: the cell's Arrow batch does ONE
+    numpy block product, then a local union-find labels the block —
+    components are cell-local BY CONTRACT, so no distributed iteration
+    exists at all (zero propagation rounds, vs O(log d) even for the
+    pointer-jumped ``connected_components``). The quadratic term is
+    n_cell², never n², and the only shuffles are the groupBy(cell) and
+    the final comp-size window. Threshold-margin safety of the GEMM vs
+    the oracle's fold: see ``_embcos_pairs_blocked``.
 
     100 TB: cells = O(√n_docs) keeps per-cell GEMM blocks bounded;
-    assignment is one broadcast argmax scan; everything downstream
-    touches only within-cell candidate pairs."""
+    assignment is one broadcast argmax scan; the in-group union-find is
+    O(n_cell²·α) on a bounded block — the cell cap is exactly what makes
+    driver-free local labeling legal."""
     import numpy as np
     import pandas as pd
 
-    from dbsuite_spark.pipeline.dedup import connected_components
-    from dbsuite_spark.pipeline.vectors import cosine
+    assigned = _sem_cells_assign(spark, sf_dir)
 
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = (
-        e.orderBy("vec_id")
-        .limit(SEM_CELLS)
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cell")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cell_sim", cosine(F.col("embedding"), F.col("ce")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "embedding")
-    )
-
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"d1": [], "d2": []}).astype("int64")
+    def cell_labels(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(np.int64)
+        cell = pdf["cell"].to_numpy(np.int64)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": ids, "cell": cell, "component": ids}
+            )
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = m @ m.T
         ii, jj = np.nonzero(cos >= EMBCOS_THRESHOLD)
-        d1, d2 = ids[ii], ids[jj]
-        keep = d1 < d2
-        return pd.DataFrame({"d1": d1[keep], "d2": d2[keep]})
+        parent = list(range(len(ids)))
 
-    pairs = assigned.groupBy("cell").applyInPandas(cell_pairs, "d1 long, d2 long")
-    labels = connected_components(pairs)
-    labeled = (
-        assigned.select("vec_id", "cell")
-        .join(labels, assigned.vec_id == labels.id, "left")
-        .select(
-            "vec_id",
-            F.col("cell").cast("long").alias("cell"),
-            F.coalesce(F.col("lbl"), F.col("vec_id"))
-            .cast("long")
-            .alias("component"),
-        )
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            if i < j:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        roots = np.fromiter((find(i) for i in range(len(ids))), np.int64)
+        # component id = min vec_id in the set; positional roots map to
+        # ids via a per-root min (ids are not sorted within the batch)
+        comp = np.empty(len(ids), np.int64)
+        for r in np.unique(roots):
+            members = roots == r
+            comp[members] = ids[members].min()
+        return pd.DataFrame({"vec_id": ids, "cell": cell, "component": comp})
+
+    labeled = assigned.groupBy("cell").applyInPandas(
+        cell_labels, "vec_id long, cell long, component long"
     )
     w_comp = Window.partitionBy("component")
     return labeled.select(
@@ -736,4 +765,73 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("best_acctbal"),
             F.min_by("c_name", "c_custkey").alias("canonical_name"),
         )
+    )
+
+
+_CELL_RECALL_ORACLE = f"""
+WITH {_SEM_ASSIGN_CTE},
+p AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {COSINE('a.embedding', 'b.embedding')} >= {EMBCOS_THRESHOLD}),
+tagged AS (
+  SELECT p.d1, p.d2, aa.cell = ab.cell AS same_cell
+  FROM p
+  JOIN assign aa ON aa.vec_id = p.d1
+  JOIN assign ab ON ab.vec_id = p.d2),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         CAST(COUNT(*) FILTER (WHERE same_cell) AS BIGINT) AS n_cell_pairs
+  FROM tagged)
+SELECT n_true_pairs, n_cell_pairs,
+       CAST(n_cell_pairs AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+         AS pair_recall
+FROM s
+"""
+
+
+@query("docs_semdedup_cell_recall", oracle=_CELL_RECALL_ORACLE, category="L")
+def docs_semdedup_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the cluster-scoped SemDeDup trades away, measured: the share
+    of true cos ≥ {EMBCOS_THRESHOLD} pairs whose endpoints land in the
+    SAME IVF cell — i.e. the pair recall of ``docs_semantic_dedup_ivf``
+    against the exact ``docs_semantic_dedup`` truth. The SemDeDup paper
+    accepts cross-cluster misses by design; this key is the dashboard
+    that keeps that design decision honest release-over-release (cell
+    count ↑ → cost ↓ but recall ↓; re-run this before resizing
+    {SEM_CELLS}). Same deterministic assignment and exact GEMM pair
+    stage as the operators it audits.
+
+    Scale: one broadcast argmax scan for assignment + the bounded exact
+    pair stage (audit-scale; see ``_embcos_pairs_blocked``) + one
+    two-counter reduce. The eval is strictly cheaper than the dedup it
+    evaluates."""
+    assign = _sem_cells_assign(spark, sf_dir).select("vec_id", "cell")
+    pairs = _embcos_pairs_blocked(spark, sf_dir)
+    tagged = (
+        pairs.join(
+            assign.select(
+                F.col("vec_id").alias("d1"), F.col("cell").alias("cell1")
+            ),
+            "d1",
+        )
+        .join(
+            assign.select(
+                F.col("vec_id").alias("d2"), F.col("cell").alias("cell2")
+            ),
+            "d2",
+        )
+        .select((F.col("cell1") == F.col("cell2")).alias("same_cell"))
+    )
+    s = tagged.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.count_if(F.col("same_cell")).alias("n_cell_pairs"),
+    )
+    return s.select(
+        "n_true_pairs",
+        "n_cell_pairs",
+        (
+            F.col("n_cell_pairs").cast("double")
+            / F.col("n_true_pairs").cast("double")
+        ).alias("pair_recall"),
     )

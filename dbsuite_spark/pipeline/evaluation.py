@@ -114,10 +114,14 @@ def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_search_cosine_topk,
     )
 
+    # both k-row frames feed THREE aggregations each below — cache, or
+    # the giant fold/banding subtrees re-plan and re-execute per consumer
     exact_k = sim_search_cosine_topk(spark, sf_dir).select(
         "qid", "neighbor_id"
-    )
-    ann_k = sim_search_ann_lsh(spark, sf_dir).select("qid", "neighbor_id")
+    ).cache()
+    ann_k = sim_search_ann_lsh(spark, sf_dir).select(
+        "qid", "neighbor_id"
+    ).cache()
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
         .groupBy("qid")
@@ -237,10 +241,13 @@ def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_search_cosine_topk,
     )
 
+    # same caching rationale as sim_search_ann_recall
     exact_k = sim_search_cosine_topk(spark, sf_dir).select(
         "qid", "neighbor_id"
-    )
-    ann_k = sim_search_ann_ivf(spark, sf_dir).select("qid", "neighbor_id")
+    ).cache()
+    ann_k = sim_search_ann_ivf(spark, sf_dir).select(
+        "qid", "neighbor_id"
+    ).cache()
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
         .groupBy("qid")
@@ -477,26 +484,14 @@ MH_EST_HASHES = 24  # mirror the production signature width
 
 
 def _mh_est_oracle() -> str:
-    from dbsuite_spark.pipeline.dedup import DF_CAP, JACCARD_THRESHOLD
+    # Share the capped-pair CTE with dedup.py so the estimator dashboard
+    # measures EXACTLY the production pair population (round-6 review:
+    # a hand-copied pair definition could silently drift).
+    from dbsuite_spark.pipeline.dedup import JACCARD_CAPPED_CTE
 
     return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sh0 AS (SELECT DISTINCT doc_id,
-               unnest(list_transform(generate_series(1, len(tk) - 2),
-                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-        FROM toks),
-stop AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {DF_CAP}),
-sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS ni
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
-pairs AS (
-  SELECT d1, d2, CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) AS jaccard
-  FROM inter
-  JOIN sizes s1 ON d1 = s1.doc_id
-  JOIN sizes s2 ON d2 = s2.doc_id
-  WHERE CAST(ni AS DOUBLE) / (s1.n + s2.n - ni) >= {JACCARD_THRESHOLD}),
+WITH {JACCARD_CAPPED_CTE},
+pairs AS (SELECT d1, d2, jaccard FROM capped_pairs),
 hj AS (
   SELECT doc_id, j,
          MIN(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)
@@ -583,4 +578,109 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("jaccard_est"),
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
+    )
+
+
+# --- NDCG ranking quality (round 6) --------------------------------------
+
+NDCG_K = 5
+
+
+def _ndcg_oracle() -> str:
+    exact_sql = spec("sim_search_cosine_topk").oracle
+    ivf_sql = spec("sim_search_ann_ivf").oracle
+    return f"""
+WITH exact_k AS ({exact_sql}),
+ivf_k AS ({ivf_sql}),
+rel AS (
+  SELECT qid, neighbor_id,
+         CAST({NDCG_K} + 1 - rank AS BIGINT) AS gain
+  FROM exact_k),
+sys_dcg AS (
+  SELECT i.qid,
+         SUM(CAST(ROUND(
+               CAST(COALESCE(r.gain, 0) AS DOUBLE)
+                 / (LN(CAST(i.rank + 1 AS DOUBLE)) / LN(2.0)),
+             6) AS DECIMAL(18,6))) AS dcg
+  FROM ivf_k i LEFT JOIN rel r
+    ON r.qid = i.qid AND r.neighbor_id = i.neighbor_id
+  GROUP BY i.qid),
+ideal_dcg AS (
+  SELECT qid,
+         SUM(CAST(ROUND(
+               CAST(gain AS DOUBLE)
+                 / (LN(CAST(rank + 1 AS DOUBLE)) / LN(2.0)),
+             6) AS DECIMAL(18,6))) AS idcg
+  FROM rel JOIN exact_k USING (qid, neighbor_id)
+  GROUP BY qid)
+SELECT s.qid,
+       CAST(s.dcg AS DOUBLE) AS dcg,
+       CAST(i.idcg AS DOUBLE) AS idcg,
+       CAST(s.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg
+FROM sys_dcg s JOIN ideal_dcg i ON s.qid = i.qid
+"""
+
+
+@query("ml_ndcg_eval", oracle=_ndcg_oracle(), category="L")
+def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the IVF index against the exact ranking — THE graded
+    retrieval metric (recall@k counts hits; NDCG weights them by
+    position, which is what a reranker consumer actually feels).
+    Relevance grades derive from the exact top-k ranks (rank 1 → gain 5
+    ... rank 5 → gain 1; outside the exact top-k → 0), so the metric is
+    fully deterministic and composes two already-verified oracles as
+    CTEs. Each DCG term is 6dp-rounded BEFORE the decimal-cast sum
+    (log2 via ln/ln on both engines differs in the last ulp — same
+    discipline as the geo trig), making the per-query sums
+    order-independent and bit-identical.
+
+    Scale: both searches bound their own cost; the eval joins and
+    reduces k·|queries| rows — negligible against the searches."""
+    from dbsuite_spark.pipeline.similarity import (
+        sim_search_ann_ivf,
+        sim_search_cosine_topk,
+    )
+
+    exact_k = sim_search_cosine_topk(spark, sf_dir).select(
+        "qid", "neighbor_id", "rank"
+    )
+    ivf_k = sim_search_ann_ivf(spark, sf_dir).select(
+        "qid", "neighbor_id", "rank"
+    )
+    rel = exact_k.select(
+        "qid",
+        "neighbor_id",
+        (F.lit(NDCG_K + 1) - F.col("rank")).cast("bigint").alias("gain"),
+    )
+
+    def dcg_term(gain, rank):
+        return F.round(
+            gain.cast("double")
+            / (F.log(rank.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+            6,
+        ).cast("decimal(18,6)")
+
+    sys_dcg = (
+        ivf_k.join(rel, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                dcg_term(
+                    F.coalesce(F.col("gain"), F.lit(0)), F.col("rank")
+                )
+            ).alias("dcg")
+        )
+    )
+    ideal_dcg = (
+        rel.join(exact_k, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.sum(dcg_term(F.col("gain"), F.col("rank"))).alias("idcg"))
+    )
+    return sys_dcg.join(ideal_dcg, "qid").select(
+        "qid",
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
+        (F.col("dcg").cast("double") / F.col("idcg").cast("double")).alias(
+            "ndcg"
+        ),
     )

@@ -389,9 +389,16 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsuite_spark.pipeline.similarity import _cosine_pairs, _topk
     from dbsuite_spark.pipeline.vectors import dot, l2_norm
 
+    # Both bounded frames (C=10 candidates per query; C² pair sims) feed
+    # EVERY greedy round twice (anti-join + max-sim join), so without a
+    # materialization the unrolled DAG re-plans ~3^K copies of the
+    # all-pairs cosine subtree — 16 s of Catalyst planning at fixture
+    # scale, worse at any real K. Cache once; rounds then join two tiny
+    # in-memory relations.
     cand = (
         _topk(_cosine_pairs(spark, sf_dir), MMR_CAND)
         .select("qid", "neighbor_id", F.col("cos_sim").alias("rel"))
+        .cache()
     )
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
@@ -423,6 +430,7 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") * F.col("nb"))
             ).alias("sim"),
         )
+        .cache()
     )
     w_rel = Window.partitionBy("qid").orderBy(
         F.col("rel").desc(), "neighbor_id"
@@ -469,6 +477,11 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).alias("mmr_rank"),
                 "mmr_score",
             )
+            # flatten lineage per round (the CC-loop discipline): sk is
+            # one row per query, but it is consumed by BOTH growing
+            # unions and the next round's two joins — unchecked, the
+            # plan triples per round
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(sk)
         selected = selected.unionAll(sk.select("qid", "neighbor_id"))

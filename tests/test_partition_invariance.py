@@ -192,6 +192,9 @@ KEYS += [
     "sample_reservoir_hash",
     "events_srm_check",
     "sink_jsonl",
+    "ml_ndcg_eval",
+    "docs_semdedup_cell_recall",
+    "events_ab_cuped",
 ]
 
 

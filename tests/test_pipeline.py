@@ -789,3 +789,21 @@ def test_reservoir_sample_exact_k_and_hash_stable(spark, sf_dir):
     assert len(first) == min(RESERVOIR_K, total)
     second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert first == second
+
+
+def test_ndcg_bounded_and_cell_recall_sane(spark, sf_dir):
+    """NDCG is position-normalized into (0, 1]; the cell-recall dashboard
+    must count a subset (cell pairs ≤ true pairs) and expose the honest
+    fraction."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+
+    specs = dbsuite_spark.all_specs()
+    ndcg = specs["ml_ndcg_eval"].fn(spark, sf_dir)
+    assert ndcg.filter(
+        (F.col("ndcg") < 0) | (F.col("ndcg") > 1.0000001)
+    ).count() == 0
+    row = specs["docs_semdedup_cell_recall"].fn(spark, sf_dir).first()
+    assert 0 < row.n_cell_pairs <= row.n_true_pairs
+    assert 0.0 < row.pair_recall <= 1.0

@@ -287,3 +287,60 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
         F.variant_get(nested, "$.a[1]", "int").alias("a1"),
     )
+
+
+_STRUCT_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey,
+         struct_pack(status := o_orderstatus,
+                     priority := o_orderpriority,
+                     total := CAST(o_totalprice AS DOUBLE)) AS o
+  FROM orders)
+SELECT o_orderkey,
+       o.status AS status,
+       o.priority AS priority,
+       o.total AS total,
+       o.status = 'F' AND o.total > 100000 AS big_filled,
+       struct_pack(k := o_orderkey, s := o.status) =
+         struct_pack(k := o_orderkey, s := 'F') AS is_filled_pair
+FROM s
+"""
+
+
+@query("fn_struct_ops", oracle=_STRUCT_ORACLE, category="H")
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT battery — build (named_struct / struct_pack), field access,
+    predicates over fields, and whole-struct equality: the nested-row
+    surface every semi-structured warehouse schema leans on (DB2's
+    anchored ROW types are the dialect ancestor). The final projection
+    flattens to scalars (nested values are not driver-hashable — the
+    compare.py contract), so the oracle is a full hash oracle.
+
+    Scale: pure row-local expression work, whole-stage codegen, zero
+    shuffle — struct build/access compiles to column references."""
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").cast("double").alias("total"),
+        ).alias("o"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("o.status").alias("status"),
+        F.col("o.priority").alias("priority"),
+        F.col("o.total").alias("total"),
+        ((F.col("o.status") == "F") & (F.col("o.total") > 100000)).alias(
+            "big_filled"
+        ),
+        (
+            F.struct(
+                F.col("o_orderkey").alias("k"), F.col("o.status").alias("s")
+            )
+            == F.struct(
+                F.col("o_orderkey").alias("k"), F.lit("F").alias("s")
+            )
+        ).alias("is_filled_pair"),
+    )

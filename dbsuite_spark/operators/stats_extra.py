@@ -1120,3 +1120,205 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "theta",
         "var_reduction",
     )
+
+
+# --- difference-in-differences (round 6) ----------------------------------
+
+_DID_ORACLE = """
+WITH cells AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 AS INT) AS treated,
+         CAST(((epoch_us(ts) // 86400000000) % 2 + 2) % 2 AS INT) AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT treated, post, n, sv,
+         sv / CAST(n AS DOUBLE) AS cell_mean
+  FROM cells),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN cell_mean END) AS t1,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN cell_mean END) AS t0,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN cell_mean END) AS c1,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN cell_mean END) AS c0
+  FROM m)
+SELECT treated, post, n, cell_mean,
+       (SELECT (t1 - t0) - (c1 - c0) FROM wide) AS did_effect
+FROM m
+"""
+
+
+@query("events_diff_in_diff", oracle=_DID_ORACLE, category="E")
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator for
+    when randomization isn't available (Card & Krueger): group = the
+    same hash assignment as ``events_srm_check``, period = epoch-day
+    parity (a deterministic stand-in for pre/post cutover), effect =
+    (treated_post − treated_pre) − (control_post − control_pre). All
+    four cell means ride decimal sums over exact counts; the DiD scalar
+    is mirrored IEEE text replicated onto each cell row (constant column
+    — the comparator is order-insensitive, so a 4-row grid plus the
+    effect is the natural report shape).
+
+    Scale: one partial+final aggregation on the 2×2 cell grid — O(scan),
+    constant output, no wide shuffle. Epoch days use the same exact
+    BIGINT floor arithmetic as ``events_heatmap_dow_hour``."""
+    e = t(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    post = F.expr(
+        "cast(pmod(pmod(unix_micros(ts), 172800000000) div 86400000000, 2)"
+        " as int)"
+    )
+    cells = (
+        e.groupBy(treated.alias("treated"), post.alias("post"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sv"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            "sv",
+            (F.col("sv") / F.col("n").cast("double")).alias("cell_mean"),
+        )
+    )
+    cells = cells.cache()  # 4 rows; feeds the wide pivot AND the output
+
+    def pick(tr, po):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("cell_mean"),
+            )
+        )
+
+    wide = cells.agg(
+        (
+            (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0))
+        ).alias("did_effect")
+    )
+    return cells.crossJoin(F.broadcast(wide)).select(
+        "treated", "post", "n", "cell_mean", "did_effect"
+    )
+
+
+# --- Bollinger bands (round 6) --------------------------------------------
+
+BOLL_WIN = 7  # rolling days
+BOLL_K = 2.0  # band half-width in standard deviations
+
+_BOLL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day, x,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) OVER win AS DOUBLE)
+           AS s,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(18,6))) OVER win
+              AS DOUBLE) AS s2
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {BOLL_WIN - 1} PRECEDING AND CURRENT ROW)),
+b AS (
+  SELECT event_type, day, x, n,
+         s / CAST(n AS DOUBLE) AS mid,
+         CASE WHEN n > 1 AND CAST(n AS DOUBLE) * s2 - s * s > 0
+              THEN SQRT((CAST(n AS DOUBLE) * s2 - s * s)
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+              ELSE 0.0 END AS sd
+  FROM w)
+SELECT event_type, day, x, n, mid,
+       mid + {BOLL_K} * sd AS upper_band,
+       mid - {BOLL_K} * sd AS lower_band,
+       x > mid + {BOLL_K} * sd AS breach_up,
+       x < mid - {BOLL_K} * sd AS breach_down
+FROM b
+"""
+
+
+@query("ts_bollinger_bands", oracle=_BOLL_ORACLE, category="E")
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily mean value per event type: 7-day
+    rolling mean ± 2 rolling standard deviations, with band-breach
+    flags — the volatility envelope behind alerting rules and the
+    mean-reversion cousin of ``ts_sma_crossover``. Daily means ride
+    decimal sums over exact counts; the rolling moment terms (x, x²)
+    are 6dp-rounded BEFORE their decimal window sums (the CUPED
+    discipline — a squared double is not order-free), and the σ formula
+    guards non-positive variance to 0 instead of a sqrt NaN.
+
+    Scale: one fact-sized rollup to days×types, then ordered windows
+    over the reduced series sharing one (type, day) sort — the same
+    envelope as every ts_* key; 100 TB of events still reduces to one
+    rollup pass."""
+    e = t(spark, sf_dir, "events")
+    day = F.expr(
+        "cast((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000 as bigint)"
+    )
+    daily = e.groupBy(
+        "event_type", day.alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double")
+            / F.count("*")
+        ).alias("x")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(BOLL_WIN - 1), 0)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("*").over(win).alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast(DEC)).over(win)
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(DEC)).over(win)
+        .cast("double")
+        .alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    var_num = nd * F.col("s2") - F.col("s") * F.col("s")
+    sd = F.when(
+        (F.col("n") > 1) & (var_num > 0),
+        F.sqrt(var_num / (nd * (F.col("n") - 1).cast("double"))),
+    ).otherwise(F.lit(0.0))
+    b = w.select(
+        "event_type",
+        "day",
+        "x",
+        "n",
+        (F.col("s") / nd).alias("mid"),
+        sd.alias("sd"),
+    )
+    upper = F.col("mid") + F.lit(BOLL_K) * F.col("sd")
+    lower = F.col("mid") - F.lit(BOLL_K) * F.col("sd")
+    return b.select(
+        "event_type",
+        "day",
+        "x",
+        "n",
+        "mid",
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        (F.col("x") > upper).alias("breach_up"),
+        (F.col("x") < lower).alias("breach_down"),
+    )

@@ -195,6 +195,9 @@ KEYS += [
     "ml_ndcg_eval",
     "docs_semdedup_cell_recall",
     "events_ab_cuped",
+    "events_diff_in_diff",
+    "ts_bollinger_bands",
+    "fn_struct_ops",
 ]
 
 

@@ -304,7 +304,20 @@ def _embcos_pairs_blocked(
             keep = d1 < d2
             yield pd.DataFrame({"d1": d1[keep], "d2": d2[keep]})
 
-    blocks = e.repartition(spark.sparkContext.defaultParallelism)
+    # Block count sized from the corpus (known for free — the broadcast
+    # side was just collected): ~4096 rows of GEMM per task at scale,
+    # but never more tasks than rows/width justify. On the 500-row
+    # fixture this is ONE partition → one Python worker spin-up instead
+    # of 32 idle ones (8 s of cold sim wall measured); at 1M vectors it
+    # is full session width.
+    n_blocks = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-len(ids_all) // 4096),
+        ),
+    )
+    blocks = e.repartition(n_blocks)
     return blocks.mapInPandas(gen, "d1 long, d2 long")
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import re
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -164,10 +165,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     scan's split count without ``df.rdd`` — the RDD conversion forced a
     full physical plan per call, read a pre-AQE partition count that may
     not match execution, and breaks under Spark Connect. The estimate
-    OVERCOUNTS actual scan tasks in two ways (a huge single-row-group
-    file planned as N byte-splits still serves one non-empty task; many
-    tiny files can be packed into fewer tasks), so the single-fat-file
-    pathology this guard exists for is always caught, while healthy
+    OVERCOUNTS actual scan tasks (a huge single-row-group file planned
+    as N byte-splits still serves one non-empty task; many tiny files
+    can be packed into fewer tasks), so what this guard reliably catches
+    is FEW-SMALL-FILE narrowness; a single fat single-row-group file
+    estimates many splits and therefore skips the repartition — that
+    case remains the documented "known local ceiling" (BASELINE.md),
+    exactly as the old ``df.rdd`` probe behaved (ADVICE r06). Healthy
     many-file layouts stay identity — the conservative direction for a
     helper whose only cost is one narrow shuffle."""
     spark = df.sparkSession
@@ -187,7 +191,14 @@ def fan_out(df: DataFrame) -> DataFrame:
     )
     est_splits = 0
     for uri in files:
-        path = uri[7:] if uri.startswith("file:") and uri[5:7] == "//" else uri
+        # Hadoop renders local paths as both file:///p and file:/p —
+        # scheme-aware parse handles either (ADVICE r06); the old
+        # double-slash-only strip sent 'file:/p' to getsize → OSError
+        # → size 0 → over-eager repartition.
+        if uri.startswith("file:"):
+            path = urllib.parse.urlparse(uri).path
+        else:
+            path = uri
         try:
             size = os.path.getsize(path)
         except OSError:

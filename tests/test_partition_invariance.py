@@ -130,6 +130,7 @@ KEYS += [
     "dedup_url_canonical",
     "docs_perplexity_buckets",
     "dedup_minhash_recall",
+    "dedup_minhash_recall_sampled",
     "text_token_entropy",
     "dedup_cluster_stats",
 ]

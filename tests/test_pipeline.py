@@ -807,3 +807,89 @@ def test_ndcg_bounded_and_cell_recall_sane(spark, sf_dir):
     row = specs["docs_semdedup_cell_recall"].fn(spark, sf_dir).first()
     assert 0 < row.n_cell_pairs <= row.n_true_pairs
     assert 0.0 < row.pair_recall <= 1.0
+
+
+def test_sem_cell_count_scales_sqrt(spark, sf_dir, ddb):
+    """VERDICT r06 ask #2: the IVF SemDeDup cell count must derive from
+    the corpus row count as max(16, ceil(sqrt(n))) — pinned both in pure
+    Python and against the oracle's in-SQL scalar, so the static oracle
+    string and the adaptive Spark side cannot drift."""
+    from dbsuite_spark.pipeline.dedup_extra import (
+        SEM_CELLS_FLOOR,
+        _sem_cell_count,
+        _sem_cells_assign,
+    )
+
+    assert _sem_cell_count(1) == SEM_CELLS_FLOOR
+    assert _sem_cell_count(256) == 16
+    assert _sem_cell_count(257) == 17
+    assert _sem_cell_count(500) == 23
+    assert _sem_cell_count(2000) == 45
+    assert _sem_cell_count(10_000) == 100
+    assert _sem_cell_count(1_000_000) == 1000
+    # In-SQL scalar (the oracle's GREATEST/CEIL/SQRT form) must agree
+    # with the Python derivation for a sweep of corpus sizes.
+    for n in (1, 16, 256, 257, 500, 2000, 9999, 10_000, 123_457):
+        (sql_k,) = ddb.execute(
+            f"SELECT CAST(GREATEST({SEM_CELLS_FLOOR}, "
+            f"CEIL(SQRT({n}))) AS BIGINT)"
+        ).fetchone()
+        assert sql_k == _sem_cell_count(n), n
+    # On the live fixture: the assignment uses exactly ceil(sqrt(n))
+    # centroids (the lowest-id vectors), and every cell id is one of them.
+    from dbsuite_spark.tables import t
+
+    n_vec = t(spark, sf_dir, "embeddings").count()
+    k = _sem_cell_count(n_vec)
+    cells = {
+        r.cell
+        for r in _sem_cells_assign(spark, sf_dir).select("cell").distinct().collect()
+    }
+    seed_ids = {
+        r.vec_id
+        for r in t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    }
+    assert cells <= seed_ids
+    assert len(seed_ids) == k
+
+
+def test_fixture_cosine_margin_guards_gemm_exactness(sf_dir):
+    """VERDICT r06 ask #7: _embcos_pairs_blocked's GEMM-equals-fold
+    contract rests on the fixtures keeping every pairwise cosine at
+    least ~1e-9 away from the 0.3 threshold (measured margins: 6.9e-5
+    at sf0.01, 6.6e-7 at sf0.1 — vs ~1e-15 matmul-vs-fold noise). A
+    fixture reseed that lands a cosine inside the margin would silently
+    break the exactness argument; this guard makes it loud."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbsuite_spark.pipeline.dedup_extra import EMBCOS_THRESHOLD
+
+    tbl = pq.read_table(sf_dir + "/embeddings.parquet", columns=["embedding"])
+    m = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    iu = np.triu_indices(len(m), k=1)
+    margin = np.abs(cos[iu] - EMBCOS_THRESHOLD).min()
+    assert margin > 1e-9, (
+        f"fixture cosine sits {margin:.3e} from the {EMBCOS_THRESHOLD} "
+        "threshold — inside GEMM/fold noise; regenerate fixtures or "
+        "re-derive the pair stage's exactness argument"
+    )
+
+
+def test_minhash_recall_sampled_gate_prunes_and_holds(spark, sf_dir):
+    """The sampled gate must (a) actually shrink the truth side — the
+    whole point of the 100 TB mitigation — and (b) still read recall
+    1.0 on the fixture (VERDICT r06 ask #6)."""
+    from dbsuite_spark.pipeline.evaluation import _minhash_recall_gate
+
+    full = _minhash_recall_gate(spark, sf_dir, sample_pct=None).first()
+    samp = _minhash_recall_gate(spark, sf_dir, sample_pct=50).first()
+    assert 0 < samp.n_truth < full.n_truth
+    assert samp.recall == 1.0
+    assert samp.n_hit == samp.n_detected == samp.n_truth

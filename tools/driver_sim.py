@@ -39,6 +39,22 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
+    # Rotation staleness gate (VERDICT r06 ask #1): a full certification
+    # run with a stale _order.py would let the next driver round re-burn
+    # its budget on already-green keys. Fail loudly up front; --only runs
+    # are exempt (they're targeted debugging, not certification).
+    if not only:
+        import tools.rotate_order as _rot
+
+        _files = _rot._default_files()
+        if _files and _rot.check_front(_files) != 0:
+            print(
+                "ABORT: stale rotation — run "
+                "`python tools/rotate_order.py --write CORRECTNESS_r*.json` "
+                "before certifying (or use --only for targeted runs)"
+            )
+            return 3
+
     def build_session() -> SparkSession:
         builder = (
             SparkSession.builder.master("local[32]")

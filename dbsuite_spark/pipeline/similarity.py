@@ -579,3 +579,102 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARDNEG_K)
         .select("qid", "qlabel", "neighbor_id", "nlabel", "cos_sim", "rank")
     )
+
+
+# --- cell-scoped mutual k-NN graph (round 7) ----------------------------
+
+KNN_GRAPH_K = 5
+
+
+def _knn_graph_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup_extra import _SEM_ASSIGN_CTE
+
+    return f"""
+WITH {_SEM_ASSIGN_CTE},
+p AS (
+  SELECT aa.cell, a.vec_id AS src, b.vec_id AS dst,
+         {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.cell = aa.cell
+  JOIN embeddings b ON b.vec_id = ab.vec_id AND b.vec_id <> a.vec_id),
+topk AS (
+  SELECT cell, src, dst, cos_sim, CAST(rn AS INT) AS rn FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn
+    FROM p) WHERE rn <= {KNN_GRAPH_K})
+SELECT t1.cell, t1.src, t1.dst, t1.cos_sim,
+       t1.rn AS rank_fwd, t2.rn AS rank_rev
+FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+WHERE t1.src < t1.dst
+"""
+
+
+@query("sim_knn_graph", oracle=_knn_graph_oracle(), category="L")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus — the substrate for
+    graph-based curation (density-based pruning, label propagation,
+    cluster discovery beyond threshold-CC). Cell-scoped like
+    ``docs_semantic_dedup_ivf``: vectors are assigned to their nearest
+    of max(16, ceil(√n)) seed centroids (the shared deterministic
+    assignment of ``dedup_extra._sem_cells_assign``), each vector ranks
+    its within-cell neighbors by the bit-identical fold cosine, and an
+    edge survives only if MUTUAL — each endpoint in the other's
+    within-cell top-{KNN_GRAPH_K} (undirected output, src < dst, with
+    both directed ranks). Mutuality is the standard symmetrization that
+    drops hub-induced asymmetric edges.
+
+    Scale: one corpus shuffle by cell co-partitions the self-join; cell
+    sizes are O(√n) so the per-cell quadratic term is bounded (the exact
+    within-cell kNN is the same cluster-then-exact envelope as IVF
+    search); the mutual join is top-k-row-count sized, shuffled on the
+    (src, dst) pair key. No driver-side loop, no Python in the hot path
+    — the cosine fold runs in JVM codegen."""
+    from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
+
+    assigned = _sem_cells_assign(spark, sf_dir)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("src") != F.col("dst")))
+        .select(
+            "cell",
+            "src",
+            "dst",
+            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= KNN_GRAPH_K)
+        .cache()  # consumed twice by the mutuality self-join
+    )
+    t2 = topk.select(
+        F.col("src").alias("dst2"),
+        F.col("dst").alias("src2"),
+        F.col("rn").alias("rank_rev"),
+    )
+    return (
+        topk.join(
+            t2,
+            (F.col("src") == F.col("src2")) & (F.col("dst") == F.col("dst2")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "cell",
+            "src",
+            "dst",
+            "cos_sim",
+            F.col("rn").alias("rank_fwd"),
+            "rank_rev",
+        )
+    )

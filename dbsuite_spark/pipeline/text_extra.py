@@ -751,3 +751,87 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= INVIDX_MIN_DF)
     )
+
+
+# --- temperature-scaled language mixing (round 7) ------------------------
+
+MIX_TEMPERATURE = 0.3  # the multilingual-pretraining convention (XLM-R)
+
+
+@query(
+    "docs_lang_temperature_mix",
+    oracle=f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+w AS (SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / n AS nat_share,
+             CAST(round(pow(CAST(n_docs AS DOUBLE) / n,
+                            {MIX_TEMPERATURE}), 6)
+                  AS DECIMAL(18,6)) AS tw
+      FROM c, tot),
+s AS (SELECT CAST(SUM(tw) AS DECIMAL(38,6)) AS tws FROM w)
+SELECT lang, n_docs, nat_share,
+       CAST(tw AS DOUBLE) AS temp_weight,
+       round(CAST(tw AS DOUBLE) / CAST(tws AS DOUBLE), 6) AS sample_prob,
+       round(round(CAST(tw AS DOUBLE) / CAST(tws AS DOUBLE), 6)
+             / nat_share, 6) AS boost
+FROM w, s
+""",
+    category="L",
+)
+def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling rates — the standard
+    multilingual-pretraining mixture (XLM-R §3.1 / mBERT exponential
+    smoothing): sample language l with probability ∝ p_l^α (α =
+    {MIX_TEMPERATURE}), up-weighting tail languages so high-resource
+    ones don't drown them. Emits, per language: natural share, the
+    α-tempered weight, the normalized sampling probability, and the
+    boost factor (sample_prob / nat_share) a sampler applies on top of
+    the natural stream.
+
+    Cross-engine exactness: the integer counts and the share division
+    are exact; pow (libm vs JVM Math, 1-ulp class) is 6dp-rounded
+    BEFORE entering the DECIMAL normalization sum (order-free exact
+    addition), and the final probability/boost divisions of identical
+    doubles round 6dp — the geometric-mean-log discipline.
+
+    Scale: one map-side-combined groupBy(lang) over the corpus (|langs|
+    rows out), then arithmetic on a frame of |langs| rows — the scan is
+    the cost at 100 TB; everything after is free. The output is the
+    control table a weighted sampler (``docs_sample_weighted``)
+    consumes."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").cast("long").alias("n"))
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n")).alias("nat_share"),
+        F.round(
+            F.pow(
+                F.col("n_docs").cast("double") / F.col("n"),
+                F.lit(MIX_TEMPERATURE),
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("tw"),
+    )
+    s = w.agg(F.sum("tw").cast("decimal(38,6)").alias("tws"))
+    return w.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "nat_share",
+        F.col("tw").cast("double").alias("temp_weight"),
+        F.round(
+            F.col("tw").cast("double") / F.col("tws").cast("double"), 6
+        ).alias("sample_prob"),
+        F.round(
+            F.round(
+                F.col("tw").cast("double") / F.col("tws").cast("double"), 6
+            )
+            / F.col("nat_share"),
+            6,
+        ).alias("boost"),
+    )

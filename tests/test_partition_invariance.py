@@ -131,6 +131,8 @@ KEYS += [
     "docs_perplexity_buckets",
     "dedup_minhash_recall",
     "dedup_minhash_recall_sampled",
+    "sim_knn_graph",
+    "docs_lang_temperature_mix",
     "text_token_entropy",
     "dedup_cluster_stats",
 ]

@@ -614,3 +614,47 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_eps"
         ),
     )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS amount
+FROM lineitem WHERE l_orderkey % 10 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey % 10 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount
+FROM lineitem WHERE l_orderkey % 10 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax
+FROM lineitem WHERE l_orderkey % 10 = 0
+""",
+    category="D",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — wide-to-long melt, the inverse of ``pivot_values``: the
+    four lineitem measure columns become (measure, amount) rows keyed by
+    the line id. Uses the native ``DataFrame.unpivot`` (SQL ``stack``)
+    operator, which Catalyst expands to a generator projection — one
+    narrow pass, output = 4× input rows, zero shuffle (the oracle
+    states the same semantics as a 4-way UNION ALL, which is what melt
+    IS relationally).
+
+    Scale: row-local generation inherits the scan's partitioning; the
+    only cost is output volume, which is the operator's contract. The
+    mod-10 filter is pushed to the scan on both engines."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        # the fixture column prefix is storage detail, not measure name
+        F.expr("substr(measure, 3)").alias("measure"),
+        "amount",
+    )

@@ -678,3 +678,99 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_rev",
         )
     )
+
+
+DENSITY_PRUNE_PCT = 0.8  # percent_rank cut: top 20% densest are flagged
+
+
+def _knn_density_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup_extra import _SEM_ASSIGN_CTE
+
+    return f"""
+WITH {_SEM_ASSIGN_CTE},
+p AS (
+  SELECT aa.cell, a.vec_id AS src, b.vec_id AS dst,
+         {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.cell = aa.cell
+  JOIN embeddings b ON b.vec_id = ab.vec_id AND b.vec_id <> a.vec_id),
+topk AS (
+  SELECT cell, src, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn
+    FROM p) WHERE rn <= {KNN_GRAPH_K}),
+dens AS (
+  SELECT src AS vec_id, CAST(MIN(cell) AS BIGINT) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CAST(round(cos_sim, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS knn_density
+  FROM topk GROUP BY src),
+ranked AS (
+  SELECT *, percent_rank() OVER (ORDER BY knn_density, vec_id) AS pr
+  FROM dens)
+SELECT vec_id, cell, k_used, knn_density, pr,
+       pr >= {DENSITY_PRUNE_PCT} AS prune
+FROM ranked
+"""
+
+
+@query("docs_knn_density_prune", oracle=_knn_density_oracle(), category="L")
+def docs_knn_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based redundancy pruning over the embedding corpus
+    (the self-supervised-prototypes metric of Sorscher et al. 2022,
+    "Beyond neural scaling laws": a point's mean cosine to its k nearest
+    neighbors estimates local density; the densest points are the most
+    redundant and prune first). Density = mean of each vector's
+    within-cell top-{KNN_GRAPH_K} fold cosines (the ``sim_knn_graph``
+    substrate before mutualization), and the prune flag marks the
+    densest 20% by global percent_rank with vec_id tie-break.
+
+    Cross-engine exactness: per-node density sums 6dp-rounded cosines
+    as DECIMAL (order-free) then divides once by the exact neighbor
+    count; percent_rank is (rank-1)/(n-1) on integers — no float-order
+    hazard anywhere.
+
+    Scale: the cell-scoped kNN envelope (one corpus shuffle by cell,
+    O(√n) cell sizes) reduces the corpus to ONE density row per vector;
+    the global percent_rank then sorts n small rows — a doc-level
+    stats sort, orders of magnitude under the corpus. At extreme n,
+    swap the exact global rank for a sampled quantile threshold + a
+    row-local filter (two scans of the density frame)."""
+    from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
+
+    assigned = _sem_cells_assign(spark, sf_dir)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("src") != F.col("dst"))
+    ).select(
+        "cell", "src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_GRAPH_K
+    )
+    dens = topk.groupBy(F.col("src").alias("vec_id")).agg(
+        F.min("cell").cast("long").alias("cell"),
+        F.count("*").cast("long").alias("k_used"),
+        (
+            F.sum(F.round(F.col("cos_sim"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("knn_density"),
+    )
+    wr = Window.orderBy("knn_density", "vec_id")
+    return dens.select(
+        "vec_id",
+        "cell",
+        "k_used",
+        "knn_density",
+        F.percent_rank().over(wr).alias("pr"),
+    ).withColumn("prune", F.col("pr") >= DENSITY_PRUNE_PCT)

@@ -132,6 +132,8 @@ KEYS += [
     "dedup_minhash_recall",
     "dedup_minhash_recall_sampled",
     "sim_knn_graph",
+    "docs_knn_density_prune",
+    "unpivot_stack",
     "docs_lang_temperature_mix",
     "text_token_entropy",
     "dedup_cluster_stats",

@@ -774,3 +774,109 @@ def docs_knn_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "knn_density",
         F.percent_rank().over(wr).alias("pr"),
     ).withColumn("prune", F.col("pr") >= DENSITY_PRUNE_PCT)
+
+
+SHORTLIST_K = 20  # coarse-stage candidates per query before exact re-rank
+
+
+def _two_stage_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {L2NORM('embedding')} AS nrm FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) / nrm * {QUANT_SCALE} + 0.5)
+                  AS BIGINT)) AS qv
+  FROM base),
+q AS (SELECT vec_id AS qid, qv AS qq FROM qz
+      WHERE vec_id % {QUERY_MOD} = 0),
+coarse AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(generate_series(1, len(q.qq)),
+             i -> q.qq[i] * c.qv[i]), (x, y) -> x + y) AS qdot
+  FROM q, qz c WHERE c.vec_id <> q.qid),
+shortlist AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY qdot DESC, neighbor_id) AS rn
+    FROM coarse) WHERE rn <= {SHORTLIST_K}),
+exact AS (
+  SELECT s.qid, s.neighbor_id,
+         {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+  FROM shortlist s
+  JOIN embeddings a ON a.vec_id = s.qid
+  JOIN embeddings b ON b.vec_id = s.neighbor_id)
+SELECT qid, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM exact) WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_search_two_stage", oracle=_two_stage_oracle(), category="L")
+def sim_search_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — the production retrieval pattern every
+    vector store runs: a cheap COARSE pass over the int8-quantized
+    corpus shortlists {SHORTLIST_K} candidates per query (exact integer
+    dot products, 4× less data moved than float32), then the exact
+    float cosine re-ranks only the shortlist down to top-{TOP_K}. The
+    coarse stage eats the corpus scan; the exact stage touches
+    shortlist-sized data only.
+
+    Scale: stage 1 is the ``sim_embed_quantize`` envelope (broadcast
+    bounded query side, one corpus scan, integer folds in JVM codegen);
+    stage 2 joins a {SHORTLIST_K}·|queries|-row frame back to the
+    corpus by id — a semi-join-sized probe, broadcastable at any corpus
+    size. Recall vs the single-stage exact path is asserted in
+    tests/test_pipeline.py; cross-engine exactness needs no rounding
+    (integer stage-1 scores, fold-identical stage-2 cosines,
+    deterministic id tie-breaks)."""
+    qz = _quantized(spark, sf_dir)
+    q = qz.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
+    )
+    coarse = (
+        fan_out(qz)
+        .alias("c")
+        .join(F.broadcast(q), F.col("c.vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("qq"), F.col("c.qv"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("qdot"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        coarse.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= SHORTLIST_K)
+        .select("qid", "neighbor_id")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv_f"))
+    ne = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv_f")
+    )
+    exact = (
+        shortlist.join(F.broadcast(qe), "qid")
+        .join(ne, "neighbor_id")
+        .select(
+            "qid",
+            "neighbor_id",
+            cosine(F.col("qv_f"), F.col("nv_f")).alias("cos_sim"),
+        )
+    )
+    we = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(we).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cos_sim", "rank")
+    )

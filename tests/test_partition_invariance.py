@@ -134,6 +134,7 @@ KEYS += [
     "sim_knn_graph",
     "docs_knn_density_prune",
     "unpivot_stack",
+    "sim_search_two_stage",
     "docs_lang_temperature_mix",
     "text_token_entropy",
     "dedup_cluster_stats",

@@ -893,3 +893,22 @@ def test_minhash_recall_sampled_gate_prunes_and_holds(spark, sf_dir):
     assert 0 < samp.n_truth < full.n_truth
     assert samp.recall == 1.0
     assert samp.n_hit == samp.n_detected == samp.n_truth
+
+
+def test_two_stage_recall_vs_exact(spark, sf_dir):
+    """The quantized-shortlist → exact-rerank pipeline must recover the
+    exact top-k almost perfectly on the fixture (the int8 coarse stage
+    at SHORTLIST_K=4x over-fetch loses at most the odd boundary
+    neighbor)."""
+    import dbsuite_spark
+
+    specs = dbsuite_spark.all_specs()
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in specs["sim_search_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    two = {
+        (r.qid, r.neighbor_id)
+        for r in specs["sim_search_two_stage"].fn(spark, sf_dir).collect()
+    }
+    assert len(two & exact) / len(exact) >= 0.9

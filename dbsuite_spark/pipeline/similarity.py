@@ -632,7 +632,10 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the cosine fold runs in JVM codegen."""
     from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
 
-    assigned = _sem_cells_assign(spark, sf_dir)
+    # cached: the assignment argmax (one corpus scan x cells broadcast)
+    # feeds BOTH sides of the within-cell self-join; without the cache
+    # the plan recomputes it twice (verified via explain, round 7)
+    assigned = _sem_cells_assign(spark, sf_dir).cache()
     a = assigned.select(
         "cell", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
     )
@@ -739,7 +742,9 @@ def docs_knn_density_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local filter (two scans of the density frame)."""
     from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
 
-    assigned = _sem_cells_assign(spark, sf_dir)
+    # cached for the same both-sides-of-the-self-join reason as
+    # sim_knn_graph (explain-verified, round 7)
+    assigned = _sem_cells_assign(spark, sf_dir).cache()
     a = assigned.select(
         "cell", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
     )
@@ -863,9 +868,16 @@ def sim_search_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv_f")
     )
+    # the SMALL side is the shortlist (SHORTLIST_K x |queries| rows, plus
+    # the broadcast query vectors); broadcast IT into the corpus probe so
+    # the plan at 100 TB is corpus-scan + broadcast hash probe — without
+    # the hint the optimizer happily broadcasts the corpus at fixture
+    # scale (explain-verified, round 7)
     exact = (
-        shortlist.join(F.broadcast(qe), "qid")
-        .join(ne, "neighbor_id")
+        ne.join(
+            F.broadcast(shortlist.join(F.broadcast(qe), "qid")),
+            "neighbor_id",
+        )
         .select(
             "qid",
             "neighbor_id",

@@ -892,3 +892,123 @@ def sim_search_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cos_sim", "rank")
     )
+
+
+KNN_RECALL_SRC_PCT = 20  # deterministic md5 draw of source nodes
+
+
+def _knn_graph_recall_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup_extra import _SEM_ASSIGN_CTE
+
+    return f"""
+WITH {_SEM_ASSIGN_CTE},
+srcs AS (
+  SELECT vec_id FROM embeddings
+  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+        AS BIGINT) % 100 < {KNN_RECALL_SRC_PCT}),
+gp AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a
+  JOIN srcs ON srcs.vec_id = a.vec_id
+  JOIN embeddings b ON b.vec_id <> a.vec_id),
+gtop AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn
+    FROM gp) WHERE rn <= {KNN_GRAPH_K}),
+cp AS (
+  SELECT aa.cell, a.vec_id AS src, b.vec_id AS dst,
+         {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a
+  JOIN srcs ON srcs.vec_id = a.vec_id
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.cell = aa.cell
+  JOIN embeddings b ON b.vec_id = ab.vec_id AND b.vec_id <> a.vec_id),
+ctop AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn
+    FROM cp) WHERE rn <= {KNN_GRAPH_K}),
+s AS (
+  SELECT CAST((SELECT COUNT(*) FROM gtop) AS BIGINT) AS n_exact_edges,
+         CAST((SELECT COUNT(*) FROM ctop JOIN gtop USING (src, dst))
+              AS BIGINT) AS n_hit_edges)
+SELECT n_exact_edges, n_hit_edges,
+       CAST(n_hit_edges AS DOUBLE) / CAST(n_exact_edges AS DOUBLE)
+         AS edge_recall
+FROM s
+"""
+
+
+@query("sim_knn_graph_recall", oracle=_knn_graph_recall_oracle(), category="L")
+def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What cell-scoping trades away in the k-NN graph, measured — the
+    honesty dashboard for ``sim_knn_graph`` (the same discipline as
+    ``docs_semdedup_cell_recall``): the share of GLOBAL exact
+    top-{KNN_GRAPH_K} directed edges that the within-cell graph
+    recovers. Cross-cell nearest neighbors are out of the cell-scoped
+    contract by design; this key keeps that design decision visible
+    release-over-release (cells ↑ → cost ↓ but edge recall ↓).
+
+    Scale: the truth side samples SOURCE nodes with the deterministic
+    md5 draw ({KNN_RECALL_SRC_PCT}% — the ``dedup_minhash_recall_sampled``
+    pattern, built in from the start because exact truth is n·|srcs|
+    pairs): recall over a deterministic source sample is an unbiased,
+    rerun-stable reading at any corpus size. The cell side is the
+    production envelope. One two-counter reduce."""
+    from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+        < KNN_RECALL_SRC_PCT
+    )
+    srcs = F.broadcast(e.filter(draw).select(F.col("vec_id").alias("src")))
+    ga = e.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    ).join(srcs, "src")
+    gb = e.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")
+    )
+    gp = ga.join(gb, F.col("src") != F.col("dst")).select(
+        "src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    gtop = (
+        gp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_GRAPH_K)
+        .select("src", "dst")
+    )
+    assigned = _sem_cells_assign(spark, sf_dir).cache()
+    ca = assigned.select(
+        "cell", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    ).join(srcs, "src")
+    cb = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+    )
+    cp = ca.join(
+        cb, (F.col("cell") == F.col("cell_b")) & (F.col("src") != F.col("dst"))
+    ).select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+    ctop = (
+        cp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_GRAPH_K)
+        .select("src", "dst")
+    )
+    n_exact = gtop.agg(F.count("*").cast("long").alias("n_exact_edges"))
+    n_hit = ctop.join(gtop, ["src", "dst"]).agg(
+        F.count("*").cast("long").alias("n_hit_edges")
+    )
+    return n_exact.crossJoin(F.broadcast(n_hit)).select(
+        "n_exact_edges",
+        "n_hit_edges",
+        (
+            F.col("n_hit_edges").cast("double")
+            / F.col("n_exact_edges").cast("double")
+        ).alias("edge_recall"),
+    )

@@ -135,6 +135,7 @@ KEYS += [
     "docs_knn_density_prune",
     "unpivot_stack",
     "sim_search_two_stage",
+    "sim_knn_graph_recall",
     "docs_lang_temperature_mix",
     "text_token_entropy",
     "dedup_cluster_stats",

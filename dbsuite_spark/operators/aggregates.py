@@ -658,3 +658,55 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(measure, 3)").alias("measure"),
         "amount",
     )
+
+
+@query(
+    "sql_transpose_frame",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS sum_price,
+         CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag)
+SELECT 'n_rows' AS key,
+       (SELECT n_rows FROM m WHERE l_returnflag = 'A') AS A,
+       (SELECT n_rows FROM m WHERE l_returnflag = 'N') AS N,
+       (SELECT n_rows FROM m WHERE l_returnflag = 'R') AS R
+UNION ALL
+SELECT 'sum_price',
+       (SELECT sum_price FROM m WHERE l_returnflag = 'A'),
+       (SELECT sum_price FROM m WHERE l_returnflag = 'N'),
+       (SELECT sum_price FROM m WHERE l_returnflag = 'R')
+UNION ALL
+SELECT 'sum_qty',
+       (SELECT sum_qty FROM m WHERE l_returnflag = 'A'),
+       (SELECT sum_qty FROM m WHERE l_returnflag = 'N'),
+       (SELECT sum_qty FROM m WHERE l_returnflag = 'R')
+""",
+    category="D",
+)
+def sql_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSPOSE — the Spark 4 ``DataFrame.transpose`` reshape: a
+    metrics-by-group frame (3 returnflag rows × 3 measure columns)
+    flips to measure rows × group columns, the layout reporting tools
+    want. The index column's values become column names (sorted — the
+    operator's documented determinism), so the output schema is stable
+    because the flag domain is. All measures share one type (double,
+    exact via decimal sums / integer counts — the ``exact.py``
+    discipline), which is transpose's type-soundness requirement.
+
+    Scale: transpose collects the frame to build the schema, so its
+    contract is REPORT-SIZED inputs only — here 3 rows from a map-side
+    combined aggregation of the full corpus; the heavy lifting stays
+    distributed in the groupBy, the flip touches a 3×4 grid. The oracle
+    states the same reshape as scalar subqueries per (measure, flag)
+    cell."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return m.transpose()

@@ -136,6 +136,7 @@ KEYS += [
     "unpivot_stack",
     "sim_search_two_stage",
     "sim_knn_graph_recall",
+    "sql_transpose_frame",
     "docs_lang_temperature_mix",
     "text_token_entropy",
     "dedup_cluster_stats",

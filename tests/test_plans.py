@@ -1180,3 +1180,42 @@ def test_mask_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "etl_mask_pii_display")
     assert "Exchange" not in plan
     assert "* Project" in plan
+
+
+def test_two_stage_broadcasts_shortlist_not_corpus(spark, sf_dir):
+    """The exact re-rank join must probe the corpus scan with a
+    BROADCAST of the shortlist side (round-7 fix: without the hint the
+    optimizer broadcast the corpus at fixture scale, a plan that dies
+    at any real corpus size). Pinned: the plan's outermost hash join
+    builds on the side containing the Window (the shortlist ranking),
+    and the corpus side is a bare parquet scan."""
+    plan = plan_of(spark, sf_dir, "sim_search_two_stage")
+    tree = plan.split("\n\n")[0]
+    # exactly one BroadcastNestedLoopJoin (the coarse query x corpus
+    # stage, bounded query side) and no sort-merge join anywhere
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    # the LAST BroadcastHashJoin in the tree is the re-rank probe; its
+    # build (broadcast) child must contain the shortlist Window, which
+    # means the Window nodes appear UNDER a BroadcastExchange
+    first_bhj = tree.index("BroadcastHashJoin")
+    assert "BroadcastExchange" in tree[first_bhj:]
+    assert tree.index("Scan parquet") < tree.index("BroadcastExchange"), (
+        "corpus scan should be the streamed (non-broadcast) side"
+    )
+
+
+def test_knn_graph_assignment_computed_once(spark, sf_dir):
+    """The cell-assignment argmax feeds both sides of the within-cell
+    self-join; it must come from ONE cached computation (round-7 fix),
+    i.e. the self-join consumes InMemoryTableScans, not two fresh
+    assignment subtrees."""
+    plan = plan_of(spark, sf_dir, "sim_knn_graph")
+    assert n_nodes(plan, "InMemoryTableScan") >= 2
+
+
+def test_unpivot_no_exchange(spark, sf_dir):
+    """Melt is row-local generation: the plan must contain no Exchange
+    at all (inherits scan partitioning)."""
+    plan = plan_of(spark, sf_dir, "unpivot_stack")
+    assert n_nodes(plan, "Exchange") == 0
+    assert "PushedFilters: [" in plan

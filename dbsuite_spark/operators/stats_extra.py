@@ -1322,3 +1322,146 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") > upper).alias("breach_up"),
         (F.col("x") < lower).alias("breach_down"),
     )
+
+
+# --- deterministic Poisson bootstrap CI (round 7) -------------------------
+
+BOOT_B = 32  # bootstrap replicates
+
+# Poisson(1) inverse-CDF thresholds, written as literals so BOTH engines
+# compare the uniform draw against the exact same doubles (exp() is
+# 1-ulp-class cross-engine; a literal is a literal). Draws beyond P(<=6)
+# get weight 7 — P(X>=7) ~ 8e-5, a bias far below bootstrap noise.
+_POIS = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507416,
+)
+
+_U52 = 4503599627370496.0  # 2^52: 13 hex digits -> exact uniform in [0,1)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+_BOOT_ORACLE = f"""
+WITH reps AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b),
+draws AS (
+  SELECT r.b, o.o_totalprice,
+         CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                 || '_' || CAST(r.b AS VARCHAR)), 1, 13) AS BIGINT)
+           / {_U52} AS u
+  FROM orders o CROSS JOIN reps r),
+weighted AS (
+  SELECT b, o_totalprice, {_pois_case_sql('u')} AS w FROM draws),
+means AS (
+  SELECT b,
+         CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS m
+  FROM weighted GROUP BY b),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means)
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       CAST((SELECT SUM(CAST(round(m, 6) AS DECIMAL(18,6))) FROM means)
+            AS DOUBLE) / {BOOT_B} AS boot_mean,
+       (SELECT m FROM ranked WHERE rk = 2) AS ci_lower,
+       (SELECT m FROM ranked WHERE rk = {BOOT_B - 1}) AS ci_upper
+"""
+
+
+@query("agg_bootstrap_ci_poisson", oracle=_BOOT_ORACLE, category="E")
+def agg_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for a mean via the POISSON bootstrap
+    — the resampling scheme that actually works on distributed data
+    (classic bootstrap needs sampling WITH replacement from the full
+    dataset, impossible row-locally; giving every row an independent
+    Poisson(1) weight per replicate is the standard streaming/MapReduce
+    substitute, cf. Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams"). Weights come from a DETERMINISTIC md5 draw
+    per (row, replicate) — rerun-stable, engine-identical, no RNG state
+    — mapped through literal Poisson inverse-CDF thresholds. {BOOT_B}
+    replicate means of orders.o_totalprice, reported with the
+    rank-based 2nd/31st order statistics as the ~94% CI (exact ranks,
+    not interpolated percentiles, so both engines pick identical
+    doubles).
+
+    Cross-engine exactness: the 52-bit uniform is an exact power-of-two
+    division; weighted sums are integer-weight × DECIMAL (order-free);
+    each replicate mean is one double division; the CI bounds are
+    selected (not computed) doubles; the replicate-mean average rounds
+    6dp before its decimal sum.
+
+    Scale: one explode to {BOOT_B}× rows feeding a map-side-combined
+    groupBy(b) — B bounded, so cost is B corpus scans' worth of rows in
+    ONE shuffle of 2·{BOOT_B} partial aggregates per task; the order
+    statistics sort {BOOT_B} rows. This is how production experiment
+    platforms attach CIs to any metric without a second pass."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_U52)
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS[k], F.lit(k)).otherwise(w)
+    means = (
+        o.select("o_orderkey", "o_totalprice", reps)
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(
+                    F.col("w") * F.col("o_totalprice").cast(DEC)
+                ).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("m")
+        )
+    )
+    rk = Window.orderBy("m", "b")
+    ranked = means.withColumn("rk", F.row_number().over(rk))
+    n_rows = o.count()
+    agg = means.agg(
+        (
+            F.sum(F.round(F.col("m"), 6).cast(DEC)).cast("double") / BOOT_B
+        ).alias("boot_mean")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("ci_lower"))
+    hi = ranked.filter(F.col("rk") == BOOT_B - 1).select(
+        F.col("m").alias("ci_upper")
+    )
+    return (
+        agg.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(n_rows).cast("long").alias("n_rows"),
+            F.lit(BOOT_B).cast("long").alias("n_replicates"),
+            "boot_mean",
+            "ci_lower",
+            "ci_upper",
+        )
+    )

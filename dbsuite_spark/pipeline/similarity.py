@@ -1012,3 +1012,61 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_exact_edges").cast("double")
         ).alias("edge_recall"),
     )
+
+
+def _ivf_stats_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup_extra import _SEM_ASSIGN_CTE
+
+    return f"""
+WITH {_SEM_ASSIGN_CTE},
+sizes AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assign GROUP BY cell),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM sizes)
+SELECT s.cell, s.n_vecs,
+       CAST(s.n_vecs AS DOUBLE) / t.n_total AS share,
+       CAST(s.n_vecs AS DOUBLE)
+         / (CAST(t.n_total AS DOUBLE) / t.n_cells) AS load_factor,
+       s.n_vecs > 2.0 * (CAST(t.n_total AS DOUBLE) / t.n_cells)
+         AS overloaded
+FROM sizes s, tot t
+"""
+
+
+@query("sim_ivf_build_stats", oracle=_ivf_stats_oracle(), category="L")
+def sim_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance report for the IVF assignment every cell-scoped
+    operator in this repo rides (`docs_semantic_dedup_ivf`,
+    `sim_knn_graph`, `docs_knn_density_prune`, `sim_search_ann_ivf`'s
+    family): per cell, its vector count, corpus share, load factor vs
+    the ideal n/cells, and an overloaded flag at 2× ideal. Skewed cells
+    are where cell-scoped quadratic work concentrates — at 100 TB an
+    overloaded cell is the straggler task, and the fix (re-seed or
+    split the cell) starts from exactly this table. The index-build
+    observability twin of the recall dashboards.
+
+    Scale: one groupBy(cell) over the assignment (map-side combined,
+    O(√n) groups) + a broadcast of the 2-number total. All integer
+    counts and single double divisions — engine-identical."""
+    from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
+
+    sizes = (
+        _sem_cells_assign(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot = sizes.agg(
+        F.sum("n_vecs").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    ideal = F.col("n_total").cast("double") / F.col("n_cells")
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("n_total")).alias("share"),
+        (F.col("n_vecs").cast("double") / ideal).alias("load_factor"),
+        (F.col("n_vecs") > 2.0 * ideal).alias("overloaded"),
+    )

@@ -137,6 +137,8 @@ KEYS += [
     "sim_search_two_stage",
     "sim_knn_graph_recall",
     "sql_transpose_frame",
+    "agg_bootstrap_ci_poisson",
+    "sim_ivf_build_stats",
     "docs_lang_temperature_mix",
     "text_token_entropy",
     "dedup_cluster_stats",

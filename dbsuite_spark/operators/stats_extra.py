@@ -1465,3 +1465,98 @@ def agg_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_upper",
         )
     )
+
+
+# --- sequential probability ratio test (round 7) --------------------------
+
+# Wald SPRT for Bernoulli p0=0.4 vs p1=0.6, alpha=beta=0.05. Log terms
+# and boundaries as 6dp literals (ln is 1-ulp-class cross-engine; a
+# literal is a literal): ln(p1/p0)=ln(1.5), ln((1-p1)/(1-p0))=-ln(1.5),
+# boundaries +-ln((1-0.05)/0.05)=+-ln(19).
+SPRT_L1 = 0.405465
+SPRT_L0 = -0.405465
+SPRT_UP = 2.944439
+SPRT_LO = -2.944439
+
+_SPRT_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purch,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id),
+obs AS (
+  SELECT user_id,
+         CAST(n_purch AS DOUBLE) / n_events > 0.2 AS converted
+  FROM per_user),
+llr AS (
+  SELECT user_id, converted,
+         CAST(row_number() OVER (ORDER BY user_id) AS BIGINT) AS step,
+         CAST(SUM(CASE WHEN converted
+                       THEN CAST({SPRT_L1} AS DECIMAL(18,6))
+                       ELSE CAST({SPRT_L0} AS DECIMAL(18,6)) END)
+              OVER (ORDER BY user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS llr
+  FROM obs)
+SELECT user_id, step, converted, llr,
+       CASE WHEN llr >= {SPRT_UP} THEN 'accept_h1'
+            WHEN llr <= {SPRT_LO} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+"""
+
+
+@query("events_sprt_sequential", oracle=_SPRT_ORACLE, category="E")
+def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test — the always-valid
+    monitoring discipline modern experiment platforms run instead of
+    fixed-horizon tests (peeking at a z-test inflates false positives;
+    the SPRT's log-likelihood-ratio walk with ln(19) boundaries holds
+    alpha=beta=0.05 at EVERY look). Per user (ordered by id — the
+    deterministic stand-in for arrival order): a Bernoulli observation
+    (purchase share > 0.2), the running LLR for p0=0.4 vs p1=0.6, and
+    the accept/continue decision at that step.
+
+    Cross-engine exactness: per-step terms are one of two 6dp DECIMAL
+    literals, so the running sum is order-free-exact; boundaries are
+    literal doubles; one double cast at the end.
+
+    Scale: the per-user reduction is map-side combined; the sequential
+    walk is a window cumsum over the USER frame (n users, not n
+    events). A truly-global ordered walk is inherently sequential — at
+    billion-user scale the platform evaluates the LLR at periodic
+    checkpoints (GROUP BY time bucket + one running total over buckets),
+    which this same plan expresses with a coarser ORDER BY."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purch"),
+        F.count("*").alias("n_events"),
+    )
+    obs = per_user.select(
+        "user_id",
+        (
+            F.col("n_purch").cast("double") / F.col("n_events") > 0.2
+        ).alias("converted"),
+    )
+    wo = Window.orderBy("user_id")
+    term = F.when(
+        F.col("converted"), F.lit(SPRT_L1).cast(DEC)
+    ).otherwise(F.lit(SPRT_L0).cast(DEC))
+    llr = (
+        F.sum(term)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    out = obs.select(
+        "user_id",
+        F.row_number().over(wo).cast("long").alias("step"),
+        "converted",
+        llr.alias("llr"),
+    )
+    return out.withColumn(
+        "decision",
+        F.when(F.col("llr") >= SPRT_UP, "accept_h1")
+        .when(F.col("llr") <= SPRT_LO, "accept_h0")
+        .otherwise("continue"),
+    )

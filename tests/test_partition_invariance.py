@@ -138,6 +138,7 @@ KEYS += [
     "sim_knn_graph_recall",
     "sql_transpose_frame",
     "agg_bootstrap_ci_poisson",
+    "events_sprt_sequential",
     "sim_ivf_build_stats",
     "docs_lang_temperature_mix",
     "text_token_entropy",

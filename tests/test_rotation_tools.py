@@ -1,0 +1,77 @@
+"""Guards for the rotation tooling (VERDICT r06 ask #1): the staleness
+check must catch a green key sitting in VERIFY_FIRST, and the state
+classifier must resolve multi-round histories the way the driver does."""
+
+from __future__ import annotations
+
+import json
+
+import tools.rotate_order as rot
+
+
+def _write(tmp_path, name, rows):
+    p = tmp_path / name
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+def test_classify_green_sticks_and_failure_repromotes(tmp_path):
+    r1 = _write(
+        tmp_path,
+        "CORRECTNESS_r01.json",
+        {
+            "a": {"hash_match": True},
+            "b": {"err": "no_oracle", "spark_rows": 5},
+            "c": {"hash_match": False, "err": "boom"},
+        },
+    )
+    r2 = _write(
+        tmp_path,
+        "CORRECTNESS_r02.json",
+        {
+            "b": {"hash_match": True},   # weak upgrades to green
+            "a": {"hash_match": False},  # hard failure re-promotes green
+        },
+    )
+    failed, weak, green, seen = rot.classify([r1, r2])
+    assert set(green) == {"b"}
+    assert set(failed) == {"a", "c"}
+    assert not weak
+    assert set(seen) == {"a", "b", "c"}
+
+
+def test_classify_orders_files_by_round_number(tmp_path):
+    # File handed in newest-first must still resolve r2 AFTER r1.
+    r1 = _write(
+        tmp_path, "CORRECTNESS_r01.json", {"k": {"hash_match": False}}
+    )
+    r2 = _write(
+        tmp_path, "CORRECTNESS_r02.json", {"k": {"hash_match": True}}
+    )
+    _, _, green, _ = rot.classify([r2, r1])
+    assert green == ["k"]
+
+
+def test_check_front_flags_green_key_in_verify_first(tmp_path, monkeypatch):
+    from dbsuite_spark import _order
+
+    front_key = _order.VERIFY_FIRST[0]
+    stale = _write(
+        tmp_path, "CORRECTNESS_r09.json", {front_key: {"hash_match": True}}
+    )
+    assert rot.check_front([stale]) == 1
+    fresh = _write(
+        tmp_path,
+        "CORRECTNESS_r08.json",
+        {front_key: {"hash_match": False, "err": "x"}},
+    )
+    assert rot.check_front([fresh]) == 0
+
+
+def test_repo_rotation_is_fresh_at_head():
+    """The committed _order.py must never contain a key the committed
+    CORRECTNESS files already prove green — the exact state that
+    recurred three rounds running."""
+    files = rot._default_files()
+    assert files, "no CORRECTNESS files found"
+    assert rot.check_front(files) == 0

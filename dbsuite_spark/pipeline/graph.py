@@ -343,3 +343,109 @@ def graph_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_friends_of_friends"),
         )
     )
+
+
+# --- HITS hubs & authorities (round 7) ------------------------------------
+
+_HS = 100_000_000  # HITS mass in integer units (10^8): rescale products
+# are bounded by maxdeg * _HS^2 = 5e16 << int64 max (user outdeg <= 5
+# event types structurally; size _HS DOWN if the degree bound grows)
+
+
+def _HITS_STEP(i: int) -> str:
+    prev_h = f"h{i - 1}"
+    return f"""
+ar{i} AS (
+  SELECT b.v AS node, SUM(h.hu) AS s
+  FROM base b JOIN {prev_h} h ON b.u = h.node GROUP BY b.v),
+at{i} AS (SELECT SUM(s) AS tot FROM ar{i}),
+a{i} AS (
+  SELECT node, CAST((s * {_HS}) // tot AS BIGINT) AS au
+  FROM ar{i}, at{i}),
+hr{i} AS (
+  SELECT b.u AS node, SUM(a.au) AS s
+  FROM base b JOIN a{i} a ON b.v = a.node GROUP BY b.u),
+ht{i} AS (SELECT SUM(s) AS tot FROM hr{i}),
+h{i} AS (
+  SELECT node, CAST((s * {_HS}) // tot AS BIGINT) AS hu
+  FROM hr{i}, ht{i})
+"""
+
+
+_HITS_ORACLE = (
+    f"""
+WITH base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'e' || event_type AS v
+  FROM events),
+hubs AS (SELECT DISTINCT u FROM base),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hubs),
+h0 AS (SELECT u AS node, CAST({_HS} AS BIGINT) // n AS hu FROM hubs, nh)
+"""
+    + ","
+    + ",".join(_HITS_STEP(i) for i in (1, 2))
+    + """
+SELECT node, 'hub' AS kind, hu AS score_units FROM h2
+UNION ALL
+SELECT node, 'authority', au FROM a2
+"""
+)
+
+
+@query("graph_hits_fixed", oracle=_HITS_ORACLE, category="L")
+def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration HITS (Kleinberg hubs & authorities) over the DIRECTED
+    user→event-type graph — the centrality complement of
+    ``graph_pagerank_fixed``: authorities score how much hub mass points
+    at a node, hubs how much authority they point to. Same
+    bit-exactness discipline as PageRank: all mass lives in BIGINT
+    units, each half-step L1-renormalizes by integer floor division
+    (classic HITS L2-normalizes in floats — summation-order-dependent
+    and hash-breaking; L1 integer renormalization preserves the ranking
+    fixed point and commutes across any partitioning). ``_HS`` = 10^8 is
+    sized so rescale products stay ≤ maxdeg·_HS² ≪ int64.
+
+    Scale: each half-iteration is one shuffle join (edges ⋈ scores on
+    the join key) + one grouped BIGINT sum + a 1-row broadcast total —
+    a static 4-stage DAG, no convergence loop, no collect."""
+    base = t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("e"), F.col("event_type")).alias("v"),
+    ).distinct()
+    hubs = base.select("u").distinct()
+    nh = hubs.agg(F.count("*").alias("n"))
+    h = hubs.crossJoin(F.broadcast(nh)).select(
+        F.col("u").alias("node"),
+        F.expr(f"CAST({_HS} AS BIGINT) div n").alias("hu"),
+    )
+    a = None
+    for _ in range(2):
+        araw = (
+            base.join(h, base.u == h.node)
+            .groupBy("v")
+            .agg(F.sum("hu").alias("s"))
+        )
+        atot = araw.agg(F.sum("s").alias("tot"))
+        a = araw.crossJoin(F.broadcast(atot)).select(
+            F.col("v").alias("node"),
+            F.expr(f"CAST((s * {_HS}) div tot AS BIGINT)").alias("au"),
+        )
+        hraw = (
+            base.join(a, base.v == a.node)
+            .groupBy("u")
+            .agg(F.sum("au").alias("s"))
+        )
+        htot = hraw.agg(F.sum("s").alias("tot"))
+        h = hraw.crossJoin(F.broadcast(htot)).select(
+            F.col("u").alias("node"),
+            F.expr(f"CAST((s * {_HS}) div tot AS BIGINT)").alias("hu"),
+        )
+    return h.select(
+        "node", F.lit("hub").alias("kind"), F.col("hu").alias("score_units")
+    ).unionAll(
+        a.select(
+            "node",
+            F.lit("authority").alias("kind"),
+            F.col("au").alias("score_units"),
+        )
+    )

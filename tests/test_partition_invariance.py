@@ -139,6 +139,7 @@ KEYS += [
     "sql_transpose_frame",
     "agg_bootstrap_ci_poisson",
     "events_sprt_sequential",
+    "graph_hits_fixed",
     "sim_ivf_build_stats",
     "docs_lang_temperature_mix",
     "text_token_entropy",

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from dbsuite_spark.pipeline.dedup import DF_CAP, _shingle_rows
 from dbsuite_spark.pipeline.vectors import COSINE, dot
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import memo_cache, t
 
 SIM_BITS = 60
 SIM_BANDS = 12
@@ -97,7 +97,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 11 of 60 bits) via 12×5-bit
     banding — provably equal to the brute-force oracle (see module doc),
     while joining only on band collisions at scale."""
-    sig = _simhash_signatures(spark, sf_dir).cache()
+    sig = memo_cache(
+        _simhash_signatures(spark, sf_dir), f"simhash_sig:{sf_dir}"
+    )
     bands = sig.select(
         "doc_id",
         "simhash",

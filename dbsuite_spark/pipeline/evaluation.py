@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from dbsuite_spark.pipeline.text_extra import text_langid_ngram
 from dbsuite_spark.registry import query, spec
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import memo_cache, t
 
 _PRED_ORACLE = spec("text_langid_ngram").oracle
 
@@ -116,12 +116,14 @@ def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # both k-row frames feed THREE aggregations each below — cache, or
     # the giant fold/banding subtrees re-plan and re-execute per consumer
-    exact_k = sim_search_cosine_topk(spark, sf_dir).select(
-        "qid", "neighbor_id"
-    ).cache()
-    ann_k = sim_search_ann_lsh(spark, sf_dir).select(
-        "qid", "neighbor_id"
-    ).cache()
+    exact_k = memo_cache(
+        sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_exact_k:{sf_dir}",
+    )
+    ann_k = memo_cache(
+        sim_search_ann_lsh(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_lsh_k:{sf_dir}",
+    )
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
         .groupBy("qid")
@@ -242,12 +244,14 @@ def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # same caching rationale as sim_search_ann_recall
-    exact_k = sim_search_cosine_topk(spark, sf_dir).select(
-        "qid", "neighbor_id"
-    ).cache()
-    ann_k = sim_search_ann_ivf(spark, sf_dir).select(
-        "qid", "neighbor_id"
-    ).cache()
+    exact_k = memo_cache(
+        sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_exact_k:{sf_dir}",
+    )
+    ann_k = memo_cache(
+        sim_search_ann_ivf(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_ivf_k:{sf_dir}",
+    )
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
         .groupBy("qid")
@@ -625,7 +629,10 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap_stop_shingles,
     )
 
-    sh = cap_stop_shingles(_shingle_rows(spark, sf_dir)).cache()
+    sh = memo_cache(
+        cap_stop_shingles(_shingle_rows(spark, sf_dir)),
+        f"shingles_capped:{sf_dir}",
+    )
     pairs = _jaccard_on(None, sh).select("d1", "d2", "jaccard")
     hcols = [
         F.min(

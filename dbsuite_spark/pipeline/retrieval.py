@@ -25,7 +25,7 @@ from dbsuite_spark.exact import DSUM, dsum
 from dbsuite_spark.pipeline.dedup import shingles
 from dbsuite_spark.pipeline.vectors import COSINE, cosine
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import memo_cache, t
 
 RETRIEVAL_QMOD = 25  # doc_id % 25 == 0 → the query subset
 RETRIEVAL_DF_CAP = 50  # shingles in more docs than this are dropped
@@ -395,10 +395,10 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-pairs cosine subtree — 16 s of Catalyst planning at fixture
     # scale, worse at any real K. Cache once; rounds then join two tiny
     # in-memory relations.
-    cand = (
+    cand = memo_cache(
         _topk(_cosine_pairs(spark, sf_dir), MMR_CAND)
-        .select("qid", "neighbor_id", F.col("cos_sim").alias("rel"))
-        .cache()
+        .select("qid", "neighbor_id", F.col("cos_sim").alias("rel")),
+        f"mmr_cand:{sf_dir}",
     )
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
@@ -418,7 +418,7 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    csim = (
+    csim = memo_cache(
         a.join(b, ["p_qid"])
         .where(F.col("a_id") != F.col("b_id"))
         .select(
@@ -429,8 +429,8 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("ea"), F.col("eb"))
                 / (F.col("na") * F.col("nb"))
             ).alias("sim"),
-        )
-        .cache()
+        ),
+        f"mmr_csim:{sf_dir}",
     )
     w_rel = Window.partitionBy("qid").orderBy(
         F.col("rel").desc(), "neighbor_id"

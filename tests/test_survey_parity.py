@@ -34,3 +34,43 @@ def test_survey_section2_equals_registry():
     assert doc - reg == set(), (
         f"documented in SURVEY §2 but not registered: {sorted(doc - reg)[:5]}"
     )
+
+
+def _table_keys(text: str) -> list[str]:
+    return re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M)
+
+
+def test_prose_counts_match_tables():
+    """The PROSE counts in SURVEY.md/README.md must equal the machine
+    counts (VERDICT r07 item 5: three prose numbers had drifted while
+    the membership-parity test above stayed green)."""
+    survey = open("/root/repo/SURVEY.md").read()
+    readme = open("/root/repo/README.md").read()
+    m_start = survey.index("### M. Extensions")
+    n_start = survey.index("### N.")
+    s2_start = survey.index("## 2.")
+    n_contract = len(_table_keys(survey[s2_start:m_start]))
+    n_ext = len(_table_keys(survey[m_start:n_start]))
+    reg = set(dbsuite_spark.queries())
+    n_tpch = sum(k.startswith("tpch_") for k in reg)
+    n_ssb = sum(k.startswith("ssb_") for k in reg)
+    assert n_contract + n_ext + n_tpch + n_ssb == len(reg)
+
+    # SURVEY §M header + preamble
+    assert f"beyond the {n_contract}-key contract" in survey, (
+        f"§M header count drifted from {n_contract}"
+    )
+    assert f"{n_ext} keys as of this revision" in survey, (
+        f"§M preamble count drifted from {n_ext}"
+    )
+    assert f"− {n_contract} contract − {n_tpch} TPC-H − {n_ssb} SSB" in survey
+    # §2 trailing count line
+    assert f"**Count: {n_contract} operator keys" in survey, (
+        f"§2 trailing count drifted from {n_contract}"
+    )
+    # README headline
+    assert f"{len(reg)} registered operator keys" in readme
+    assert f"the {n_contract}-key SURVEY §2 contract plus {n_ext}" in readme, (
+        f"README contract/extension counts drifted from "
+        f"{n_contract}/{n_ext}"
+    )

@@ -133,6 +133,7 @@ KEYS += [
     "dedup_minhash_recall_sampled",
     "sim_knn_graph",
     "docs_knn_density_prune",
+    "docs_knn_density_prune_sampled",
     "unpivot_stack",
     "sim_search_two_stage",
     "sim_knn_graph_recall",

@@ -8,6 +8,8 @@ breaks one of these is a scale regression even if results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import dbsuite_spark
 
 SPECS = dbsuite_spark.all_specs()
@@ -1202,6 +1204,14 @@ def test_two_stage_broadcasts_shortlist_not_corpus(spark, sf_dir):
     assert tree.index("Scan parquet") < tree.index("BroadcastExchange"), (
         "corpus scan should be the streamed (non-broadcast) side"
     )
+    # the broadcast query-vector frame must be the BOUNDED query subset,
+    # not a full-corpus projection (ADVICE r07: an unfiltered qe passed
+    # the assertions above while shipping every corpus vector). Pinned:
+    # the vec_id % QUERY_MOD predicate appears on BOTH the coarse query
+    # frame and the re-rank query-vector frame.
+    assert plan.count("% 100) = 0") >= 2, (
+        "re-rank query-vector side lost its QUERY_MOD filter"
+    )
 
 
 def test_knn_graph_assignment_computed_once(spark, sf_dir):
@@ -1211,6 +1221,42 @@ def test_knn_graph_assignment_computed_once(spark, sf_dir):
     assignment subtrees."""
     plan = plan_of(spark, sf_dir, "sim_knn_graph")
     assert n_nodes(plan, "InMemoryTableScan") >= 2
+
+
+def test_density_prune_sampled_no_global_window_over_population(
+    spark, sf_dir
+):
+    """docs_knn_density_prune_sampled is the extreme-scale form of the
+    density prune (VERDICT r07 ask #4): the only single-partition sort
+    may run over the md5 HASH-SAMPLE of the density frame, never the
+    full vector population, and the 1-row threshold must come back as a
+    broadcast, not a shuffle."""
+    plan = plan_of(spark, sf_dir, "docs_knn_density_prune_sampled")
+    # no exact global rank anywhere
+    assert "percent_rank" not in plan
+    # the count-rank crossJoin and the threshold crossJoin are both
+    # 1-row broadcast nested loops
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 2
+    # density frame cached once, consumed by both the sample side and
+    # the flag side
+    assert n_nodes(plan, "InMemoryTableScan") >= 2
+    # the single-partition window consumes POST-sample rows: in
+    # formatted explain node ids are assigned leaves-first, so the md5
+    # sample Filter must carry a smaller id than the global Window
+    m_filter = re.search(r"^\((\d+)\) Filter\b", plan, re.M)
+    ids_filter = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Filter\b", plan, re.M)
+        if "md5(" in plan.split(f"({m.group(1)}) Filter", 1)[1][:600]
+    ]
+    ids_window = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Window\b", plan, re.M)
+    ]
+    assert m_filter and ids_filter, "md5 sample filter missing from plan"
+    assert ids_window and min(ids_filter) < max(ids_window), (
+        "global window does not sit above the sample filter"
+    )
 
 
 def test_unpivot_no_exchange(spark, sf_dir):

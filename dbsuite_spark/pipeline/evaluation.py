@@ -280,6 +280,211 @@ def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recall_oracle() -> str:
+    exact_sql = spec("sim_search_cosine_topk").oracle
+    pq_sql = spec("sim_search_pq_adc").oracle
+    return f"""
+WITH exact_k AS (SELECT * FROM ({exact_sql})),
+ann_k AS (SELECT * FROM ({pq_sql})),
+hits AS (
+  SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM exact_k e JOIN ann_k a
+    ON e.qid = a.qid AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.qid),
+base AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact_k
+  GROUP BY qid),
+annc AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann_k
+  GROUP BY qid)
+SELECT b.qid, b.n_exact,
+       CAST(COALESCE(a.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / {RECALL_K}
+         AS recall_at_k
+FROM base b
+LEFT JOIN annc a ON b.qid = a.qid
+LEFT JOIN hits h ON b.qid = h.qid
+"""
+
+
+@query("sim_pq_recall", oracle=_pq_recall_oracle(), category="L")
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{RECALL_K} of the PQ-ADC (product-quantization,
+    asymmetric-distance) index against the exact brute-force top-k —
+    completes the recall-dashboard family (sign-LSH, IVF, k-NN graph,
+    and now PQ), so all four index families are tunable from verified
+    honesty dashboards on the deployment's own corpus. ADC approximates
+    L2 over normalized vectors while truth ranks by cosine, so this
+    dashboard also measures the metric mismatch, not just codebook
+    coarseness.
+
+    Scale: both searches bound their own cost (PQ codes are 8 bytes per
+    vector vs 256 for float32); the eval joins k·|queries|-row frames."""
+    from dbsuite_spark.pipeline.quantization import sim_search_pq_adc
+    from dbsuite_spark.pipeline.similarity import sim_search_cosine_topk
+
+    # same caching rationale as sim_search_ann_recall
+    exact_k = memo_cache(
+        sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_exact_k:{sf_dir}",
+    )
+    ann_k = memo_cache(
+        sim_search_pq_adc(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_pq_k:{sf_dir}",
+    )
+    hits = (
+        exact_k.join(ann_k, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    base = exact_k.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    annc = ann_k.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_ann")
+    )
+    return (
+        base.join(annc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / RECALL_K
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+PREFIX_DIMS = 16  # Matryoshka prefix: first 16 of 64 dims (4x fewer bytes)
+
+
+def _dim_truncation_oracle() -> str:
+    from dbsuite_spark.pipeline.similarity import QUERY_MOD
+    from dbsuite_spark.pipeline.vectors import COSINE
+
+    exact_sql = spec("sim_search_cosine_topk").oracle
+    return f"""
+WITH e16 AS (
+  SELECT vec_id, embedding[1:{PREFIX_DIMS}] AS emb FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e16
+      WHERE vec_id % {QUERY_MOD} = 0),
+tp AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {COSINE('q.qe', 'e.emb')} AS cos_sim
+  FROM q, e16 e WHERE e.vec_id <> q.qid),
+trunc_k AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tp) WHERE rn <= {RECALL_K}),
+exact_k AS (SELECT qid, neighbor_id FROM ({exact_sql})),
+hits AS (
+  SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM exact_k e JOIN trunc_k a
+    ON e.qid = a.qid AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.qid),
+base AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact_k
+  GROUP BY qid),
+trc AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_trunc FROM trunc_k
+  GROUP BY qid)
+SELECT b.qid, b.n_exact,
+       CAST(COALESCE(t.n_trunc, 0) AS BIGINT) AS n_trunc,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / {RECALL_K}
+         AS recall_at_k
+FROM base b
+LEFT JOIN trc t ON b.qid = t.qid
+LEFT JOIN hits h ON b.qid = h.qid
+"""
+
+
+@query("sim_dim_truncation_recall", oracle=_dim_truncation_oracle(), category="L")
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval: recall@{RECALL_K} of
+    exact cosine search over only the FIRST {PREFIX_DIMS} of 64
+    dimensions against the full-dimension exact top-k (Kusupati et al.
+    2022, "Matryoshka Representation Learning": prefix sub-vectors of a
+    suitably trained embedding retain most retrieval quality). This is
+    the honesty dashboard a deployment consults before shipping the
+    cheap prefix index: at 100 TB of vectors, a 16-of-64 prefix is 4x
+    less data scanned, moved, and cached per query.
+
+    Scale: the truncated search is the same broadcast-query x one-
+    corpus-scan envelope as ``sim_search_cosine_topk``, just narrower
+    rows; the eval joins k-row-per-query frames. Cross-engine
+    exactness: prefix slices are elementwise-identical on both engines
+    (Spark ``slice`` = DuckDB ``[1:n]``), so the fold cosines stay
+    bit-identical and the rankings need no tolerance."""
+    from dbsuite_spark.pipeline.similarity import (
+        _topk,
+        QUERY_MOD,
+        sim_search_cosine_topk,
+    )
+    from dbsuite_spark.pipeline.vectors import dot, l2_norm
+
+    e16 = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding"), 1, PREFIX_DIMS).alias("emb")
+    )
+    corpus = e16.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        l2_norm(F.col("emb")).alias("nn"),
+    )
+    q = e16.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qe"),
+        l2_norm(F.col("emb")).alias("qn"),
+    )
+    pairs = corpus.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("qid")
+    ).select(
+        "qid",
+        "neighbor_id",
+        (dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))).alias(
+            "cos_sim"
+        ),
+    )
+    trunc_k = _topk(pairs, RECALL_K).select("qid", "neighbor_id")
+    exact_k = memo_cache(
+        sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_exact_k:{sf_dir}",
+    )
+    hits = (
+        exact_k.join(trunc_k, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    base = exact_k.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    trc = trunc_k.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_trunc")
+    )
+    return (
+        base.join(trc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_trunc", F.lit(0)).cast("bigint").alias("n_trunc"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / RECALL_K
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def _minhash_recall_oracle() -> str:
     truth_sql = spec("dedup_near_minhash").oracle  # exact Jaccard >= 0.5
     return f"""

@@ -624,3 +624,58 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(eranked),
         (tgt >= F.col("rk")) & (tgt <= F.col("rk") + F.col("c") - 1),
     ).select("user_id", "score", F.col("ev").alias("mapped_score"))
+
+
+# --- deterministic k-fold assignment -------------------------------------
+
+K_FOLDS = 5
+
+_KFOLD_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {K_FOLDS} AS INT) AS fold,
+         lang, n_chars
+  FROM documents)
+SELECT fold, {BIGCOUNT()} AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM f GROUP BY fold
+"""
+
+
+@query("ml_kfold_assign", oracle=_KFOLD_ORACLE, category="L")
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {K_FOLDS}-fold cross-validation assignment with the
+    per-fold balance summary a team inspects before launching K training
+    runs: fold = md5(doc_id) % {K_FOLDS} (the ``docs_train_test_split``
+    draw — content-id-keyed, so the folds are stable across reshards,
+    snapshots, and engines; no rand(), no leakage when documents are
+    re-ingested), summarized as doc count, distinct-language coverage,
+    and exact character mass per fold.
+
+    Scale: the assignment is a row-local hash; the summary is one
+    partial+final aggregation over {K_FOLDS} groups — no other shuffle
+    at any corpus size. Exactness: integer counts/sums; the mean is one
+    double division mirrored in the oracle."""
+    d = t(spark, sf_dir, "documents")
+    f = d.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % K_FOLDS
+        )
+        .cast("int")
+        .alias("fold"),
+        "lang",
+        "n_chars",
+    )
+    return f.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+    )

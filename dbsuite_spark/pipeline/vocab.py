@@ -832,3 +832,166 @@ def docs_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("hapax_ratio"),
     )
+
+
+# --- BPE merge learning (fixed rounds) -----------------------------------
+
+BPE_MERGES = 8  # learned merge rules (fixed-round, like graph_*_fixed)
+BPE_TOP_WORDS = 200  # word-frequency table cut feeding the trainer
+
+
+def _bpe_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOP_WORDS} word-frequency table, each word symbolized
+    as the ``|c1||c2||...|`` boundary-anchored encoding."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(BPE_TOP_WORDS)
+    )
+    return words.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                ),
+                "||",
+            ),
+            F.lit("|"),
+        ).alias("seq"),
+        "freq",
+    )
+
+
+def _bpe_round_best(cur: DataFrame, r: int) -> DataFrame:
+    """One BPE round's argmax rule: frequency-weighted adjacent-pair
+    counts over the symbolized word table, cut to the single best pair
+    by a distributed TakeOrdered (count DESC, pair lexicographic)."""
+    pairs = (
+        cur.select(
+            "freq",
+            F.expr(
+                "explode(case when size(split(trim(BOTH '|' FROM seq),"
+                " '\\\\|\\\\|')) >= 2 then"
+                " transform(sequence(1, size(split(trim(BOTH '|' FROM"
+                " seq), '\\\\|\\\\|')) - 1),"
+                " i -> struct("
+                "   element_at(split(trim(BOTH '|' FROM seq),"
+                "     '\\\\|\\\\|'), i) as l,"
+                "   element_at(split(trim(BOTH '|' FROM seq),"
+                "     '\\\\|\\\\|'), i + 1) as rr))"
+                " else cast(array() as"
+                "   array<struct<l:string,rr:string>>) end)"
+            ).alias("pr"),
+        )
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.rr").alias("rr"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    return (
+        pairs.orderBy(F.col("cnt").desc(), "l", "rr")
+        .limit(1)
+        .select(F.lit(r).cast("int").alias("merge_round"), "l", "rr", "cnt")
+    )
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-stage CTE chain mirroring the Spark loop round for
+    round: pair counting over the symbolized word table, deterministic
+    argmax (count DESC, pair ASC), then a boundary-anchored string
+    replace that IS greedy left-to-right non-overlapping BPE merging
+    (each symbol is wrapped ``|sym|``, so the pair pattern
+    ``|a||b|`` cannot match inside a longer symbol and consecutive
+    disjoint occurrences each match)."""
+    stages = [
+        f"""words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+  ORDER BY freq DESC, w LIMIT {BPE_TOP_WORDS}),
+w0 AS (
+  SELECT '|' || array_to_string(list_transform(
+             generate_series(1, length(word)),
+             i -> substring(word, i, 1)), '||') || '|' AS seq, freq
+  FROM words)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        stages.append(f"""p{r} AS (
+  SELECT pr.l AS l, pr.rr AS rr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+           i -> {{'l': syms[i], 'rr': syms[i + 1]}})) AS pr, freq
+    FROM (SELECT string_split(trim(seq, '|'), '||') AS syms, freq
+          FROM w{r - 1}))
+  GROUP BY pr.l, pr.rr),
+b{r} AS (
+  SELECT CAST({r} AS INT) AS merge_round, l, rr, cnt FROM p{r}
+  ORDER BY cnt DESC, l, rr LIMIT 1),
+w{r} AS (
+  SELECT replace(seq, '|' || b.l || '||' || b.rr || '|',
+                 '|' || b.l || b.rr || '|') AS seq, freq
+  FROM w{r - 1}, b{r} b)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_round, l AS lhs, rr AS rhs, l || rr AS merged, "
+        f"cnt AS pair_count FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+@query("vocab_bpe_merges_fixed", oracle=_bpe_oracle(), category="L")
+def vocab_bpe_merges_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning (Sennrich et al. 2016), {BPE_MERGES}
+    fixed rounds — the tokenizer-training step of an LLM data pipeline,
+    run the way production BPE trainers actually run: ON THE
+    WORD-FREQUENCY TABLE, not the corpus. One corpus-wide word count
+    (the only corpus-scale shuffle) is cut to the top-{BPE_TOP_WORDS}
+    words (Zipf: they carry almost all pair mass); each round then
+    counts frequency-weighted adjacent symbol pairs over that bounded
+    frame, picks the argmax pair (count DESC, pair lexicographic — no
+    rand()), and merges it greedily left-to-right in every word.
+
+    The merge step runs as a boundary-anchored string replace over the
+    ``|sym1||sym2||...|`` encoding: the pattern ``|a||b|`` consumes
+    both symbols' own delimiters, so SQL ``replace``'s left-to-right
+    non-overlapping scan is exactly BPE's greedy merge (``aaa`` under
+    (a,a) -> [aa, a]), bit-identical on both engines. Each round
+    lineage-truncates with a lazy localCheckpoint (the ``dedup_cc``
+    discipline) so the K-round plan stays O(K), not O(2^K).
+
+    Scale: after the word count, every round touches {BPE_TOP_WORDS}
+    rows — pair counting, the 1-row TakeOrdered argmax, and the 1-row
+    broadcast joined into the rewrite are all sub-kilobyte at any
+    corpus size. Returns the learned rule table (merge_round, lhs,
+    rhs, merged, pair_count)."""
+    cur = _bpe_initial(spark, sf_dir).localCheckpoint(eager=False)
+    rounds = []
+    for r in range(1, BPE_MERGES + 1):
+        best = _bpe_round_best(cur, r).localCheckpoint(eager=False)
+        rounds.append(
+            best.select(
+                "merge_round",
+                F.col("l").alias("lhs"),
+                F.col("rr").alias("rhs"),
+                F.concat("l", "rr").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("l", "rr")))
+            .select(
+                F.expr(
+                    "replace(seq, concat('|', l, '||', rr, '|'),"
+                    " concat('|', l, rr, '|'))"
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionAll(frame)
+    return out

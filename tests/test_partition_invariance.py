@@ -134,6 +134,10 @@ KEYS += [
     "sim_knn_graph",
     "docs_knn_density_prune",
     "docs_knn_density_prune_sampled",
+    "vocab_bpe_merges_fixed",
+    "sim_dim_truncation_recall",
+    "sim_pq_recall",
+    "ml_kfold_assign",
     "unpivot_stack",
     "sim_search_two_stage",
     "sim_knn_graph_recall",

@@ -1259,6 +1259,42 @@ def test_density_prune_sampled_no_global_window_over_population(
     )
 
 
+def test_bpe_merges_argmax_is_takeordered(spark, sf_dir):
+    """vocab_bpe_merges_fixed: a round's best-pair argmax must be a
+    distributed TakeOrderedAndProject (never a global sort), fed by a
+    partial+final pair-count aggregation. The full K-round key's final
+    plan is checkpoint-truncated (Scan ExistingRDD per round — the
+    lineage discipline itself), so the shape is pinned on the round
+    builder."""
+    from dbsuite_spark.pipeline.vocab import _bpe_initial, _bpe_round_best
+
+    df = _bpe_round_best(_bpe_initial(spark, sf_dir), 1)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert n_nodes(plan, "TakeOrderedAndProject") >= 1
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "HashAggregate") >= 2, (
+        "pair counts should aggregate partial+final"
+    )
+    # and the full key's final plan IS checkpoint-truncated: one
+    # ExistingRDD scan per merge round, no 2^K lineage blowup
+    full = plan_of(spark, sf_dir, "vocab_bpe_merges_fixed")
+    assert n_nodes(full, "Scan ExistingRDD") == 8
+
+
+def test_dim_truncation_broadcasts_query_side(spark, sf_dir):
+    """sim_dim_truncation_recall: the truncated search keeps the exact
+    top-k envelope — bounded query side broadcast, corpus scanned, no
+    cartesian product."""
+    plan = plan_of(spark, sf_dir, "sim_dim_truncation_recall")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") >= 1
+    assert "slice(" in plan, "prefix slice should run JVM-side"
+
+
 def test_unpivot_no_exchange(spark, sf_dir):
     """Melt is row-local generation: the plan must contain no Exchange
     at all (inherits scan partitioning)."""

@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from dbsuite_spark.exact import DAVG, DSUM, davg, dsum
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import memo_cache, t
 
 VOCAB_SIZE = 512
 SAMPLE_TARGET_CHARS = 400.0  # docs this long (or longer) are always kept
@@ -942,6 +942,107 @@ w{r} AS (
     return "WITH " + ",\n".join(stages) + "\n" + union
 
 
+def _bpe_encode_oracle() -> str:
+    """The trainer's CTE chain (for the b1..bK rules), plus the apply
+    side: the UNCUT word table symbolized and rewritten by each rule in
+    order, then reduced to corpus encoding stats."""
+    train = _bpe_oracle()
+    # reuse everything up to (but excluding) the trailing rule UNION
+    with_body = train[len("WITH "):train.index("\nSELECT merge_round")]
+    stages = [with_body]
+    stages.append(f"""wa AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w),
+a0 AS (
+  SELECT '|' || array_to_string(list_transform(
+             generate_series(1, length(word)),
+             i -> substring(word, i, 1)), '||') || '|' AS seq, freq
+  FROM wa)""")
+    for r in range(1, BPE_MERGES + 1):
+        stages.append(f"""a{r} AS (
+  SELECT replace(seq, '|' || b.l || '||' || b.rr || '|',
+                 '|' || b.l || b.rr || '|') AS seq, freq
+  FROM a{r - 1}, b{r} b)""")
+    stages.append(f"""sy AS (
+  SELECT string_split(trim(seq, '|'), '||') AS syms, freq
+  FROM a{BPE_MERGES})""")
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(syms)) AS BIGINT) AS n_symbols,
+       CAST(SUM(freq * len(syms)) AS DOUBLE) / SUM(freq)
+         AS avg_symbols_per_word,
+       (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+        FROM (SELECT unnest(syms) AS s FROM sy)) AS n_distinct_symbols
+FROM sy
+"""
+    )
+
+
+@query("docs_bpe_encode_stats", oracle=_bpe_encode_oracle(), category="L")
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BPE encoding report: the {BPE_MERGES} rules learned
+    by ``vocab_bpe_merges_fixed`` applied IN ORDER to the full
+    word-frequency dictionary (every distinct word, not just the
+    training cut), reduced to the numbers a tokenizer team tracks —
+    corpus word mass, post-merge symbol mass, average symbols per word
+    (the compression the merges bought), and the symbol-vocabulary
+    size.
+
+    Scale: the dictionary-encode pattern — each DISTINCT word is
+    encoded once and weighted by its corpus frequency, so the apply
+    side never rescans the corpus; the {BPE_MERGES} rewrites are 1-row
+    broadcasts into row-local replaces (zero shuffles beyond the word
+    count), and the rule frames are memoized per session, shared with
+    the trainer key. Exactness: integer masses, one mirrored division;
+    the symbol vocabulary counts distinct strings — no floats."""
+    d = t(spark, sf_dir, "documents")
+    wa = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit("|"),
+                F.array_join(
+                    F.expr(
+                        "transform(sequence(1, length(word)),"
+                        " i -> substring(word, i, 1))"
+                    ),
+                    "||",
+                ),
+                F.lit("|"),
+            ).alias("seq"),
+            "freq",
+        )
+    )
+    sy = _bpe_apply(wa, _bpe_rules(spark, sf_dir)).select(
+        F.split(F.expr("trim(BOTH '|' FROM seq)"), "\\|\\|").alias("syms"),
+        "freq",
+    )
+    sy = memo_cache(sy, f"bpe_encoded:{sf_dir}")
+    stats = sy.agg(
+        F.count("*").cast("bigint").alias("n_distinct_words"),
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.size("syms"))
+        .cast("bigint")
+        .alias("n_symbols"),
+        (
+            F.sum(F.col("freq") * F.size("syms")).cast("double")
+            / F.sum("freq")
+        ).alias("avg_symbols_per_word"),
+    )
+    dsym = sy.select(F.explode("syms").alias("s")).agg(
+        F.countDistinct("s").cast("bigint").alias("n_distinct_symbols")
+    )
+    return stats.crossJoin(F.broadcast(dsym))
+
+
 @query("vocab_bpe_merges_fixed", oracle=_bpe_oracle(), category="L")
 def vocab_bpe_merges_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule learning (Sennrich et al. 2016), {BPE_MERGES}
@@ -967,31 +1068,55 @@ def vocab_bpe_merges_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast joined into the rewrite are all sub-kilobyte at any
     corpus size. Returns the learned rule table (merge_round, lhs,
     rhs, merged, pair_count)."""
-    cur = _bpe_initial(spark, sf_dir).localCheckpoint(eager=False)
-    rounds = []
-    for r in range(1, BPE_MERGES + 1):
-        best = _bpe_round_best(cur, r).localCheckpoint(eager=False)
-        rounds.append(
-            best.select(
-                "merge_round",
-                F.col("l").alias("lhs"),
-                F.col("rr").alias("rhs"),
-                F.concat("l", "rr").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
+    rules = _bpe_rules(spark, sf_dir)
+    rounds = [
+        best.select(
+            "merge_round",
+            F.col("l").alias("lhs"),
+            F.col("rr").alias("rhs"),
+            F.concat("l", "rr").alias("merged"),
+            F.col("cnt").alias("pair_count"),
         )
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("l", "rr")))
-            .select(
-                F.expr(
-                    "replace(seq, concat('|', l, '||', rr, '|'),"
-                    " concat('|', l, rr, '|'))"
-                ).alias("seq"),
-                "freq",
-            )
-            .localCheckpoint(eager=False)
-        )
+        for best in rules
+    ]
     out = rounds[0]
     for frame in rounds[1:]:
         out = out.unionAll(frame)
     return out
+
+
+def _bpe_apply(words: DataFrame, rules: list[DataFrame]) -> DataFrame:
+    """Apply the learned merge rules IN ORDER to a symbolized word
+    frame: each rule is a 1-row broadcast joined into a row-local
+    boundary-anchored replace — zero additional shuffles regardless of
+    the frame's size (the scale path for encoding a whole corpus)."""
+    cur = words
+    for best in rules:
+        cur = cur.crossJoin(F.broadcast(best.select("l", "rr"))).select(
+            F.expr(
+                "replace(seq, concat('|', l, '||', rr, '|'),"
+                " concat('|', l, rr, '|'))"
+            ).alias("seq"),
+            "freq",
+        )
+    return cur
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The {BPE_MERGES} learned rules as checkpointed 1-row frames
+    (merge_round, l, rr, cnt), memoized per session so the trainer key
+    and any apply-side consumer pay for the training loop once."""
+    from dbsuite_spark.tables import _SESSION_CACHE
+
+    k = (id(spark), f"bpe_rules:{sf_dir}")
+    hit = _SESSION_CACHE.get(k)
+    if hit is not None:
+        return hit
+    cur = _bpe_initial(spark, sf_dir).localCheckpoint(eager=False)
+    rules: list[DataFrame] = []
+    for r in range(1, BPE_MERGES + 1):
+        best = _bpe_round_best(cur, r).localCheckpoint(eager=False)
+        rules.append(best)
+        cur = _bpe_apply(cur, [best]).localCheckpoint(eager=False)
+    _SESSION_CACHE[k] = rules
+    return rules

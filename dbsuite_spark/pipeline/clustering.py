@@ -319,3 +319,101 @@ def ml_kmeans_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         _units_cval(F.col("units"), F.col("n")).alias("c_val"),
         F.col("n").cast("bigint").alias("n_members"),
     )
+
+
+# --- farthest-point (k-center) seeding -----------------------------------
+
+FPS_K = 4  # chosen centers (fixed rounds, like graph_*_fixed)
+
+
+def _fps_oracle() -> str:
+    from dbsuite_spark.pipeline.vectors import SQDIST
+
+    stages = [
+        """ch1 AS (
+  SELECT CAST(1 AS INT) AS round, vec_id, CAST(NULL AS DOUBLE) AS dist2
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1)),
+pick1 AS (SELECT vec_id FROM ch1)"""
+    ]
+    for r in range(2, FPS_K + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT vec_id FROM pick{i}" for i in range(1, r)
+        )
+        stages.append(f"""all{r - 1} AS ({prev_picks}),
+m{r} AS (
+  SELECT e.vec_id, MIN({SQDIST('e.embedding', 'c.embedding')}) AS md
+  FROM embeddings e
+  JOIN (SELECT emb.vec_id, emb.embedding FROM embeddings emb
+        JOIN all{r - 1} a ON emb.vec_id = a.vec_id) c ON TRUE
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM all{r - 1})
+  GROUP BY e.vec_id),
+ch{r} AS (
+  SELECT CAST({r} AS INT) AS round, vec_id, md AS dist2 FROM m{r}
+  ORDER BY md DESC, vec_id LIMIT 1),
+pick{r} AS (SELECT vec_id FROM ch{r})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT round, vec_id, dist2 FROM ch{r}"
+        for r in range(1, FPS_K + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+@query("ml_farthest_point_init", oracle=_fps_oracle(), category="L")
+def ml_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (k-center / Gonzalez 1985) seeding, {FPS_K} fixed
+    rounds — the deterministic alternative to k-means++ sampling for
+    initializing ``ml_kmeans_fixed`` / IVF codebooks: start from the
+    lowest-id vector, then repeatedly pick the vector maximizing its
+    minimum squared L2 distance to the chosen set (distance DESC,
+    vec_id ASC tie-break — no RNG anywhere, the k-means module's
+    determinism contract).
+
+    Exactness: squared distances are the sequential double fold of
+    ``pipeline.vectors.sqdist`` (bit-identical to the oracle's
+    ``SQDIST``); MIN over the chosen set and the argmax comparison
+    operate on those identical bits.
+
+    Scale: each round is one corpus scan against a broadcast ≤{FPS_K}-row
+    center set, a per-vector MIN, and a 1-row TakeOrdered argmax —
+    O(K·corpus) work, no corpus shuffle at all; rounds lineage-truncate
+    with lazy localCheckpoints (the BPE/CC discipline). Returns
+    (round, vec_id, dist2) with dist2 NULL for the seed."""
+    from dbsuite_spark.pipeline.vectors import sqdist
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("round"),
+            "vec_id",
+            F.lit(None).cast("double").alias("dist2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = [seed]
+    chosen = seed.select("vec_id")
+    for r in range(2, FPS_K + 1):
+        cents = e.join(F.broadcast(chosen), "vec_id").select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+        )
+        nxt = (
+            e.join(F.broadcast(chosen), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.min(sqdist(F.col("embedding"), F.col("ce"))).alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "vec_id",
+                F.col("md").alias("dist2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(nxt)
+        chosen = chosen.unionAll(nxt.select("vec_id"))
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionAll(frame)
+    return out

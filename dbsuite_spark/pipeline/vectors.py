@@ -48,3 +48,28 @@ def L2NORM(a: str) -> str:
 
 def COSINE(a: str, b: str) -> str:
     return f"({DOT(a, b)} / ({L2NORM(a)} * {L2NORM(b)}))"
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double — the same fold
+    discipline as :func:`dot` (0.0 seed, left-to-right), so the bits
+    match :func:`SQDIST` on any engine and partitioning."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def SQDIST(a: str, b: str) -> str:
+    """DuckDB twin of sqdist() — identical op order, identical bits."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * "
+        f"(CAST({a}[i] AS DOUBLE) - {b}[i])), (x, y) -> x + y)"
+    )

@@ -699,6 +699,93 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_right_outer_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT p.purchase_id, c.click_id, c.user_id, c.click_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 30 MINUTE
+                      AND p.purchase_ts),
+wm AS (
+  SELECT LEAST((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'purchase'),
+               (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                WHERE event_type = 'click')) - INTERVAL 20 DAY AS w)
+SELECT purchase_id, click_id, user_id, click_ts FROM m
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id,
+       c.user_id, c.click_ts
+FROM c, wm
+WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+""",
+    category="I",
+)
+def stream_stream_right_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER join — completes the join matrix
+    (inner / left-outer / full-outer / left-semi / right-outer): a
+    click with no same-user purchase in its FOLLOWING 30 minutes must
+    eventually emit with a NULL purchase. The asymmetry vs the
+    left-outer key is the eviction bound: a click at t can still match
+    purchases with purchase_ts ∈ [t, t+30min], so its NULL row emits
+    only once the watermark passes ``click_ts + 30min`` (the
+    left-outer's purchases emit at ``purchase_ts < wm`` because their
+    match window looks BACKWARD). Closed form — batch inner join ∪
+    unmatched clicks with ``click_ts + 30min < wm``, wm = least(both
+    sides' max ts) − 20 days — verified empirically at sf0.001 and
+    sf0.01, making this a full hash oracle. Same boundary note as the
+    left-outer key: strict ``<`` at the watermark.
+
+    Scale: identical state-bounding story as the left-outer key — the
+    time-range predicate gives each side a finite state TTL; the right
+    side's TTL is its event time plus the window length."""
+    path, src = _land_events(spark, sf_dir, "ssroj", n_files=2)
+    purchases = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "20 days")
+    )
+    clicks = (
+        _read_stream(spark, path, src.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "20 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "rightOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+    )
+    return _run_to_memory(spark, joined, "mem_ssroj", "append")
+
+
+@query(
     "stream_windowed_distinct_users",
     oracle=f"""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

@@ -136,6 +136,7 @@ KEYS += [
     "docs_knn_density_prune_sampled",
     "vocab_bpe_merges_fixed",
     "docs_bpe_encode_stats",
+    "ml_farthest_point_init",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

@@ -449,3 +449,83 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("au").alias("score_units"),
         )
     )
+
+
+# --- BFS layers from a deterministic seed ---------------------------------
+
+BFS_ROUNDS = 4  # fixed frontier expansions (graph diameter here is ~3)
+
+_BFS_EDGES_SQL = """
+base AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'e' || event_type AS v
+  FROM events),
+edges AS (
+  SELECT u AS src, v AS dst FROM base
+  UNION ALL
+  SELECT v AS src, u AS dst FROM base)"""
+
+
+def _bfs_oracle() -> str:
+    stages = [
+        _BFS_EDGES_SQL.strip(),
+        """f0 AS (SELECT MIN(src) AS node FROM edges),
+lab0 AS (SELECT node, CAST(0 AS INT) AS layer FROM f0)""",
+    ]
+    for r in range(1, BFS_ROUNDS + 1):
+        seen = " UNION ALL ".join(
+            f"SELECT node FROM lab{i}" for i in range(r)
+        )
+        stages.append(f"""n{r} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN lab{r - 1} f ON e.src = f.node),
+lab{r} AS (
+  SELECT node, CAST({r} AS INT) AS layer FROM n{r}
+  WHERE node NOT IN ({seen}))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT node, layer FROM lab{r}" for r in range(BFS_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+@query("graph_bfs_layers_fixed", oracle=_bfs_oracle(), category="L")
+def graph_bfs_layers_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS layers ({BFS_ROUNDS} fixed frontier
+    expansions) over the user↔event-type bipartite graph — hop-count
+    shortest paths from a deterministic seed (the lexicographically
+    smallest node), the traversal primitive the graph family was
+    missing next to PageRank/HITS/CC/k-core. Layer = first round a
+    node is reached; integers only, no tie-break needed (every
+    frontier is a set).
+
+    Scale: each round is one join of the frontier against the edge
+    list (both hash-partitioned on the node key), a DISTINCT, and an
+    anti-join against the labeled set — the textbook distributed-BFS
+    round, no driver-side collect of any frontier; rounds
+    lineage-truncate with lazy localCheckpoints. The fixture graph's
+    diameter is ~3, so {BFS_ROUNDS} rounds label every reachable node;
+    the unrolled-CTE oracle runs the identical expansion."""
+    from dbsuite_spark.tables import memo_cache
+
+    edges = memo_cache(_edges(spark, sf_dir), f"bfs_edges:{sf_dir}")
+    labeled = (
+        edges.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("int").alias("layer"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = labeled.select("node")
+    out = labeled
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("int").alias("layer"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(nxt)
+        frontier = nxt.select("node")
+    return out

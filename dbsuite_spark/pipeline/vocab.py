@@ -1120,3 +1120,105 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         cur = _bpe_apply(cur, [best]).localCheckpoint(eager=False)
     _SESSION_CACHE[k] = rules
     return rules
+
+
+# --- interpolated bigram LM scoring ---------------------------------------
+
+BIGRAM_LAMBDA = "0.7"  # bigram weight; unigram weight is the literal 0.3
+
+
+def _bigram_lm_oracle() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+uni AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY t),
+total AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+stream AS (
+  SELECT doc_id, pr.prev AS prev, pr.w AS w FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+           i -> {{'prev': tk[i], 'w': tk[i + 1]}})) AS pr
+    FROM tok)),
+bi AS (
+  SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM stream GROUP BY prev, w),
+scored AS (
+  SELECT s.doc_id,
+         round(-ln({BIGRAM_LAMBDA} * (CAST(b.c2 AS DOUBLE) / cp.c1)
+                   + 0.3 * (CAST(cw.c1 AS DOUBLE) / total.n)), 6) AS nll
+  FROM stream s
+  JOIN bi b ON b.prev = s.prev AND b.w = s.w
+  JOIN uni cp ON cp.w = s.prev
+  JOIN uni cw ON cw.w = s.w
+  CROSS JOIN total)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {DAVG('nll')} AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("docs_bigram_logprob_interp", oracle=_bigram_lm_oracle(), category="L")
+def docs_bigram_logprob_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average NLL under an INTERPOLATED bigram LM —
+    nll = −ln(λ·c₂(prev,w)/c₁(prev) + (1−λ)·c₁(w)/N), λ=0.7 — the
+    CCNet-style step up from ``docs_unigram_logprob``: bigram context
+    separates fluent text from bag-of-frequent-words spam that fools a
+    unigram scorer. Every observed bigram has c₂ ≥ 1 so the
+    interpolation never needs smoothing beyond the unigram backoff.
+
+    Cross-engine exactness: c₂/c₁ and c₁/N are single double divisions
+    of exact integers; the λ-weighted sum uses the literal constants
+    0.7 and 0.3 (never computing 1−λ, whose rounding differs from the
+    literal); ln is rounded to 6 dp before the order-free decimal mean
+    — the ``docs_unigram_logprob`` discipline.
+
+    Scale: one bigram count and one unigram count (both partial+final,
+    map-side combined), then the bigram stream joins counts hash-
+    partitioned on its keys and reduces per doc; N is a 1-row
+    broadcast. No Python, no per-doc lists."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    tok = d.select("doc_id", F.explode("tk").alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
+    total = uni.agg(F.sum("c1").cast("bigint").alias("n"))
+    stream = d.select(
+        "doc_id",
+        F.expr(
+            "explode(case when size(tk) >= 2 then"
+            " transform(sequence(1, size(tk) - 1),"
+            " i -> struct(element_at(tk, i) as prev,"
+            "             element_at(tk, i + 1) as w))"
+            " else cast(array() as"
+            "   array<struct<prev:string,w:string>>) end)"
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.prev").alias("prev"), F.col("pr.w").alias("w"))
+    bi = stream.groupBy("prev", "w").agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    cp = uni.select(F.col("w").alias("prev"), F.col("c1").alias("c1_prev"))
+    cw = uni.select("w", F.col("c1").alias("c1_w"))
+    lam = float(BIGRAM_LAMBDA)
+    scored = (
+        stream.join(bi, ["prev", "w"])
+        .join(cp, "prev")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(lam)
+                    * (F.col("c2").cast("double") / F.col("c1_prev"))
+                    + F.lit(0.3)
+                    * (F.col("c1_w").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        davg(F.col("nll")).alias("avg_nll"),
+    )

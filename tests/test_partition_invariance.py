@@ -137,6 +137,8 @@ KEYS += [
     "vocab_bpe_merges_fixed",
     "docs_bpe_encode_stats",
     "ml_farthest_point_init",
+    "graph_bfs_layers_fixed",
+    "docs_bigram_logprob_interp",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

@@ -381,3 +381,103 @@ def etl_mask_pii_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double")
         .alias("acctbal_bucket"),
     )
+
+
+T_CLOSENESS = 0.2  # max admissible total-variation distance per QI class
+
+_TCLOSE_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM customer),
+gdist AS (SELECT c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS cs
+         FROM customer GROUP BY 1),
+cls AS (SELECT c_nationkey AS g, CAST(COUNT(*) AS BIGINT) AS ng
+        FROM customer GROUP BY 1),
+cell AS (SELECT c_nationkey AS g, c_mktsegment AS s,
+                CAST(COUNT(*) AS BIGINT) AS cgs
+         FROM customer GROUP BY 1, 2),
+grid AS (
+  SELECT cls.g, cls.ng, gdist.s, gdist.cs, COALESCE(cell.cgs, 0) AS cgs,
+         n.n_total
+  FROM cls CROSS JOIN gdist CROSS JOIN n
+  LEFT JOIN cell ON cell.g = cls.g AND cell.s = gdist.s),
+d AS (
+  SELECT g, ng,
+         CAST(round(abs(CAST(cgs AS DOUBLE) / ng
+                        - CAST(cs AS DOUBLE) / n_total), 6)
+              AS DECIMAL(18,6)) AS ad
+  FROM grid)
+SELECT g AS c_nationkey,
+       CAST(MIN(ng) AS BIGINT) AS group_size,
+       CAST(SUM(ad) AS DOUBLE) / 2 AS tvd,
+       CAST(SUM(ad) AS DOUBLE) / 2 <= {T_CLOSENESS} AS t_close
+FROM d GROUP BY g
+"""
+
+
+@query("etl_t_closeness", oracle=_TCLOSE_ORACLE, category="K")
+def etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third gate of the release-privacy trio
+    (``etl_k_anonymity`` bounds class size, ``etl_l_diversity`` bounds
+    sensitive-value variety, this bounds sensitive-value SKEW): each
+    quasi-identifier class's market-segment distribution must sit
+    within total-variation distance {T_CLOSENESS} of the global
+    distribution, else the class leaks its members' likely segment
+    even when k-anonymous and l-diverse. TVD over a categorical
+    sensitive attribute is half the sum of |q_class − p_global| across
+    the full segment domain (absent segments contribute q=0 via the
+    domain cross join).
+
+    Exactness: both proportions are single double divisions of exact
+    integers; each |q−p| rounds to 6 dp into DECIMAL before the
+    order-free SUM, then one halving division — no float-order hazard.
+
+    Scale: three partial+final counts (class, segment, cell) plus a
+    |classes|×|domain| grid join of dimension-sized frames — the audit
+    never reshuffles the fact table beyond its one grouping pass."""
+    c = t(spark, sf_dir, "customer")
+    n = c.agg(F.count("*").cast("bigint").alias("n_total"))
+    glob = c.groupBy(F.col("c_mktsegment").alias("s")).agg(
+        F.count("*").cast("bigint").alias("cs")
+    )
+    cls = c.groupBy(F.col("c_nationkey").alias("g")).agg(
+        F.count("*").cast("bigint").alias("ng")
+    )
+    cell = c.groupBy(
+        F.col("c_nationkey").alias("g2"), F.col("c_mktsegment").alias("s2")
+    ).agg(F.count("*").cast("bigint").alias("cgs"))
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cell),
+            (F.col("g") == F.col("g2")) & (F.col("s") == F.col("s2")),
+            "left",
+        )
+        .select(
+            "g",
+            "ng",
+            "cs",
+            "n_total",
+            F.coalesce("cgs", F.lit(0)).alias("cgs"),
+        )
+    )
+    ad = F.round(
+        F.abs(
+            F.col("cgs").cast("double") / F.col("ng")
+            - F.col("cs").cast("double") / F.col("n_total")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        grid.select("g", "ng", ad.alias("ad"))
+        .groupBy("g")
+        .agg(
+            F.min("ng").cast("bigint").alias("group_size"),
+            (F.sum("ad").cast("double") / 2).alias("tvd"),
+        )
+        .select(
+            F.col("g").alias("c_nationkey"),
+            "group_size",
+            "tvd",
+            (F.col("tvd") <= T_CLOSENESS).alias("t_close"),
+        )
+    )

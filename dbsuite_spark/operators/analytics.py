@@ -2284,3 +2284,102 @@ def ts_var_historic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("var_p5"),
     )
+
+
+# --- Wilson lower-bound conversion ranking --------------------------------
+
+WILSON_Z = "1.96"  # 95% two-sided; z^2 = 3.8416 exactly (1.96^2)
+WILSON_Z2 = "3.8416"
+
+_WILSON_ORACLE = f"""
+WITH m AS (
+  SELECT user_id,
+         CAST(COUNT(*) FILTER (WHERE event_type IN ('view', 'purchase'))
+              AS BIGINT) AS n_trials,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT user_id, n_trials, n_purchases,
+         CAST(n_purchases AS DOUBLE) / n_trials AS p_hat,
+         CAST(n_trials AS DOUBLE) AS nd
+  FROM m WHERE n_trials >= 1)
+SELECT user_id, n_trials, n_purchases, p_hat,
+       (p_hat + {WILSON_Z2} / (2.0 * nd)
+        - {WILSON_Z} * sqrt(p_hat * (1.0 - p_hat) / nd
+                            + {WILSON_Z2} / (4.0 * nd * nd)))
+         / (1.0 + {WILSON_Z2} / nd) AS wilson_lb,
+       CAST(row_number() OVER (
+           ORDER BY (p_hat + {WILSON_Z2} / (2.0 * nd)
+                     - {WILSON_Z} * sqrt(p_hat * (1.0 - p_hat) / nd
+                                         + {WILSON_Z2} / (4.0 * nd * nd)))
+                      / (1.0 + {WILSON_Z2} / nd) DESC,
+                    user_id) AS INT) AS rank
+FROM s
+"""
+
+
+@query("events_wilson_ctr_rank", oracle=_WILSON_ORACLE, category="E")
+def events_wilson_ctr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase share of view/purchase activity ranked by the WILSON SCORE
+    LOWER BOUND (95%) — the canonical fix for "how not to sort by
+    average rating": a 1/1 converter must not outrank a 48/50 one, so
+    items order by the confidence-penalized lower bound, not p̂. The
+    interval is the closed-form Wilson score with z=1.96 (z² = 3.8416
+    exactly, used as a literal on both engines — never computed as
+    z·z).
+
+    Exactness: p̂ and every interval term are the same IEEE expression
+    tree on both engines (sqrt is correctly rounded, so identical
+    inputs give identical bits); the rank orders by those identical
+    doubles with a user_id tie-break.
+
+    Scale: one partial+final conditional aggregation per user; the
+    ranking window runs over the already-reduced per-user frame (the
+    ``events_rfm_segmentation`` caveat: at billions of users swap the
+    global row_number for a TakeOrdered top-N or a sampled-threshold
+    cut, as ``docs_knn_density_prune_sampled`` demonstrates)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.count(
+            F.when(F.col("event_type").isin("view", "purchase"), 1)
+        )
+        .cast("bigint")
+        .alias("n_trials"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    s = m.filter(F.col("n_trials") >= 1).select(
+        "user_id",
+        "n_trials",
+        "n_purchases",
+        (F.col("n_purchases").cast("double") / F.col("n_trials")).alias(
+            "p_hat"
+        ),
+        F.col("n_trials").cast("double").alias("nd"),
+    )
+    z = float(WILSON_Z)
+    z2 = float(WILSON_Z2)
+    lb = (
+        F.col("p_hat")
+        + F.lit(z2) / (F.lit(2.0) * F.col("nd"))
+        - F.lit(z)
+        * F.sqrt(
+            F.col("p_hat") * (F.lit(1.0) - F.col("p_hat")) / F.col("nd")
+            + F.lit(z2) / (F.lit(4.0) * F.col("nd") * F.col("nd"))
+        )
+    ) / (F.lit(1.0) + F.lit(z2) / F.col("nd"))
+    w = Window.orderBy(F.col("wilson_lb").desc(), "user_id")
+    return (
+        s.select(
+            "user_id", "n_trials", "n_purchases", "p_hat",
+            lb.alias("wilson_lb"),
+        )
+        .select(
+            "*",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )

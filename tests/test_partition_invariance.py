@@ -139,6 +139,8 @@ KEYS += [
     "ml_farthest_point_init",
     "graph_bfs_layers_fixed",
     "docs_bigram_logprob_interp",
+    "etl_t_closeness",
+    "events_wilson_ctr_rank",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

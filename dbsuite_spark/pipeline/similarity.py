@@ -344,6 +344,16 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic recall/cost dial; ``ml_kmeans_fixed`` is the centroid
     refinement. Deterministic end to end → FULL hash oracle; recall vs
     the exact key additionally asserted in tests/test_pipeline.py."""
+    pairs = _ivf_scored_pairs(spark, sf_dir, N_PROBE)
+    return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")
+
+
+def _ivf_scored_pairs(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """Distinct IVF candidate pairs with their exact cosines at the
+    given ``nprobe`` — the parametrized body shared by
+    ``sim_search_ann_ivf`` (nprobe={N_PROBE}) and the tuning sweep."""
     e = t(spark, sf_dir, "embeddings")
     cents = (
         e.orderBy("vec_id")
@@ -383,9 +393,9 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qid",
         "qe",
-        N_PROBE,
+        nprobe,
     )
-    pairs = (
+    return (
         corpus.join(F.broadcast(queries), "cell")
         .filter(F.col("neighbor_id") != F.col("qid"))
         .select(
@@ -395,7 +405,111 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")
+
+
+PROBE_SWEEP = (1, 2, 4)  # nprobe settings measured by the tuning sweep
+
+
+def _ivf_probe_sweep_oracle() -> str:
+    from dbsuite_spark.registry import spec as _spec
+
+    exact_sql = _spec("sim_search_cosine_topk").oracle
+    stages = [
+        f"""cents AS (
+  SELECT vec_id AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}),
+corpus_cells AS {_ivf_cells_sql("", "neighbor_id", 1)},
+exact_k AS (SELECT qid, neighbor_id FROM ({exact_sql})),
+nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries
+       FROM exact_k)"""
+    ]
+    for p in PROBE_SWEEP:
+        stages.append(f"""qc{p} AS {_ivf_cells_sql(
+            f" WHERE e.vec_id % {QUERY_MOD} = 0", "qid", p)},
+cand{p} AS (
+  SELECT DISTINCT q.qid, cc.neighbor_id
+  FROM corpus_cells cc JOIN qc{p} q USING (cell)
+  WHERE cc.neighbor_id <> q.qid),
+top{p} AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT cand{p}.qid, cand{p}.neighbor_id,
+           row_number() OVER (PARTITION BY cand{p}.qid
+             ORDER BY {COSINE("qe.embedding", "ne.embedding")} DESC,
+                      cand{p}.neighbor_id) AS rn
+    FROM cand{p}
+    JOIN embeddings qe ON qe.vec_id = cand{p}.qid
+    JOIN embeddings ne ON ne.vec_id = cand{p}.neighbor_id)
+  WHERE rn <= {TOP_K}),
+row{p} AS (
+  SELECT CAST({p} AS INT) AS nprobe, nq.n_queries,
+         CAST((SELECT COUNT(*) FROM cand{p}) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM top{p} tp
+               JOIN exact_k x ON tp.qid = x.qid
+                AND tp.neighbor_id = x.neighbor_id) AS DOUBLE)
+           / ({TOP_K} * nq.n_queries) AS mean_recall,
+         CAST((SELECT COUNT(*) FROM cand{p}) AS DOUBLE) / nq.n_queries
+           AS avg_candidates
+  FROM nq)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM row{p}" for p in PROBE_SWEEP)
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+@query("sim_ivf_probe_sweep", oracle=_ivf_probe_sweep_oracle(), category="L")
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe TUNING CURVE the recall dashboards promise: mean
+    recall@{TOP_K} and average candidate volume per query at nprobe ∈
+    {PROBE_SWEEP} — the two axes of the classic recall/cost dial, so a
+    deployment picks its operating point from measured numbers on its
+    own corpus instead of folklore. Composes the parametrized IVF body
+    (``_ivf_scored_pairs``) with the verified exact top-k truth.
+
+    Exactness: recall is SUM(hits)/(k·|queries|) — one double division
+    of exact integers; candidate volume likewise. No per-query floats
+    survive to the output.
+
+    Scale: each sweep point costs one corpus-assignment reuse + a
+    candidates-sized exact re-rank (candidate volume ≈ nprobe/cells of
+    the corpus — the dial itself); the eval joins are k-row-per-query
+    frames. The corpus cell assignment is nprobe-independent and the
+    exact truth is memoized across dashboards."""
+    exact_k = memo_cache(
+        sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
+        f"eval_exact_k:{sf_dir}",
+    )
+    nq = exact_k.agg(
+        F.countDistinct("qid").cast("bigint").alias("n_queries")
+    )
+    rows = []
+    for p in PROBE_SWEEP:
+        cand = _ivf_scored_pairs(spark, sf_dir, p)
+        topk = _topk(cand).select("qid", "neighbor_id")
+        ncand = cand.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        hits = topk.join(exact_k, ["qid", "neighbor_id"]).agg(
+            F.count("*").cast("bigint").alias("n_hits")
+        )
+        rows.append(
+            nq.crossJoin(F.broadcast(ncand))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                "n_candidates",
+                (
+                    F.col("n_hits").cast("double")
+                    / (F.lit(TOP_K) * F.col("n_queries"))
+                ).alias("mean_recall"),
+                (
+                    F.col("n_candidates").cast("double")
+                    / F.col("n_queries")
+                ).alias("avg_candidates"),
+            )
+        )
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionAll(frame)
+    return out
 
 
 RADIUS = 0.25

@@ -141,6 +141,7 @@ KEYS += [
     "docs_bigram_logprob_interp",
     "etl_t_closeness",
     "events_wilson_ctr_rank",
+    "sim_ivf_probe_sweep",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

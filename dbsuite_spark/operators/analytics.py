@@ -2383,3 +2383,77 @@ def events_wilson_ctr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )
+
+
+# --- dynamic-gap session windows (Spark session_window API) ---------------
+
+DYN_GAP_PURCHASE_US = 3_600_000_000  # purchases hold sessions open 60 min
+DYN_GAP_DEFAULT_US = 1_800_000_000  # everything else: 30 min
+
+_DYN_SESS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                             THEN {DYN_GAP_PURCHASE_US}
+                             ELSE {DYN_GAP_DEFAULT_US} END AS end_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, value, ts_us, end_us,
+         CASE WHEN ts_us < MAX(end_us) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_s
+  FROM ev),
+sess AS (
+  SELECT user_id, ts, value, end_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, ts_us,
+                          end_us ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       make_timestamp(MAX(end_us)) AS session_end,
+       {BIGCOUNT("*")} AS n_events,
+       {DSUM("value")} AS total_value
+FROM sess GROUP BY user_id, seq
+"""
+
+
+@query("win_session_dynamic_gap", oracle=_DYN_SESS_ORACLE, category="E")
+def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT gap — Spark's dynamic-gap
+    ``session_window`` (the Spark 3.2+/4 API this repo's fixed-gap keys
+    don't exercise): a purchase holds its session open 60 minutes,
+    anything else 30, so checkout flows don't fragment. Each event
+    contributes the interval [ts, ts+gap); overlapping intervals merge
+    into one session per user.
+
+    The oracle is the closed-form interval union: order each user's
+    events by time, a session breaks exactly when an event's start is
+    ≥ the running MAX of all previous interval ends (exclusive-end
+    semantics, verified empirically against the engine at two scales);
+    microsecond-integer arithmetic end to end, so the merge decisions
+    and both session bounds are bit-identical.
+
+    Scale: the engine plans session_window as one exchange on user_id
+    + a sort-based session merge (state = one open session per user);
+    the oracle's two windows share a single (user; time) sort. Both
+    are the ``win_sessionize`` envelope with a variable gap."""
+    e = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -142,6 +142,7 @@ KEYS += [
     "etl_t_closeness",
     "events_wilson_ctr_rank",
     "sim_ivf_probe_sweep",
+    "win_session_dynamic_gap",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

@@ -223,10 +223,14 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain — shingle index, candidate set, verified pairs — is
     memoized per session, so a session that runs several dedup stages
     (the bench, the corpus pipeline) pays for the signature/banding
-    chain once and never re-caches it (VERDICT r07 hygiene)."""
+    chain once and never re-caches it (VERDICT r07 hygiene). Every
+    plan-shaping tunable is folded into the memo key so a changed (or
+    test-monkeypatched) constant rebuilds rather than returning the
+    stale frame."""
     return memo_frame(
         spark,
-        f"minhash_pairs:{sf_dir}",
+        f"minhash_pairs:{sf_dir}:{N_HASHES}:{BAND_BUCKET_CAP}:"
+        f"{JACCARD_THRESHOLD}",
         lambda: _minhash_verified_pairs_build(spark, sf_dir),
     )
 

@@ -98,7 +98,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding — provably equal to the brute-force oracle (see module doc),
     while joining only on band collisions at scale."""
     sig = memo_cache(
-        _simhash_signatures(spark, sf_dir), f"simhash_sig:{sf_dir}"
+        _simhash_signatures(spark, sf_dir), f"simhash_sig:{sf_dir}:{SIM_BITS}:{SIM_BANDS}"
     )
     bands = sig.select(
         "doc_id",

@@ -777,7 +777,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_GRAPH_K),
         # consumed twice by the mutuality self-join, and rebuilt by
         # repeat invocations in one session
-        f"knn_graph_topk:{sf_dir}",
+        f"knn_graph_topk:{sf_dir}:{KNN_GRAPH_K}",
     )
     t2 = topk.select(
         F.col("src").alias("dst2"),

@@ -1108,7 +1108,7 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     and any apply-side consumer pay for the training loop once."""
     from dbsuite_spark.tables import _SESSION_CACHE
 
-    k = (id(spark), f"bpe_rules:{sf_dir}")
+    k = (id(spark), f"bpe_rules:{sf_dir}:{BPE_MERGES}:{BPE_TOP_WORDS}")
     hit = _SESSION_CACHE.get(k)
     if hit is not None:
         return hit

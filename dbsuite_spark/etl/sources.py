@@ -951,3 +951,41 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "documents").select(*[f.name for f in schema])
     src.write.mode("overwrite").json(path)
     return spark.read.schema(schema).json(path)
+
+
+def _ddl_oracle() -> str:
+    parts = []
+    for tbl, cols in _DOC_SCHEMA.items():
+        body = ", ".join(f"{col} {ntype}" for col, ntype in cols)
+        ddl = f"CREATE TABLE {tbl} ({body})"
+        parts.append(
+            f"SELECT '{tbl}' AS table_name,\n"
+            f"       CAST({len(cols)} AS INT) AS n_columns,\n"
+            f"       '{ddl}' AS ddl"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("catalog_ddl_generate", oracle=_ddl_oracle(), category="A")
+def catalog_ddl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL generation — the other half of the dbmakedoc surface next to
+    ``catalog_document``: one CREATE TABLE statement per fixture table,
+    rendered from the LIVE Spark schema in the neutral type vocabulary
+    (int64/float64/...), so the emitted DDL is engine-portable and any
+    fixture type drift breaks the hash loudly instead of silently
+    documenting the wrong schema. The oracle renders the same statements
+    from the canonical FIXTURE_SCHEMA descriptor.
+
+    Catalog metadata is tiny and driver-side by nature (the
+    ``catalog_introspect`` precedent); no table data is read at all."""
+    rows = []
+    for tbl in TABLES:
+        fields = t(spark, sf_dir, tbl).schema.fields
+        body = ", ".join(
+            f"{f.name} {_NEUTRAL_TYPES[f.dataType.simpleString()]}"
+            for f in fields
+        )
+        rows.append((tbl, len(fields), f"CREATE TABLE {tbl} ({body})"))
+    return spark.createDataFrame(
+        rows, "table_name string, n_columns int, ddl string"
+    )

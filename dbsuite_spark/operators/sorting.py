@@ -307,3 +307,69 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RESERVOIR_K)
         .drop("hv")
     )
+
+
+# --- keyset (seek-method) pagination ---------------------------------------
+
+KEYSET_PAGE = 20  # rows per page; the key fetches page 3
+
+_KEYSET_ORACLE = f"""
+WITH cur AS (
+  SELECT o_orderdate AS c_date, o_orderkey AS c_key
+  FROM orders ORDER BY o_orderdate, o_orderkey
+  LIMIT 1 OFFSET {2 * KEYSET_PAGE - 1})
+SELECT o_orderkey, o_orderdate, o_custkey, o_totalprice
+FROM orders, cur
+WHERE o_orderdate > c_date
+   OR (o_orderdate = c_date AND o_orderkey > c_key)
+ORDER BY o_orderdate, o_orderkey LIMIT {KEYSET_PAGE}
+"""
+
+
+@query("limit_keyset_pagination", oracle=_KEYSET_ORACLE, category="F")
+def limit_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the scale-correct companion to
+    ``limit_offset_pagination``: page N+1 is fetched by seeking past
+    the last row of page N with the lexicographic cursor predicate
+    ``(o_orderdate, o_orderkey) > (cursor)``, then taking the next
+    {KEYSET_PAGE} rows. OFFSET must scan-and-discard every earlier
+    page (O(N·page) at depth N — its own key documents that); the
+    seek form is O(page) per request because the cursor predicate
+    prunes at the scan once the cursor is a literal (here the cursor
+    is computed in-query for self-containment — a 1-row broadcast).
+
+    Deterministic: (o_orderdate, o_orderkey) is a unique total order
+    (o_orderkey is unique), so the page content is exact on both
+    engines.
+
+    Scale: the page fetch plans as cursor-filter + TakeOrdered —
+    per-partition heaps of {KEYSET_PAGE} rows, no global sort, no
+    discarded prefix."""
+    from pyspark.sql import functions as F
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey", "o_totalprice"
+    )
+    cur = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(2 * KEYSET_PAGE)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("c_date"),
+            F.col("o_orderkey").alias("c_key"),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(cur))
+        .filter(
+            (F.col("o_orderdate") > F.col("c_date"))
+            | (
+                (F.col("o_orderdate") == F.col("c_date"))
+                & (F.col("o_orderkey") > F.col("c_key"))
+            )
+        )
+        .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(KEYSET_PAGE)
+    )

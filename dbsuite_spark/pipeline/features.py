@@ -418,3 +418,85 @@ def rec_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((co_d * nn_d) / (na_d * nb_d)).alias("lift"),
         )
     )
+
+
+# --- item-item Jaccard similarity -----------------------------------------
+
+JACCARD_ITEM_MIN_CO = 2  # pairs must co-occur in >= 2 baskets
+JACCARD_ITEM_TOPK = 3  # neighbors kept per item
+
+_ITEM_JACCARD_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_baskets FROM op GROUP BY p),
+co AS (
+  SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM op x JOIN op y ON x.o = y.o AND x.p <> y.p
+  GROUP BY x.p, y.p),
+j AS (
+  SELECT co.a, co.b, co.n_co, da.n_baskets AS n_a, db.n_baskets AS n_b,
+         CAST(co.n_co AS DOUBLE)
+           / (da.n_baskets + db.n_baskets - co.n_co) AS jaccard
+  FROM co
+  JOIN deg da ON da.p = co.a
+  JOIN deg db ON db.p = co.b
+  WHERE co.n_co >= {JACCARD_ITEM_MIN_CO})
+SELECT a, b, n_co, n_a, n_b, jaccard, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+      ORDER BY jaccard DESC, b) AS rn
+  FROM j) WHERE rn <= {JACCARD_ITEM_TOPK}
+"""
+
+
+@query("rec_item_jaccard_topk", oracle=_ITEM_JACCARD_ORACLE, category="L")
+def rec_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item JACCARD similarity top-{JACCARD_ITEM_TOPK} — the
+    normalized companion to ``rec_copurchase_topk``'s raw co-counts:
+    |baskets(a)∩baskets(b)| / |baskets(a)∪baskets(b)| discounts
+    popular items that co-occur with everything, the standard
+    neighborhood model for item-to-item recommendation (Linden et al.
+    2003). Pairs below {JACCARD_ITEM_MIN_CO} co-baskets are pruned
+    before the ratio (noise floor AND the scale guard).
+
+    Exactness: intersection and basket counts are exact integers; the
+    Jaccard is one double division mirrored term-for-term; ranking
+    ties break on the neighbor id.
+
+    Scale: the pair fan-out is per-order (bounded by basket width —
+    the ``rec_copurchase_topk`` envelope); degrees join in dimension-
+    sized; per-item ranking is a keyed window over pair-count rows.
+    The min-co filter is what keeps the long tail of singleton pairs
+    out of the shuffle."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = op.groupBy("p").agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    co = (
+        op.join(y, (F.col("o") == F.col("o2")) & (F.col("p") != F.col("b")))
+        .groupBy(F.col("p").alias("a"), "b")
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+        .filter(F.col("n_co") >= JACCARD_ITEM_MIN_CO)
+    )
+    j = (
+        co.join(deg.select(F.col("p").alias("a"), F.col("n_baskets").alias("n_a")), "a")
+        .join(deg.select(F.col("p").alias("b"), F.col("n_baskets").alias("n_b")), "b")
+        .select(
+            "a", "b", "n_co", "n_a", "n_b",
+            (
+                F.col("n_co").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_co"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), "b")
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= JACCARD_ITEM_TOPK)
+        .select("a", "b", "n_co", "n_a", "n_b", "jaccard", "rank")
+    )

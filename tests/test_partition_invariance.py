@@ -143,6 +143,8 @@ KEYS += [
     "events_wilson_ctr_rank",
     "sim_ivf_probe_sweep",
     "win_session_dynamic_gap",
+    "limit_keyset_pagination",
+    "rec_item_jaccard_topk",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

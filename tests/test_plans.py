@@ -1297,6 +1297,27 @@ def test_dim_truncation_broadcasts_query_side(spark, sf_dir):
     assert "slice(" in plan, "prefix slice should run JVM-side"
 
 
+def test_keyset_pagination_no_shuffle(spark, sf_dir):
+    """limit_keyset_pagination: the page fetch must plan with ZERO
+    plain shuffles — cursor and page both as TakeOrderedAndProject
+    (per-partition heaps), the 1-row cursor re-entering as a broadcast
+    nested loop."""
+    plan = plan_of(spark, sf_dir, "limit_keyset_pagination")
+    assert n_nodes(plan, "Exchange") == 0, "keyset paging must not shuffle"
+    assert n_nodes(plan, "TakeOrderedAndProject") >= 2
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1
+
+
+def test_item_jaccard_rank_pushdown(spark, sf_dir):
+    """rec_item_jaccard_topk: the per-item top-k must engage Spark's
+    WindowGroupLimit pushdown (partial rank-limit before the final
+    window), degrees join as broadcasts, and nothing goes cartesian."""
+    plan = plan_of(spark, sf_dir, "rec_item_jaccard_topk")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "WindowGroupLimit") >= 1
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2
+
+
 def test_unpivot_no_exchange(spark, sf_dir):
     """Melt is row-local generation: the plan must contain no Exchange
     at all (inherits scan partitioning)."""

@@ -656,3 +656,77 @@ def etl_scd3_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = artifact_path(sf_dir, "customer_scd3_parquet")
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+# --- manifest-based snapshot versioning (time travel) ----------------------
+
+_TT_ORACLE = f"""
+SELECT CAST(0 AS INT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {DSUM('o_totalprice')} AS sum_total
+FROM orders
+UNION ALL
+SELECT CAST(1 AS INT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {DSUM('o_totalprice')} AS sum_total
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+@query("etl_time_travel_read", oracle=_TT_ORACLE, category="K")
+def etl_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning with AS-OF reads on plain Parquet — the
+    poor-man's Delta/Iceberg this environment permits (no table-format
+    package installable; documented in SURVEY §7.4#7), built from the
+    two primitives those formats actually rest on: immutable versioned
+    data directories and an ATOMICALLY swapped manifest pointer
+    (written to a temp file, then ``os.replace`` — POSIX-atomic, so a
+    concurrent reader sees the old or the new manifest, never a torn
+    one). Version 0 is the full orders snapshot; version 1 applies a
+    delete batch (open 'F'-status orders retired). The key reads BOTH
+    versions back through the manifest — the time-travel query a 100 TB
+    deployment runs for audits and reproducible training snapshots —
+    and reduces each to (n_rows, decimal-exact total).
+
+    What this does NOT give (and Delta would): conflict detection for
+    concurrent WRITERS and file-level pruning stats. The read path,
+    version pinning, and atomic pointer swap are the real semantics.
+
+    Scale: snapshots are written once per version (immutable); the
+    as-of read is an ordinary pruned Parquet scan of that version's
+    directory — no merge-on-read cost for this copy-on-write layout."""
+    import json as _json
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_orders/manifest.json")
+    tt_dir = os.path.dirname(root)
+    v0 = os.path.join(tt_dir, "v0")
+    v1 = os.path.join(tt_dir, "v1")
+    base.write.mode("overwrite").parquet(v0)
+    base.filter(F.col("o_orderstatus") != "F").write.mode(
+        "overwrite"
+    ).parquet(v1)
+    tmp = root + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"current": 1, "versions": {"0": v0, "1": v1}}, fh)
+    os.replace(tmp, root)  # atomic pointer swap
+
+    manifest = _json.load(open(root))
+
+    def read_version(v: int) -> DataFrame:
+        return spark.read.parquet(manifest["versions"][str(v)])
+
+    frames = [
+        read_version(v).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_total"),
+        ).select(
+            F.lit(v).cast("int").alias("version"), "n_rows", "sum_total"
+        )
+        for v in (0, 1)
+    ]
+    return frames[0].unionAll(frames[1])

@@ -145,6 +145,7 @@ KEYS += [
     "win_session_dynamic_gap",
     "limit_keyset_pagination",
     "rec_item_jaccard_topk",
+    "etl_time_travel_read",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

@@ -529,3 +529,101 @@ def graph_bfs_layers_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionAll(nxt)
         frontier = nxt.select("node")
     return out
+
+
+# --- landmark closeness centrality ----------------------------------------
+
+CLOSENESS_ROUNDS = 4  # per-landmark BFS depth (graph diameter ~3)
+
+
+def _closeness_oracle() -> str:
+    stages = [
+        _BFS_EDGES_SQL.strip(),
+        """lm AS (SELECT src AS landmark FROM edges
+         WHERE src LIKE 'e%' GROUP BY src),
+lab0 AS (SELECT landmark, landmark AS node, CAST(0 AS INT) AS dist
+         FROM lm)""",
+    ]
+    for r in range(1, CLOSENESS_ROUNDS + 1):
+        seen = " UNION ALL ".join(
+            f"SELECT landmark, node FROM lab{i}" for i in range(r)
+        )
+        stages.append(f"""n{r} AS (
+  SELECT DISTINCT f.landmark, e.dst AS node
+  FROM edges e JOIN lab{r - 1} f ON e.src = f.node),
+lab{r} AS (
+  SELECT n.landmark, n.node, CAST({r} AS INT) AS dist FROM n{r} n
+  WHERE NOT EXISTS (SELECT 1 FROM ({seen}) s
+                    WHERE s.landmark = n.landmark
+                      AND s.node = n.node))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT landmark, node, dist FROM lab{r}"
+        for r in range(CLOSENESS_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f""",
+alldist AS ({union})
+SELECT node,
+       CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       CAST(COUNT(*) AS DOUBLE) / SUM(dist) AS closeness
+FROM alldist WHERE dist > 0 GROUP BY node
+"""
+    )
+
+
+@query("graph_closeness_landmarks", oracle=_closeness_oracle(), category="L")
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-based closeness centrality — the scalable form of the
+    classic metric (exact closeness needs all-pairs shortest paths;
+    production systems measure distances to a small landmark set
+    instead): a MULTI-SOURCE BFS carries (landmark, node) state through
+    {CLOSENESS_ROUNDS} frontier expansions from every event-type node
+    at once, then closeness(node) = |landmarks| / Σ dist(node,
+    landmark) over reached landmarks (self pairs excluded). Integer
+    distances, one mirrored division.
+
+    Scale: the multi-source trick runs ALL landmark BFS trees in the
+    SAME per-round join (state is (landmark, node) pairs — |L|× the
+    single-source state, one pass regardless of |L|); rounds are
+    frontier⋈edges + DISTINCT + anti-join, lineage-truncated — the
+    ``graph_bfs_layers_fixed`` envelope generalized to keyed sources."""
+    from dbsuite_spark.tables import memo_cache
+
+    edges = memo_cache(_edges(spark, sf_dir), f"bfs_edges:{sf_dir}")
+    lm = (
+        edges.filter(F.col("src").startswith("e"))
+        .select(F.col("src").alias("landmark"))
+        .distinct()
+    )
+    labeled = lm.select(
+        "landmark",
+        F.col("landmark").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=False)
+    frontier = labeled.select("landmark", "node")
+    out = labeled
+    for r in range(1, CLOSENESS_ROUNDS + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select("landmark", F.col("dst").alias("node"))
+            .distinct()
+            .join(out.select("landmark", "node"), ["landmark", "node"], "left_anti")
+            .select("landmark", "node", F.lit(r).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(nxt)
+        frontier = nxt.select("landmark", "node")
+    return (
+        out.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("n_landmarks"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            (F.count("*").cast("double") / F.sum("dist")).alias("closeness"),
+        )
+    )

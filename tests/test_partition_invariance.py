@@ -146,6 +146,7 @@ KEYS += [
     "limit_keyset_pagination",
     "rec_item_jaccard_topk",
     "etl_time_travel_read",
+    "graph_closeness_landmarks",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

@@ -989,3 +989,44 @@ def catalog_ddl_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, n_columns int, ddl string"
     )
+
+
+@query(
+    "scan_csv_delimiter_quote",
+    oracle="""
+SELECT n_nationkey, n_name,
+       n_name || '|' || '"' || n_name || '"' AS tricky
+FROM nation
+""",
+    category="A",
+)
+def scan_csv_delimiter_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-delimiter CSV round trip under adversarial content: a
+    column whose VALUES contain the delimiter ('|') and the quote
+    character itself is written pipe-delimited with RFC-4180
+    quote-doubling, then read back typed. The hash oracle recomputes
+    the tricky values from base data, so any quoting/escaping loss in
+    either direction (the classic silent-corruption bug of ad-hoc CSV
+    exports) breaks the gate. Completes the CSV battery next to the
+    typed, multiline, and PERMISSIVE corrupt-record scans.
+
+    Scale: ordinary splittable CSV scan/sink either way; quoting is
+    row-local."""
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.concat(
+            F.col("n_name"), F.lit('|"'), F.col("n_name"), F.lit('"')
+        ).alias("tricky"),
+    )
+    path = artifact_path(sf_dir, "nation_pipe_csv")
+    (
+        n.write.mode("overwrite")
+        .options(sep="|", quote='"', escape='"', header=True)
+        .csv(path)
+    )
+    return (
+        spark.read.options(sep="|", quote='"', escape='"', header=True)
+        .schema("n_nationkey bigint, n_name string, tricky string")
+        .csv(path)
+    )

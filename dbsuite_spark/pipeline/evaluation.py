@@ -986,3 +986,159 @@ def ml_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+# --- MinHash banding parameter sweep --------------------------------------
+
+BAND_SWEEP = ((12, 2), (8, 3), (6, 4))  # (bands, rows) with bands*rows = 24
+
+
+def _band_sweep_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup import JACCARD_CAPPED_CTE
+
+    stages = [
+        f"""{JACCARD_CAPPED_CTE},
+truth AS (SELECT d1, d2 FROM capped_pairs),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+hj AS (
+  SELECT doc_id, j,
+         MIN(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)
+             AS BIGINT)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MH_EST_HASHES - 1}))
+                      AS j)
+  GROUP BY doc_id, j)"""
+    ]
+    for b, r in BAND_SWEEP:
+        stages.append(f"""k{r} AS (
+  SELECT doc_id, CAST(j // {r} AS INT) AS band,
+         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS key
+  FROM hj GROUP BY doc_id, j // {r}),
+c{r} AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM k{r} x JOIN k{r} y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+row{r} AS (
+  SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS band_size,
+         CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS n_candidates,
+         nt.n_truth,
+         CAST((SELECT COUNT(*) FROM c{r} c JOIN truth t
+               ON t.d1 = c.d1 AND t.d2 = c.d2) AS BIGINT) AS n_hit,
+         CAST((SELECT COUNT(*) FROM c{r} c JOIN truth t
+               ON t.d1 = c.d1 AND t.d2 = c.d2) AS DOUBLE) / nt.n_truth
+           AS recall
+  FROM nt)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row{r}" for _, r in BAND_SWEEP
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + union
+
+
+@query("dedup_minhash_band_sweep", oracle=_band_sweep_oracle(), category="L")
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash BANDING TUNING CURVE — the dedup-side sibling of
+    ``sim_ivf_probe_sweep``: candidate volume and recall against the
+    exact-Jaccard truth at three (bands × rows) splits of the same
+    24-hash signature (12×2, 8×3, 6×4). The S-curve theory says
+    P(candidate | J) = 1−(1−J^r)^b — at J=0.5 that is ≈0.97 / 0.66 /
+    0.32 across the three configs — and this key MEASURES it on the
+    deployment's own corpus, which is how (b, r) should be chosen
+    before anyone resizes the production banding (the honest
+    alternative to folklore defaults). Hashes are the SQL-reproducible
+    60-bit md5 family (the ``dedup_minhash_estimate_error``
+    discipline; same collision statistics as the production xxhash).
+
+    Exactness: candidate/truth/hit counts are exact integers off
+    deterministic hashes; recall is one mirrored division.
+
+    Scale: signatures are one capped-shingle groupBy ({MH_EST_HASHES}
+    conditional mins, map-side combined); each config adds one
+    (band, key) self-join over collision buckets only — the sweep
+    costs three banded joins, never all-pairs; the truth side is the
+    audit-scale exact path, sampleable exactly as
+    ``dedup_minhash_recall_sampled`` demonstrates."""
+    from dbsuite_spark.pipeline.dedup import (
+        _jaccard_on,
+        _shingle_rows,
+        cap_stop_shingles,
+    )
+
+    sh = memo_cache(
+        cap_stop_shingles(_shingle_rows(spark, sf_dir)),
+        f"shingles_capped:{sf_dir}",
+    )
+    truth = memo_cache(
+        _jaccard_on(None, sh).select("d1", "d2"),
+        f"minhash_truth_capped:{sf_dir}",
+    )
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    hcols = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(MH_EST_HASHES)
+    ]
+    sig = memo_cache(
+        sh.groupBy("doc_id").agg(*hcols), f"mh_md5_sig:{sf_dir}"
+    )
+    rows = []
+    for b, r in BAND_SWEEP:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"h{i * r + k}").cast("string")
+                                    for k in range(r)
+                                ],
+                            ).alias("key"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        cand = (
+            bands.select(F.col("doc_id").alias("d1"), "band", "key")
+            .join(
+                bands.select(F.col("doc_id").alias("d2"), "band", "key"),
+                ["band", "key"],
+            )
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        ncand = cand.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        hits = cand.join(truth, ["d1", "d2"]).agg(
+            F.count("*").cast("bigint").alias("n_hit")
+        )
+        rows.append(
+            nt.crossJoin(F.broadcast(ncand))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("band_size"),
+                "n_candidates",
+                "n_truth",
+                "n_hit",
+                (
+                    F.col("n_hit").cast("double") / F.col("n_truth")
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for frame in rows[1:]:
+        out = out.unionAll(frame)
+    return out

@@ -147,6 +147,8 @@ KEYS += [
     "rec_item_jaccard_topk",
     "etl_time_travel_read",
     "graph_closeness_landmarks",
+    "dedup_minhash_band_sweep",
+    "scan_csv_delimiter_quote",
     "sim_dim_truncation_recall",
     "sim_pq_recall",
     "ml_kfold_assign",

@@ -730,3 +730,116 @@ def etl_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (0, 1)
     ]
     return frames[0].unionAll(frames[1])
+
+
+_TT_EXPIRE_ORACLE = """
+SELECT CAST(0 AS INT) AS version, 'expired' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT CAST(1 AS INT) AS version, 'retained' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT CAST(2 AS INT) AS version, 'retained' AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 0
+"""
+
+TT_RETAIN_LAST = 2  # snapshots kept by the retention policy
+
+
+@query("etl_time_travel_expire", oracle=_TT_EXPIRE_ORACLE, category="K")
+def etl_time_travel_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION over the manifest substrate (VERDICT r08 ask
+    #6) — the expire/vacuum half of the time-travel machinery that
+    ``etl_time_travel_read`` only reads: three immutable versions are
+    written (v0 full orders; v1 retires open 'F' orders; v2 further
+    retires keys ≡ 0 mod 10), per-snapshot row-count stats are recorded
+    IN the manifest at write time (the audit metadata that must survive
+    data deletion), then the retention policy keeps the newest
+    {TT_RETAIN_LAST} versions: older snapshot directories are deleted
+    from disk and the manifest is atomically rewritten (temp file +
+    ``os.replace``) with the survivors plus an ``expired`` audit list.
+
+    The report is the real proof obligation: expired versions answer
+    from MANIFEST STATS (their data is gone — that the count is still
+    servable is the point of write-time stats); retained versions are
+    RE-READ through the post-expire manifest and re-counted, proving
+    expiry didn't touch live data. Both paths hash against the same
+    SQL oracle, so a stats/data mismatch on either side fails the gate.
+
+    Scale: each snapshot is written once (copy-on-write, like
+    ``etl_time_travel_read``); expiry is a driver-side metadata
+    operation plus directory deletes — no data is read to expire; the
+    retained re-reads are pruned single-column parquet scans."""
+    import json as _json
+    import shutil as _shutil
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_expire/manifest.json")
+    tt_dir = os.path.dirname(root)
+    snapshots = {
+        0: base,
+        1: base.filter(F.col("o_orderstatus") != "F"),
+        2: base.filter(
+            (F.col("o_orderstatus") != "F")
+            & (F.col("o_orderkey") % 10 != 0)
+        ),
+    }
+    versions: dict[str, dict] = {}
+    for v, df in snapshots.items():
+        path = os.path.join(tt_dir, f"v{v}")
+        df.write.mode("overwrite").parquet(path)
+        # write-time stats: the one number a manifest must keep so
+        # expired snapshots stay auditable after their data is gone
+        versions[str(v)] = {"path": path, "n_rows": df.count()}
+    tmp = root + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"current": 2, "versions": versions, "expired": []}, fh)
+    os.replace(tmp, root)
+
+    # retention: keep the newest TT_RETAIN_LAST versions, expire the rest
+    manifest = _json.load(open(root))
+    ordered = sorted(manifest["versions"], key=int)
+    keep = set(ordered[-TT_RETAIN_LAST:])
+    expired = [v for v in ordered if v not in keep]
+    for v in expired:
+        _shutil.rmtree(manifest["versions"][v]["path"], ignore_errors=True)
+    new_manifest = {
+        "current": manifest["current"],
+        "versions": {v: manifest["versions"][v] for v in keep},
+        "expired": [
+            {"version": int(v), "n_rows": manifest["versions"][v]["n_rows"]}
+            for v in expired
+        ],
+    }
+    with open(tmp, "w") as fh:
+        _json.dump(new_manifest, fh)
+    os.replace(tmp, root)  # atomic pointer swap: old-or-new, never torn
+
+    post = _json.load(open(root))
+    assert all(
+        not os.path.exists(manifest["versions"][v]["path"]) for v in expired
+    ), "expired snapshot data must be deleted from disk"
+
+    expired_report = spark.createDataFrame(
+        [(e["version"], "expired", e["n_rows"]) for e in post["expired"]],
+        "version int, status string, n_rows bigint",
+    )
+    retained = [
+        spark.read.parquet(post["versions"][v]["path"])
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            F.lit(int(v)).cast("int").alias("version"),
+            F.lit("retained").alias("status"),
+            "n_rows",
+        )
+        for v in sorted(post["versions"], key=int)
+    ]
+    out = expired_report
+    for fr in retained:
+        out = out.unionAll(fr)
+    return out

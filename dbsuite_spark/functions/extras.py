@@ -1,5 +1,5 @@
 """Category H (part 3) — string-similarity, bitwise, and timezone scalar
-batteries (extensions beyond the SURVEY §2H 120-key contract).
+batteries (extensions beyond the SURVEY §2H 123-key contract).
 
 Reference semantics: DB2 LUW scalar surface parsed by dbsuite [PUBLIC,
 module-level; checkout empty — SURVEY §0]. DB2 provides DIFFERENCE/SOUNDEX

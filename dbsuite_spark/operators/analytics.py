@@ -1,4 +1,4 @@
-"""Behavioral / distribution analytics extensions beyond the 120-key
+"""Behavioral / distribution analytics extensions beyond the 123-key
 contract: batch sessionization, exact heavy-hitters, and an equi-width
 numeric histogram.
 
@@ -2399,16 +2399,20 @@ WITH ev AS (
                              ELSE {DYN_GAP_DEFAULT_US} END AS end_us
   FROM events),
 flagged AS (
-  SELECT user_id, ts, value, ts_us, end_us,
+  SELECT user_id, ts, event_id, value, ts_us, end_us,
          CASE WHEN ts_us < MAX(end_us) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               THEN 0 ELSE 1 END AS new_s
   FROM ev),
 sess AS (
+  -- the running SUM must scan rows in the SAME total order the new_s
+  -- flags were computed under — (ts, event_id) in both windows — or a
+  -- simultaneous-event pair at a session boundary can attach the
+  -- new_s=0 row to the PREVIOUS session (ADVICE r08)
   SELECT user_id, ts, value, end_us,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, ts_us,
-                          end_us ROWS UNBOUNDED PRECEDING) AS seq
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seq
   FROM flagged)
 SELECT user_id,
        MIN(ts) AS session_start,

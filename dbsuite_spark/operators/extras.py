@@ -1,4 +1,4 @@
-"""Categories D/E extensions beyond the 120-key contract — ordered-argument
+"""Categories D/E extensions beyond the 123-key contract — ordered-argument
 aggregates, boolean aggregates, NTH_VALUE, and mergeable HLL sketches.
 
 Reference semantics: DB2 OLAP/column-function surface parsed by dbsuite

@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbsuite_spark.pipeline import dedup as D
+from dbsuite_spark.pipeline import quantization as Q
+from dbsuite_spark.pipeline import similarity as S
 from dbsuite_spark.pipeline.text_extra import text_langid_ngram
 from dbsuite_spark.registry import query, spec
 from dbsuite_spark.tables import memo_cache, t
@@ -118,11 +121,11 @@ def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the giant fold/banding subtrees re-plan and re-execute per consumer
     exact_k = memo_cache(
         sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_exact_k:{sf_dir}",
+        f"eval_exact_k:{sf_dir}:{S.TOP_K}:{S.QUERY_MOD}",
     )
     ann_k = memo_cache(
         sim_search_ann_lsh(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_lsh_k:{sf_dir}",
+        f"eval_lsh_k:{sf_dir}:{S.N_TABLES}:{S.N_BITS}:{S.TOP_K}",
     )
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
@@ -246,11 +249,11 @@ def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same caching rationale as sim_search_ann_recall
     exact_k = memo_cache(
         sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_exact_k:{sf_dir}",
+        f"eval_exact_k:{sf_dir}:{S.TOP_K}:{S.QUERY_MOD}",
     )
     ann_k = memo_cache(
         sim_search_ann_ivf(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_ivf_k:{sf_dir}",
+        f"eval_ivf_k:{sf_dir}:{S.N_CELLS}:{S.N_PROBE}:{S.TOP_K}",
     )
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
@@ -327,11 +330,11 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same caching rationale as sim_search_ann_recall
     exact_k = memo_cache(
         sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_exact_k:{sf_dir}",
+        f"eval_exact_k:{sf_dir}:{S.TOP_K}:{S.QUERY_MOD}",
     )
     ann_k = memo_cache(
         sim_search_pq_adc(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_pq_k:{sf_dir}",
+        f"eval_pq_k:{sf_dir}:{Q.N_SUB}:{Q.N_CODES}:{Q.PQ_TOP_K}",
     )
     hits = (
         exact_k.join(ann_k, ["qid", "neighbor_id"])
@@ -455,7 +458,7 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc_k = _topk(pairs, RECALL_K).select("qid", "neighbor_id")
     exact_k = memo_cache(
         sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_exact_k:{sf_dir}",
+        f"eval_exact_k:{sf_dir}:{S.TOP_K}:{S.QUERY_MOD}",
     )
     hits = (
         exact_k.join(trunc_k, ["qid", "neighbor_id"])
@@ -836,7 +839,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = memo_cache(
         cap_stop_shingles(_shingle_rows(spark, sf_dir)),
-        f"shingles_capped:{sf_dir}",
+        f"shingles_capped:{sf_dir}:{D.DF_CAP}",
     )
     pairs = _jaccard_on(None, sh).select("d1", "d2", "jaccard")
     hcols = [
@@ -1064,11 +1067,11 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = memo_cache(
         cap_stop_shingles(_shingle_rows(spark, sf_dir)),
-        f"shingles_capped:{sf_dir}",
+        f"shingles_capped:{sf_dir}:{D.DF_CAP}",
     )
     truth = memo_cache(
         _jaccard_on(None, sh).select("d1", "d2"),
-        f"minhash_truth_capped:{sf_dir}",
+        f"minhash_truth_capped:{sf_dir}:{D.DF_CAP}:{D.JACCARD_THRESHOLD}",
     )
     nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     hcols = [
@@ -1084,7 +1087,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(MH_EST_HASHES)
     ]
     sig = memo_cache(
-        sh.groupBy("doc_id").agg(*hcols), f"mh_md5_sig:{sf_dir}"
+        sh.groupBy("doc_id").agg(*hcols), f"mh_md5_sig:{sf_dir}:{D.DF_CAP}:{MH_EST_HASHES}"
     )
     rows = []
     for b, r in BAND_SWEEP:

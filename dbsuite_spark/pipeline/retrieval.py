@@ -398,7 +398,7 @@ def sim_search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = memo_cache(
         _topk(_cosine_pairs(spark, sf_dir), MMR_CAND)
         .select("qid", "neighbor_id", F.col("cos_sim").alias("rel")),
-        f"mmr_cand:{sf_dir}",
+        f"mmr_cand:{sf_dir}:{MMR_CAND}",
     )
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")

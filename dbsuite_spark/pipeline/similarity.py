@@ -474,7 +474,7 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact truth is memoized across dashboards."""
     exact_k = memo_cache(
         sim_search_cosine_topk(spark, sf_dir).select("qid", "neighbor_id"),
-        f"eval_exact_k:{sf_dir}",
+        f"eval_exact_k:{sf_dir}:{TOP_K}:{QUERY_MOD}",
     )
     nq = exact_k.agg(
         F.countDistinct("qid").cast("bigint").alias("n_queries")
@@ -918,7 +918,7 @@ def _knn_density_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic self-join — cache so the sampled key's two consumers
     # (threshold estimate + flag pass) and any same-session sibling key
     # pay for it once
-    return memo_cache(dens, f"knn_density:{sf_dir}")
+    return memo_cache(dens, f"knn_density:{sf_dir}:{KNN_GRAPH_K}")
 
 
 DENSITY_SAMPLE_PCT = 50  # md5 hash-sample feeding the threshold estimate

@@ -899,14 +899,10 @@ def _bpe_round_best(cur: DataFrame, r: int) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
-    """Unrolled K-stage CTE chain mirroring the Spark loop round for
-    round: pair counting over the symbolized word table, deterministic
-    argmax (count DESC, pair ASC), then a boundary-anchored string
-    replace that IS greedy left-to-right non-overlapping BPE merging
-    (each symbol is wrapped ``|sym|``, so the pair pattern
-    ``|a||b|`` cannot match inside a longer symbol and consecutive
-    disjoint occurrences each match)."""
+def _bpe_trainer_stages() -> list[str]:
+    """The trainer's CTE stage list (words, w0, then p{r}/b{r}/w{r} per
+    merge round) — the single source both oracles assemble from, so a
+    formatting change cannot desynchronize them (ADVICE r08)."""
     stages = [
         f"""words AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -934,6 +930,18 @@ w{r} AS (
   SELECT replace(seq, '|' || b.l || '||' || b.rr || '|',
                  '|' || b.l || b.rr || '|') AS seq, freq
   FROM w{r - 1}, b{r} b)""")
+    return stages
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-stage CTE chain mirroring the Spark loop round for
+    round: pair counting over the symbolized word table, deterministic
+    argmax (count DESC, pair ASC), then a boundary-anchored string
+    replace that IS greedy left-to-right non-overlapping BPE merging
+    (each symbol is wrapped ``|sym|``, so the pair pattern
+    ``|a||b|`` cannot match inside a longer symbol and consecutive
+    disjoint occurrences each match)."""
+    stages = list(_bpe_trainer_stages())
     union = "\nUNION ALL\n".join(
         f"SELECT merge_round, l AS lhs, rr AS rhs, l || rr AS merged, "
         f"cnt AS pair_count FROM b{r}"
@@ -945,11 +953,11 @@ w{r} AS (
 def _bpe_encode_oracle() -> str:
     """The trainer's CTE chain (for the b1..bK rules), plus the apply
     side: the UNCUT word table symbolized and rewritten by each rule in
-    order, then reduced to corpus encoding stats."""
-    train = _bpe_oracle()
-    # reuse everything up to (but excluding) the trailing rule UNION
-    with_body = train[len("WITH "):train.index("\nSELECT merge_round")]
-    stages = [with_body]
+    order, then reduced to corpus encoding stats.  Assembled from the
+    shared ``_bpe_trainer_stages()`` list — NOT by re-parsing the
+    rendered trainer SQL, which silently sliced the wrong prefix on any
+    formatting change (ADVICE r08)."""
+    stages = list(_bpe_trainer_stages())
     stages.append(f"""wa AS (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1025,7 +1033,7 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.expr("trim(BOTH '|' FROM seq)"), "\\|\\|").alias("syms"),
         "freq",
     )
-    sy = memo_cache(sy, f"bpe_encoded:{sf_dir}")
+    sy = memo_cache(sy, f"bpe_encoded:{sf_dir}:{BPE_MERGES}:{BPE_TOP_WORDS}")
     stats = sy.agg(
         F.count("*").cast("bigint").alias("n_distinct_words"),
         F.sum("freq").cast("bigint").alias("n_words"),
@@ -1106,10 +1114,9 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     """The {BPE_MERGES} learned rules as checkpointed 1-row frames
     (merge_round, l, rr, cnt), memoized per session so the trainer key
     and any apply-side consumer pay for the training loop once."""
-    from dbsuite_spark.tables import _SESSION_CACHE
+    from dbsuite_spark.tables import _SESSION_CACHE, _memo
 
-    k = (id(spark), f"bpe_rules:{sf_dir}:{BPE_MERGES}:{BPE_TOP_WORDS}")
-    hit = _SESSION_CACHE.get(k)
+    k, hit = _memo(spark, f"bpe_rules:{sf_dir}:{BPE_MERGES}:{BPE_TOP_WORDS}")
     if hit is not None:
         return hit
     cur = _bpe_initial(spark, sf_dir).localCheckpoint(eager=False)

@@ -140,7 +140,64 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-_SESSION_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Values are DataFrames (memo_cache / memo_frame) or plain Python
+# payloads (e.g. the learned BPE rule list) — hence ``object``, not
+# ``DataFrame`` (ADVICE r08).
+_SESSION_CACHE: dict[tuple[int, str], object] = {}
+
+# Session identity -> live session, so eviction can ask each owner
+# whether it has stopped.  Entries pin their session (the cached
+# DataFrames hold it transitively anyway), which also guarantees the
+# ``id()`` key can never be reused by a *different* live session.
+_MEMO_SESSIONS: dict[int, SparkSession] = {}
+
+
+def _evict_stopped_sessions() -> None:
+    """Drop every cache entry owned by a stopped session (ADVICE r08:
+    the cache previously grew without bound across session restarts and
+    pinned stopped sessions forever).  ``SparkContext.stop()`` sets
+    ``_jsc = None``, which is the documented stopped-state probe."""
+    dead = [
+        sid
+        for sid, sess in _MEMO_SESSIONS.items()
+        if getattr(sess.sparkContext, "_jsc", None) is None
+    ]
+    for sid in dead:
+        del _MEMO_SESSIONS[sid]
+        for k in [k for k in _SESSION_CACHE if k[0] == sid]:
+            del _SESSION_CACHE[k]
+
+
+def _memo(spark: SparkSession, key: str):
+    """Shared lookup: evict dead sessions, register the live one, and
+    return (cache_key, hit-or-None)."""
+    _evict_stopped_sessions()
+    sid = id(spark)
+    _MEMO_SESSIONS[sid] = spark
+    k = (sid, key)
+    return k, _SESSION_CACHE.get(k)
+
+
+def clear_session_cache(spark: SparkSession | None = None) -> None:
+    """Forget memoized frames — all sessions, or one session's.
+
+    Used by ``bench.py`` between per-query timings so a key that shares
+    a memoized substrate with a sibling key (e.g. ``dedup_near_minhash``
+    after ``dedup_connected_components``) is timed on its own cold plan
+    cost, not on a warm cache hit (VERDICT r08 ask #3).  Cached
+    DataFrames are unpersisted so executor storage is actually released,
+    not just unreferenced.
+    """
+    sids = None if spark is None else {id(spark)}
+    for k in [k for k in _SESSION_CACHE if sids is None or k[0] in sids]:
+        v = _SESSION_CACHE.pop(k)
+        if isinstance(v, DataFrame):
+            try:
+                v.unpersist()
+            except Exception:
+                pass  # session already stopped — storage is gone anyway
+    for sid in [s for s in _MEMO_SESSIONS if sids is None or s in sids]:
+        del _MEMO_SESSIONS[sid]
 
 
 def memo_cache(df: DataFrame, key: str) -> DataFrame:
@@ -151,14 +208,14 @@ def memo_cache(df: DataFrame, key: str) -> DataFrame:
     eviction and the logs spammed "Asked to cache already cached data"
     (VERDICT r07 hygiene item). Keyed by (session identity, caller key),
     later calls return the SAME cached DataFrame object, so the cache is
-    built once per session and reused. Entries pin their session via the
-    held DataFrame, so ``id()`` collisions across live sessions are
-    impossible; a new session simply gets a fresh entry. Callers must
-    fold every input that changes the plan (sf_dir above all) into
-    ``key``.
+    built once per session and reused. Entries for stopped sessions are
+    evicted on the next memo access; live entries pin their session via
+    the held DataFrame, so ``id()`` collisions across live sessions are
+    impossible. Callers must fold every input that changes the plan
+    (sf_dir above all, plus every module-level tunable the plan reads)
+    into ``key``.
     """
-    k = (id(df.sparkSession), key)
-    hit = _SESSION_CACHE.get(k)
+    k, hit = _memo(df.sparkSession, key)
     if hit is not None:
         return hit
     out = df.cache()
@@ -172,8 +229,7 @@ def memo_frame(spark: SparkSession, key: str, build) -> DataFrame:
     so shared substrates consumed by several keys — the MinHash verified
     pair set above all — construct and cache their interior stages once
     per session instead of once per consumer."""
-    k = (id(spark), key)
-    hit = _SESSION_CACHE.get(k)
+    k, hit = _memo(spark, key)
     if hit is None:
         hit = _SESSION_CACHE[k] = build()
     return hit

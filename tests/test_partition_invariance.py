@@ -231,6 +231,13 @@ KEYS += [
     "fn_struct_ops",
 ]
 
+# Round-9 additions: the manifest retention key mixes driver-side
+# metadata rows with re-read parquet counts — invariance proves the
+# report is partitioning-independent on both paths.
+KEYS += [
+    "etl_time_travel_expire",
+]
+
 
 def _rows(spark, sf_dir, key, width):
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1324,3 +1324,90 @@ def test_unpivot_no_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "unpivot_stack")
     assert n_nodes(plan, "Exchange") == 0
     assert "PushedFilters: [" in plan
+
+
+def test_closeness_landmarks_checkpoint_truncated(spark, sf_dir):
+    """graph_closeness_landmarks: every BFS round must enter the final
+    plan as a checkpoint-truncated Scan ExistingRDD (labeled + one per
+    round — lineage growth across rounds is the iterative-algorithm
+    scale killer), and the only shuffle left is the closing groupBy."""
+    from dbsuite_spark.pipeline.graph import CLOSENESS_ROUNDS
+
+    plan = plan_of(spark, sf_dir, "graph_closeness_landmarks")
+    assert n_nodes(plan, "Scan ExistingRDD") == CLOSENESS_ROUNDS + 1
+    assert n_nodes(plan, "Exchange") == 1, (
+        "per-round join lineage leaked past the localCheckpoint"
+    )
+    assert n_nodes(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_band_sweep_banded_equi_joins_only(spark, sf_dir):
+    """dedup_minhash_band_sweep: each (bands x rows) config generates
+    candidates through a partitioned EQUI self-join on (band, key) —
+    never all-pairs — and the shingle/signature/truth substrates are
+    memoized (re-read from cache, not recomputed per config). >= pins
+    where memoization makes exact node counts suite-order-dependent."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_band_sweep")
+    assert "CartesianProduct" not in plan
+    equi = (
+        n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        + n_nodes(plan, "BroadcastHashJoin")
+    )
+    assert equi >= 3, "one banded candidate join per sweep config"
+    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "InMemoryTableScan") >= 2, (
+        "shared substrates must come from the session memo cache"
+    )
+    assert n_nodes(plan, "Scan parquet") <= 2, (
+        "per-config recomputation of the shingle substrate"
+    )
+
+
+def test_time_travel_read_prunes_both_snapshots(spark, sf_dir):
+    """etl_time_travel_read: both AS-OF version reads are ordinary
+    pruned parquet scans — ReadSchema carries only the aggregated
+    measure column, and each version reduces partial+final."""
+    plan = plan_of(spark, sf_dir, "etl_time_travel_read")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(reads) == 2
+    for line in reads:
+        assert "o_totalprice" in line
+        assert "o_orderstatus" not in line and "o_orderkey" not in line, (
+            "version scan reads columns the aggregate never uses"
+        )
+    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "HashAggregate") == 4  # partial+final per version
+
+
+def test_catalog_ddl_is_metadata_only(spark, sf_dir):
+    """catalog_ddl_generate renders DDL from catalog schemas: the plan
+    must read NO table data (no parquet scan) and shuffle nothing."""
+    plan = plan_of(spark, sf_dir, "catalog_ddl_generate")
+    assert n_nodes(plan, "Scan parquet") == 0
+    assert n_nodes(plan, "Exchange") == 0
+
+
+def test_csv_delimiter_quote_single_splittable_scan(spark, sf_dir):
+    """scan_csv_delimiter_quote: the read-back is ONE splittable csv
+    scan with the typed schema applied at the scan — no shuffle, no
+    post-scan casting project beyond the scan itself."""
+    plan = plan_of(spark, sf_dir, "scan_csv_delimiter_quote")
+    assert n_nodes(plan, "Scan csv") == 1
+    assert n_nodes(plan, "Exchange") == 0
+    assert "struct<n_nationkey:bigint,n_name:string,tricky:string>" in plan
+
+
+def test_time_travel_expire_counts_are_metadata_cheap(spark, sf_dir):
+    """etl_time_travel_expire: expired versions answer from manifest
+    stats (one driver-side row — Scan ExistingRDD), retained versions
+    re-count through EMPTY-schema parquet scans (count(*) reads no
+    columns), partial+final per retained version."""
+    plan = plan_of(spark, sf_dir, "etl_time_travel_expire")
+    assert n_nodes(plan, "Scan ExistingRDD") == 1  # manifest-stats rows
+    assert n_nodes(plan, "Scan parquet") == 2  # the two retained reads
+    assert plan.count("ReadSchema: struct<>") == 2, (
+        "count(*) re-reads must not materialize any column"
+    )
+    assert n_nodes(plan, "HashAggregate") == 4
+    assert n_nodes(plan, "Union") == 1

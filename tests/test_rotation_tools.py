@@ -69,9 +69,24 @@ def test_check_front_flags_green_key_in_verify_first(tmp_path, monkeypatch):
 
 
 def test_repo_rotation_is_fresh_at_head():
-    """The committed _order.py must never contain a key the committed
-    CORRECTNESS files already prove green — the exact state that
-    recurred three rounds running."""
-    files = rot._default_files()
-    assert files, "no CORRECTNESS files found"
+    """The committed _order.py must never contain a key the COMMITTED
+    CORRECTNESS files already prove green.
+
+    VERDICT r08 ask #1: scope to ``git ls-files`` — the driver drops
+    its round-N artifacts next to a HEAD that predates them, and an
+    untracked file reddening every certified HEAD is structural noise,
+    not a defect.  ``tools/driver_sim.py`` still aborts on the full
+    on-disk set, so a genuinely stale rotation cannot reach a new
+    certification run."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    files = [f"/root/repo/{p}" for p in out]
+    assert files, "no committed CORRECTNESS files found"
     assert rot.check_front(files) == 0

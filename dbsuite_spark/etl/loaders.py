@@ -843,3 +843,270 @@ def etl_time_travel_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in retained:
         out = out.unionAll(fr)
     return out
+
+
+_OCC_ORACLE = """
+SELECT 'A' AS writer, CAST(1 AS INT) AS attempt,
+       CAST(1 AS INT) AS base_version, 'committed' AS outcome,
+       CAST(2 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 'B' AS writer, CAST(1 AS INT) AS attempt,
+       CAST(1 AS INT) AS base_version, 'conflict' AS outcome,
+       CAST(2 AS INT) AS version, CAST(NULL AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'B' AS writer, CAST(2 AS INT) AS attempt,
+       CAST(2 AS INT) AS base_version, 'committed' AS outcome,
+       CAST(3 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderstatus <> 'F' AND o_totalprice < 200000
+"""
+
+
+@query("etl_occ_write_conflict", oracle=_OCC_ORACLE, category="K")
+def etl_occ_write_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency WRITE-CONFLICT detection on the manifest
+    substrate (VERDICT r08 ask #6's second option) — the two-writer
+    probe that proves the commit protocol a table format rests on:
+    version numbers are claimed by an ``O_CREAT|O_EXCL`` marker file
+    (POSIX-atomic create-exclusive — exactly one claimant can win), so
+    a writer whose base version moved underneath it FAILS its commit
+    instead of silently clobbering the other writer's snapshot, then
+    retries against the new base (rebase-and-reapply, Delta/Iceberg's
+    documented conflict resolution).
+
+    The simulated race: writers A and B both read the manifest at
+    version 1. A commits version 2 (retires open 'F' orders). B —
+    still holding base 1 — attempts version 2, loses the marker claim
+    (conflict row), re-reads the manifest, re-applies its transform
+    (price cap) to A's committed data, and commits version 3. The
+    report carries every attempt; committed row counts are re-read
+    through the final manifest, so a torn or clobbered manifest fails
+    the hash gate.
+
+    Scale: commits are O(1) driver-side metadata ops (one exclusive
+    create + one atomic rename each); the loser's retry re-applies a
+    pushed filter to the winner's snapshot — one pruned scan, no
+    re-read of history."""
+    import json as _json
+    import shutil as _shutil
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_occ/manifest.json")
+    occ_dir = os.path.dirname(root)
+    _shutil.rmtree(occ_dir, ignore_errors=True)  # idempotent re-run
+    os.makedirs(occ_dir, exist_ok=True)
+
+    def write_manifest(doc: dict) -> None:
+        tmp = root + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        os.replace(tmp, root)  # atomic pointer swap
+
+    def try_claim(version: int) -> bool:
+        """Claim a version number with O_CREAT|O_EXCL — succeeds for
+        exactly one writer per version, the whole OCC primitive."""
+        try:
+            fd = os.open(
+                os.path.join(occ_dir, f"commit-v{version}.marker"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    # version 1: the shared base snapshot
+    v1 = os.path.join(occ_dir, "v1")
+    base.write.mode("overwrite").parquet(v1)
+    write_manifest({"current": 1, "versions": {"1": v1}})
+
+    # both writers snapshot the manifest at version 1 (the race window)
+    seen_a = _json.load(open(root))
+    seen_b = _json.load(open(root))
+    attempts = []
+
+    # writer A: retire open 'F' orders, claim v2 — wins
+    a_target = seen_a["current"] + 1
+    v2 = os.path.join(occ_dir, f"v{a_target}")
+    spark.read.parquet(seen_a["versions"][str(seen_a["current"])]).filter(
+        F.col("o_orderstatus") != "F"
+    ).write.mode("overwrite").parquet(v2)
+    assert try_claim(a_target), "first claimant must win the marker"
+    m = _json.load(open(root))
+    m["versions"][str(a_target)] = v2
+    m["current"] = a_target
+    write_manifest(m)
+    attempts.append(("A", 1, seen_a["current"], "committed", a_target))
+
+    # writer B: price cap from its STALE base — claim v2 fails
+    b_target = seen_b["current"] + 1
+    v2b = os.path.join(occ_dir, f"v{b_target}-loser")
+    spark.read.parquet(seen_b["versions"][str(seen_b["current"])]).filter(
+        F.col("o_totalprice") < 200000
+    ).write.mode("overwrite").parquet(v2b)
+    assert not try_claim(b_target), "stale-base commit must be rejected"
+    attempts.append(("B", 1, seen_b["current"], "conflict", b_target))
+
+    # writer B rebase: re-read the manifest, re-apply to the new base
+    seen_b2 = _json.load(open(root))
+    b2_target = seen_b2["current"] + 1
+    v3 = os.path.join(occ_dir, f"v{b2_target}")
+    spark.read.parquet(
+        seen_b2["versions"][str(seen_b2["current"])]
+    ).filter(F.col("o_totalprice") < 200000).write.mode(
+        "overwrite"
+    ).parquet(v3)
+    assert try_claim(b2_target)
+    m = _json.load(open(root))
+    m["versions"][str(b2_target)] = v3
+    m["current"] = b2_target
+    write_manifest(m)
+    attempts.append(("B", 2, seen_b2["current"], "committed", b2_target))
+
+    final = _json.load(open(root))
+    assert final["current"] == 3 and set(final["versions"]) == {
+        "1",
+        "2",
+        "3",
+    }, "manifest must stay consistent through the conflict"
+
+    report = spark.createDataFrame(
+        [(w, a, b, o, v) for (w, a, b, o, v) in attempts],
+        "writer string, attempt int, base_version int, "
+        "outcome string, version int",
+    )
+    counts = None
+    for v in ("2", "3"):
+        c = (
+            spark.read.parquet(final["versions"][v])
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .select(F.lit(int(v)).cast("int").alias("version"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    return report.join(F.broadcast(counts), "version", "left").select(
+        "writer", "attempt", "base_version", "outcome", "version",
+        F.when(F.col("outcome") == "committed", F.col("n_rows")).alias(
+            "n_rows"
+        ),
+    )
+
+
+_SKIP_LO, _SKIP_HI = "1995-01-01", "1995-12-31"
+
+_SKIP_ORACLE = f"""
+WITH grp AS (
+  SELECT year(o_orderdate) AS yr,
+         MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+  FROM orders GROUP BY 1),
+hits AS (
+  SELECT o_totalprice FROM orders
+  WHERE o_orderdate BETWEEN DATE '{_SKIP_LO}' AND DATE '{_SKIP_HI}')
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM grp) AS files_total,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM grp
+   WHERE lo <= DATE '{_SKIP_HI}' AND hi >= DATE '{_SKIP_LO}')
+      AS files_read,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM grp
+   WHERE NOT (lo <= DATE '{_SKIP_HI}' AND hi >= DATE '{_SKIP_LO}'))
+      AS files_skipped,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {DSUM('o_totalprice')} AS sum_total
+FROM hits
+"""
+
+
+@query("etl_manifest_file_skipping", oracle=_SKIP_ORACLE, category="K")
+def etl_manifest_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest MIN/MAX file skipping — the pruning-stats half of a
+    table format that ``etl_time_travel_read`` documented as missing:
+    the orders snapshot is laid out as one file group per order YEAR,
+    the manifest records each group's (min, max) ``o_orderdate`` plus
+    row count (write-time stats, one grouped aggregation), and the
+    reader evaluates its date predicate AGAINST THE STATS — only file
+    groups whose [min, max] interval overlaps the query range are
+    opened at all. At 100 TB this is the difference between scanning 7
+    years and scanning 1: pruning happens in driver-side metadata
+    before any task launches, the same mechanism as Iceberg manifests
+    or Delta file stats (and one level above parquet row-group stats,
+    which still require opening every footer).
+
+    The report proves both halves: the skip arithmetic
+    (files_total/read/skipped off the manifest) AND the pruned scan's
+    aggregate, which must equal the oracle's full-table filtered
+    answer — skipping a group the predicate needed fails the hash.
+
+    Scale: one partitioned write + one stats aggregation (both
+    one-pass); the read opens only overlapping groups, and the date
+    filter is still pushed into those scans for row-group pruning
+    inside each file."""
+    import json as _json
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_skip/manifest.json")
+    skip_dir = os.path.dirname(root)
+    yr = base.withColumn("yr", F.year("o_orderdate").cast("int"))
+    yr.write.mode("overwrite").partitionBy("yr").parquet(
+        os.path.join(skip_dir, "data")
+    )
+    stats = (
+        yr.groupBy("yr")
+        .agg(
+            F.min("o_orderdate").cast("string").alias("lo"),
+            F.max("o_orderdate").cast("string").alias("hi"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    )
+    groups = sorted(
+        (
+            {
+                "path": os.path.join(skip_dir, "data", f"yr={r['yr']}"),
+                "lo": r["lo"],
+                "hi": r["hi"],
+                "n_rows": r["n_rows"],
+            }
+            for r in stats
+        ),
+        key=lambda g: g["lo"],
+    )
+    tmp = root + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"groups": groups}, fh)
+    os.replace(tmp, root)
+
+    manifest = _json.load(open(root))
+    # driver-side metadata pruning: stats-interval overlap, no I/O
+    read_groups = [
+        g
+        for g in manifest["groups"]
+        if g["lo"] <= _SKIP_HI and g["hi"] >= _SKIP_LO
+    ]
+    n_total = len(manifest["groups"])
+    n_read = len(read_groups)
+    agg = (
+        spark.read.parquet(*[g["path"] for g in read_groups])
+        # the predicate still applies INSIDE surviving groups (row-group
+        # pruning + exactness when a group straddles the range)
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit(_SKIP_LO).cast("date"), F.lit(_SKIP_HI).cast("date")
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+    return agg.select(
+        F.lit(n_total).cast("bigint").alias("files_total"),
+        F.lit(n_read).cast("bigint").alias("files_read"),
+        F.lit(n_total - n_read).cast("bigint").alias("files_skipped"),
+        "n_rows",
+        "sum_total",
+    )

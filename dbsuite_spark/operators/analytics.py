@@ -2461,3 +2461,86 @@ def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "events_funnel_any_match",
+    oracle=f"""
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+qc AS (
+  SELECT DISTINCT c.user_id, c.ts
+  FROM events c JOIN events vv
+    ON vv.user_id = c.user_id AND vv.event_type = 'view'
+   AND c.ts > vv.ts AND c.ts <= vv.ts + {FUNNEL_HOP}
+  WHERE c.event_type = 'click'),
+qp AS (
+  SELECT DISTINCT p.user_id
+  FROM events p JOIN qc
+    ON qc.user_id = p.user_id
+   AND p.ts > qc.ts AND p.ts <= qc.ts + {FUNNEL_HOP}
+  WHERE p.event_type = 'purchase')
+SELECT 'step1_view' AS step, {BIGCOUNT("*")} AS users FROM v
+UNION ALL SELECT 'step2_click', {BIGCOUNT("*")}
+FROM (SELECT DISTINCT user_id FROM qc)
+UNION ALL SELECT 'step3_purchase', {BIGCOUNT("*")} FROM qp
+""",
+    category="E",
+)
+def events_funnel_any_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-match funnel (view → click → purchase, each hop within 6
+    hours) — the existence-semantics companion to
+    ``events_funnel_conversion``'s greedy first-occurrence chain: a
+    user converts a step if ANY qualifying sequence exists, not just
+    the one through each step's earliest timestamp. The greedy chain
+    undercounts (a user whose first click never converts but whose
+    later click does is greedy-lost at step 3); product analytics
+    suites (Amplitude-style funnels) default to this any-match mode,
+    so both semantics must be available and clearly named.
+
+    Scale: each hop is a per-user interval join (events co-partitioned
+    on user_id; pair fan-out bounded by per-user step counts — the
+    ``join_interval_overlap`` envelope), reduced by DISTINCT before
+    the next hop so qualified-step state is one row per (user, ts).
+    The final counts are three partial+final aggregations. No global
+    window, no per-user event lists."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("vts"))
+    )
+    qc = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("vts"))
+            & (F.col("ts") <= F.col("vts") + F.expr(FUNNEL_HOP))
+        )
+        .select("user_id", "ts")
+        .distinct()
+    )
+    qp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(qc.select("user_id", F.col("ts").alias("cts")), "user_id")
+        .filter(
+            (F.col("ts") > F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr(FUNNEL_HOP))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    step1 = (
+        v.select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("users"))
+        .select(F.lit("step1_view").alias("step"), "users")
+    )
+    step2 = (
+        qc.select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("users"))
+        .select(F.lit("step2_click").alias("step"), "users")
+    )
+    step3 = qp.agg(F.count("*").cast("bigint").alias("users")).select(
+        F.lit("step3_purchase").alias("step"), "users"
+    )
+    return step1.unionAll(step2).unionAll(step3)

@@ -1401,3 +1401,94 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z.s").alias("survival"),
         )
     )
+
+
+STL_HALF = 12  # centered-MA half width: 25-point trend window
+
+
+@query(
+    "ts_stl_decompose",
+    oracle=f"""
+WITH b AS ({_BUCKETS}),
+tr AS (
+  SELECT event_type, hour_ts, v,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(v) OVER w AS trend
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN {STL_HALF} PRECEDING
+                        AND {STL_HALF} FOLLOWING)),
+dt AS (
+  SELECT event_type, hour_ts, v, trend,
+         round(v - trend, 6) AS detrended
+  FROM tr),
+seas AS (
+  SELECT event_type, CAST(hour(hour_ts) AS INT) AS hod,
+         {DSUM('detrended')} / COUNT(*) AS seasonal
+  FROM dt GROUP BY 1, 2)
+SELECT dt.event_type, dt.hour_ts, dt.v, dt.trend, s.seasonal,
+       dt.detrended - s.seasonal AS residual
+FROM dt JOIN seas s
+  ON s.event_type = dt.event_type
+ AND s.hod = CAST(hour(dt.hour_ts) AS INT)
+""",
+    category="E",
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of each type's hourly series
+    into trend + seasonal + residual — the full three-component split
+    that ``ts_seasonal_profile`` (seasonal-naive, no trend) feeds into
+    dashboards: trend is a centered {2 * STL_HALF + 1}-point moving
+    average (the classic STL inner-loop smoother, rows-framed over the
+    bucket sequence), the seasonal component is the hour-of-day mean of
+    the DETRENDED series, and what remains is the residual that
+    anomaly monitors track.
+
+    Exactness: the trend window divides a decimal-exact frame sum by
+    the frame count (one double division, frame membership identical
+    under any partitioning because the order key is unique per type);
+    detrended values are rounded to 6 dp before the order-free decimal
+    seasonal mean; the residual is one mirrored subtraction.
+
+    Scale: one decimal bucket shuffle, one keyed window pass (state =
+    {2 * STL_HALF + 1} rows), one tiny profile aggregation rejoined as
+    a broadcast — the ``ts_seasonal_profile`` envelope plus a single
+    window; nothing touches the raw corpus twice."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    tr = b.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("v").over(w)
+        ).alias("trend"),
+    )
+    dt = tr.withColumn(
+        "detrended", F.round(F.col("v") - F.col("trend"), 6)
+    )
+    seas = dt.groupBy(
+        "event_type", F.hour("hour_ts").cast("int").alias("hod")
+    ).agg((dsum(F.col("detrended")) / F.count("*")).alias("seasonal"))
+    return (
+        dt.withColumn("hod", F.hour("hour_ts").cast("int"))
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            "v",
+            "trend",
+            "seasonal",
+            (F.col("detrended") - F.col("seasonal")).alias("residual"),
+        )
+    )

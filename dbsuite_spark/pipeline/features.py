@@ -500,3 +500,155 @@ def rec_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= JACCARD_ITEM_TOPK)
         .select("a", "b", "n_co", "n_a", "n_b", "jaccard", "rank")
     )
+
+
+# --- user-based collaborative filtering (round 9) -----------------------
+
+CF_MIN_CO = 2  # user pairs must share >= 2 parts (noise + scale floor)
+CF_NEIGHBORS = 3  # similar users consulted per user
+CF_TOPK = 5  # recommendations kept per user
+CF_PART_CAP = 100  # hub cap: parts bought by more customers are dropped
+
+_USER_CF_ORACLE = f"""
+WITH up0 AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+pdeg AS (
+  SELECT p FROM up0 GROUP BY p HAVING COUNT(*) <= {CF_PART_CAP}),
+up AS (SELECT u, p FROM up0 JOIN pdeg USING (p)),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_u FROM up GROUP BY u),
+co AS (
+  SELECT x.u AS ua, y.u AS ub, CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM up x JOIN up y ON x.p = y.p AND x.u <> y.u
+  GROUP BY x.u, y.u
+  HAVING COUNT(*) >= {CF_MIN_CO}),
+sim AS (
+  SELECT co.ua, co.ub,
+         round(CAST(co.n_co AS DOUBLE)
+               / sqrt(CAST(da.n_u AS DOUBLE) * CAST(db.n_u AS DOUBLE)),
+               6) AS cos_sim
+  FROM co JOIN deg da ON da.u = co.ua JOIN deg db ON db.u = co.ub),
+nb AS (
+  SELECT ua, ub, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ua
+        ORDER BY cos_sim DESC, ub) AS rn
+    FROM sim) WHERE rn <= {CF_NEIGHBORS}),
+recs AS (
+  SELECT nb.ua AS u, up.p,
+         CAST(SUM(CAST(nb.cos_sim AS DECIMAL(18,6))) AS DOUBLE) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM nb JOIN up ON up.u = nb.ub
+  WHERE NOT EXISTS (SELECT 1 FROM up own
+                    WHERE own.u = nb.ua AND own.p = up.p)
+  GROUP BY nb.ua, up.p)
+SELECT u AS c_custkey, p AS rec_part, score, n_sources,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+          ORDER BY score DESC, p) AS rn
+      FROM recs) WHERE rn <= {CF_TOPK}
+"""
+
+
+@query("rec_user_cf_topk", oracle=_USER_CF_ORACLE, category="L")
+def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-based collaborative filtering — the third neighborhood
+    model next to the two item-based keys: for every customer, the
+    top-{CF_NEIGHBORS} most similar customers by cosine over their
+    binary part-purchase vectors (n_co / √(n_a·n_b)), then parts those
+    neighbors bought that the customer hasn't, scored by the
+    decimal-exact sum of neighbor similarities, top-{CF_TOPK} per
+    customer.
+
+    Exactness: co/degree counts are exact integers; the cosine is one
+    mirrored double expression rounded to 6 dp BEFORE both ranking and
+    the order-free decimal score sum, so neighbor sets, scores, and
+    ranks are bit-identical on both engines.
+
+    Scale: the user-pair fan-out runs through the part inverted index
+    and is quadratic in per-part customer count — so hub parts above
+    {CF_PART_CAP} customers are dropped first (the stop-shingle guard
+    applied to baskets; at 100 TB this cap is what keeps the pair
+    shuffle proportional to Σ deg² of the long tail instead of the
+    head). The ≥{CF_MIN_CO} floor prunes singleton-overlap pairs
+    before the degree joins; ownership exclusion is one left-anti
+    join on (user, part); both rankings are keyed windows."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"), "o_orderkey"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_partkey").alias("p"),
+    )
+    from dbsuite_spark.tables import memo_cache
+
+    # the basket substrate feeds SEVEN consumers (part degrees, user
+    # degrees, both pair sides, candidate expansion, ownership anti-join)
+    # — cache it or the orders⋈lineitem distinct recomputes per consumer
+    # (explain before the fix: 24 parquet scans; after: 2)
+    up0 = memo_cache(
+        o.join(li, "o_orderkey").select("u", "p").distinct(),
+        f"cf_baskets:{sf_dir}",
+    )
+    pdeg = (
+        up0.groupBy("p")
+        .agg(F.count("*").alias("n_cust"))
+        .filter(F.col("n_cust") <= CF_PART_CAP)
+        .select("p")
+    )
+    up = memo_cache(
+        up0.join(pdeg, "p").select("u", "p"),
+        f"cf_baskets_capped:{sf_dir}:{CF_PART_CAP}",
+    )
+    deg = up.groupBy("u").agg(F.count("*").cast("bigint").alias("n_u"))
+    y = up.select(F.col("p").alias("p2"), F.col("u").alias("ub"))
+    co = (
+        up.join(y, (F.col("p") == F.col("p2")) & (F.col("u") != F.col("ub")))
+        .groupBy(F.col("u").alias("ua"), "ub")
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+        .filter(F.col("n_co") >= CF_MIN_CO)
+    )
+    sim = (
+        co.join(deg.select(F.col("u").alias("ua"), F.col("n_u").alias("n_a")), "ua")
+        .join(deg.select(F.col("u").alias("ub"), F.col("n_u").alias("n_b")), "ub")
+        .select(
+            "ua",
+            "ub",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(
+                    F.col("n_a").cast("double") * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wn = Window.partitionBy("ua").orderBy(F.col("cos_sim").desc(), "ub")
+    nb = (
+        sim.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= CF_NEIGHBORS)
+        .select("ua", "ub", "cos_sim")
+    )
+    cand = nb.join(up.select(F.col("u").alias("ub"), "p"), "ub")
+    owned = up.select(F.col("u").alias("ua"), "p")
+    recs = (
+        cand.join(owned, ["ua", "p"], "left_anti")
+        .groupBy(F.col("ua").alias("u"), "p")
+        .agg(
+            F.sum(F.col("cos_sim").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+    wr = Window.partitionBy("u").orderBy(F.col("score").desc(), "p")
+    return (
+        recs.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= CF_TOPK)
+        .select(
+            F.col("u").alias("c_custkey"),
+            F.col("p").alias("rec_part"),
+            "score",
+            "n_sources",
+            "rank",
+        )
+    )

@@ -294,3 +294,106 @@ def docs_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+# --- T5-style span corruption statistics (round 9) -----------------------
+
+MASK_PCT = 15  # per-token mask probability (percent), hash-decided
+
+_SPAN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, i,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || i),
+                             1, 15) AS BIGINT) % 100 < {MASK_PCT} AS m
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS i
+        FROM documents)),
+flagged AS (
+  SELECT doc_id, i, m,
+         m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id
+                                         ORDER BY i), FALSE) AS starts
+  FROM tok)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE m) AS BIGINT) AS n_masked,
+       CAST(COUNT(*) FILTER (WHERE starts) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE m) AS DOUBLE) / COUNT(*)
+         AS corruption_rate,
+       CASE WHEN COUNT(*) FILTER (WHERE starts) > 0
+            THEN CAST(COUNT(*) FILTER (WHERE m) AS DOUBLE)
+                   / (COUNT(*) FILTER (WHERE starts)) END
+         AS mean_span_len
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query("docs_span_corruption", oracle=_SPAN_ORACLE, category="L")
+def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN-CORRUPTION masking statistics — the denoising-
+    objective preprocessing step of an encoder-decoder training
+    pipeline: each token is masked with probability {MASK_PCT}% by a
+    deterministic md5 draw on (doc_id, position) — reproducible on any
+    engine and any partitioning, the ``docs_sample_weighted``
+    discipline applied per-token — and ADJACENT masked tokens merge
+    into spans (one sentinel per span is what the objective actually
+    emits). Per document: token/masked/span counts, the realized
+    corruption rate, and the mean span length — the two dials (rate ≈
+    {MASK_PCT}%, mean span ≈ 1/(1−p)) a pipeline monitors against its
+    configured noise profile.
+
+    Exactness: mask decisions are integer hash comparisons; span
+    starts are a lag over the per-doc position order (unique key, no
+    ties); the two ratios are single mirrored double divisions of
+    exact integers.
+
+    Scale: tokenization explodes in place (no shuffle — positions are
+    generated, not joined); the lag window and the stats aggregation
+    share one hash-partition by doc_id. State per task is one boolean
+    per row; nothing is quadratic and no token text survives past the
+    hash."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size(F.split(F.col("text"), " ")))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < MASK_PCT
+        ).alias("m"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = tok.withColumn(
+        "starts",
+        F.col("m") & ~F.coalesce(F.lag("m").over(w), F.lit(False)),
+    )
+    n_masked = F.count_if(F.col("m"))
+    n_spans = F.count_if(F.col("starts"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        n_spans.cast("bigint").alias("n_spans"),
+        (n_masked.cast("double") / F.count("*")).alias("corruption_rate"),
+        F.when(
+            n_spans > 0, n_masked.cast("double") / n_spans
+        ).alias("mean_span_len"),
+    )

@@ -236,6 +236,12 @@ KEYS += [
 # report is partitioning-independent on both paths.
 KEYS += [
     "etl_time_travel_expire",
+    "etl_occ_write_conflict",
+    "etl_manifest_file_skipping",
+    "rec_user_cf_topk",
+    "ts_stl_decompose",
+    "events_funnel_any_match",
+    "docs_span_corruption",
 ]
 
 

@@ -1411,3 +1411,79 @@ def test_time_travel_expire_counts_are_metadata_cheap(spark, sf_dir):
     )
     assert n_nodes(plan, "HashAggregate") == 4
     assert n_nodes(plan, "Union") == 1
+
+
+def test_occ_report_reads_only_committed_snapshots(spark, sf_dir):
+    """etl_occ_write_conflict: the report re-reads exactly the two
+    COMMITTED snapshots as empty-schema count scans (the loser's
+    abandoned directory is never read), and the conflict row enters as
+    driver-side metadata."""
+    plan = plan_of(spark, sf_dir, "etl_occ_write_conflict")
+    assert n_nodes(plan, "Scan parquet") == 2
+    assert plan.count("ReadSchema: struct<>") == 2
+    assert n_nodes(plan, "Scan ExistingRDD") == 1  # attempt metadata rows
+    assert "-loser" not in plan, "abandoned snapshot must not be scanned"
+
+
+def test_file_skipping_scans_only_surviving_groups(spark, sf_dir):
+    """etl_manifest_file_skipping: manifest-stats pruning must leave ONE
+    parquet scan (the single overlapping year group) with the date
+    predicate still pushed into it for row-group pruning."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_file_skipping")
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "yr=1995" in plan, "scan location should be the pruned group"
+    assert "yr=1994" not in plan and "yr=1996" not in plan, (
+        "skipped groups leaked into the scan"
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        "date predicate must still push into surviving groups"
+    )
+    assert n_nodes(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_user_cf_substrate_cached_and_rank_pushed(spark, sf_dir):
+    """rec_user_cf_topk: the basket substrate must come from the
+    session memo cache (before the fix the orders⋈lineitem distinct
+    recomputed per consumer — 24 parquet scans; cached: 2), pair
+    generation stays equi-join, and both top-k windows engage
+    WindowGroupLimit pushdown."""
+    plan = plan_of(spark, sf_dir, "rec_user_cf_topk")
+    assert n_nodes(plan, "Scan parquet") <= 2
+    assert n_nodes(plan, "InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "WindowGroupLimit") >= 2
+
+
+def test_stl_single_window_and_broadcast_profile(spark, sf_dir):
+    """ts_stl_decompose: one keyed window pass for the trend, the
+    seasonal profile rejoined as a BROADCAST (types × 24 rows — never a
+    corpus shuffle), event_type filter pushed at both scans."""
+    plan = plan_of(spark, sf_dir, "ts_stl_decompose")
+    assert n_nodes(plan, "Window") == 2  # trend frame + count frame share
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Scan parquet") <= 2
+
+
+def test_funnel_any_match_pushes_step_filters(spark, sf_dir):
+    """events_funnel_any_match: every hop's event-type filter must
+    reach its scan (candidate generation touches only that step's
+    rows), hops join per-user (broadcast or shuffled equi — no
+    cartesian), steps reduce before the final union of counts."""
+    plan = plan_of(spark, sf_dir, "events_funnel_any_match")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Union") == 1
+
+
+def test_span_corruption_no_join_one_shuffle(spark, sf_dir):
+    """docs_span_corruption: positions are GENERATED in place (no join
+    anywhere); the lag window and the per-doc stats share one
+    hash-partition by doc_id — exactly one exchange."""
+    plan = plan_of(spark, sf_dir, "docs_span_corruption")
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan

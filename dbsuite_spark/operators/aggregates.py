@@ -710,3 +710,80 @@ def sql_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n_rows"),
     )
     return m.transpose()
+
+
+SALT_BUCKETS = 16  # two-stage salt fan-out per hot key
+
+
+@query(
+    "agg_salted_two_stage",
+    oracle=f"""
+SELECT l_returnflag,
+       {BIGCOUNT("*")} AS n_rows,
+       {DSUM("l_quantity")} AS sum_qty,
+       {DSUM("l_extendedprice")} AS sum_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="D",
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT two-stage salted aggregation — the hand-rolled skew
+    mitigation for when a grouping key is so hot that even map-side
+    partial aggregation leaves one reducer holding most of the data
+    (l_returnflag has 3 values, the worst case: every row lands on
+    three reducers no matter how many executors exist). Stage 1 groups
+    by (key, salt) with a deterministic {SALT_BUCKETS}-way salt from a
+    row hash, spreading each hot key over {SALT_BUCKETS} reducers;
+    stage 2 merges the per-salt partials by key alone. Counts and
+    decimal sums are MERGEABLE, ORDER-FREE state (the SCALE.md rule),
+    so the result is bit-identical to the direct single-stage plan —
+    which is exactly what the oracle computes.
+
+    This is the same rewrite AQE's skew-join handling applies to
+    joins, expressed for aggregation where Spark offers no automatic
+    equivalent when partials alone can't tame the reducer (think
+    collect_list/percentile state instead of sums, or a 3-value key at
+    100 TB).
+
+    Scale: shuffle 1 is (key × salt)-wide — parallelism {SALT_BUCKETS}×
+    the key cardinality; shuffle 2 moves only key × salt partial rows
+    (a few dozen). The salt is md5-derived from the full row key, so
+    placement is deterministic and partition-invariant."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    salted = li.withColumn(
+        "salt",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % SALT_BUCKETS
+        ).cast("int"),
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").cast("bigint").alias("pn"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("pq"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("pp"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("bigint").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pp").cast("double").alias("sum_price"),
+    )

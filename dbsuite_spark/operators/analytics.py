@@ -2544,3 +2544,168 @@ def events_funnel_any_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("step3_purchase").alias("step"), "users"
     )
     return step1.unionAll(step2).unionAll(step3)
+
+
+HW_ALPHA = 0.5  # level smoothing
+HW_BETA = 0.25  # trend smoothing
+HW_GAMMA = 0.25  # seasonal smoothing
+HW_PERIOD = 24  # seasonal slots (hour-of-cycle, position-based)
+HW_HORIZON = 24  # forecast steps emitted per series
+
+# the fold step, spelled ONCE and injected into both engines' lambdas:
+# new_l/new_b/new_s with new_l inlined where it recurs, so the IEEE
+# expression trees are identical term for term (ts_holt_linear rule).
+_HW_NEW_L = (
+    f"{HW_ALPHA} * (x[1] - acc[CAST(x[2] AS INT) + 2])"
+    f" + {1 - HW_ALPHA} * (acc[1] + acc[2])"
+)
+_HW_NEW_B = (
+    f"{HW_BETA} * (({_HW_NEW_L}) - acc[1]) + {1 - HW_BETA} * acc[2]"
+)
+_HW_NEW_S = (
+    f"{HW_GAMMA} * (x[1] - ({_HW_NEW_L}))"
+    f" + {1 - HW_GAMMA} * acc[CAST(x[2] AS INT) + 2]"
+)
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, list(v ORDER BY hour_ts) AS vals
+  FROM b GROUP BY event_type),
+st AS (
+  SELECT event_type, len(vals) AS n,
+         list_reduce(
+           [[vals[1], vals[2] - vals[1]] ||
+              list_transform(generate_series(1, {HW_PERIOD}),
+                             j -> 0.0)] ||
+             list_transform(
+               generate_series(2, len(vals)),
+               i -> [vals[i],
+                     CAST((i - 1) % {HW_PERIOD} + 1 AS DOUBLE)]),
+           (acc, x) -> [{_HW_NEW_L}, {_HW_NEW_B}] ||
+             list_transform(generate_series(1, {HW_PERIOD}),
+               j -> CASE WHEN j = CAST(x[2] AS INT)
+                         THEN {_HW_NEW_S}
+                         ELSE acc[j + 2] END)) AS s
+  FROM l WHERE len(vals) >= 2)
+SELECT event_type, CAST(h AS INT) AS horizon,
+       s[1] AS level, s[2] AS trend,
+       s[CAST((n + h - 1) % {HW_PERIOD} + 1 AS INT) + 2] AS seasonal,
+       s[1] + CAST(h AS DOUBLE) * s[2]
+         + s[CAST((n + h - 1) % {HW_PERIOD} + 1 AS INT) + 2] AS forecast
+FROM st, unnest(generate_series(1, {HW_HORIZON})) t(h)
+""",
+    category="E",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per event
+    type, emitting a {HW_HORIZON}-step forecast — the seasonal member
+    of the smoothing family (``ts_ewma`` → level; ``ts_holt_linear``
+    → +trend; this → +a {HW_PERIOD}-slot seasonal cycle): l_t =
+    α(x_t−s_{{t−P}}) + (1−α)(l_{{t−1}}+b_{{t−1}}); b_t = β(l_t−l_{{t−1}})
+    + (1−β)b_{{t−1}}; s_t = γ(x_t−l_t) + (1−γ)s_{{t−P}}, seeded l=x₁,
+    b=x₂−x₁, seasonal slots zero (position-indexed cycle, so gaps in
+    the hourly grid don't desynchronize the two engines). Forecast at
+    horizon h is l + h·b + s_{{slot(n+h)}}.
+
+    Exactness: the recursion is ONE left-to-right fold per series with
+    a {HW_PERIOD + 2}-slot accumulator [level, trend, s₁..s₂₄] — Spark
+    ``aggregate`` and DuckDB ``list_reduce`` consume identical
+    (value, slot) items in identical order, and the step's expression
+    text is generated from one shared template (new_l inlined where it
+    recurs), so every state and forecast is bit-identical with no
+    tolerance. Smoothing constants are powers of two.
+
+    Scale: unlike the per-prefix emissions of ``ts_holt_linear`` (O(n²)
+    folds), the forecast form folds each series ONCE — O(n) state
+    updates per type after the usual decimal bucket shuffle; output is
+    {HW_HORIZON} rows per type. Unbounded series would checkpoint the
+    26-number state per calendar window and seed the next window's
+    fold with it — the state is mergeable forward, which is the whole
+    point of exponential smoothing at stream scale."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    lst = b.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_ts", "v"))).alias(
+            "pairs"
+        )
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["v"])
+    lst = lst.select("event_type", vals.alias("vals")).filter(
+        F.size("vals") >= 2
+    )
+
+    a, na = F.lit(HW_ALPHA), F.lit(1 - HW_ALPHA)
+    bb, nb = F.lit(HW_BETA), F.lit(1 - HW_BETA)
+    g, ng = F.lit(HW_GAMMA), F.lit(1 - HW_GAMMA)
+
+    def step(acc, x):
+        x1 = F.element_at(x, 1)
+        xi = F.element_at(x, 2).cast("int")
+        s_old = F.element_at(acc, xi + F.lit(2))
+        l_old = F.element_at(acc, 1)
+        b_old = F.element_at(acc, 2)
+        new_l = a * (x1 - s_old) + na * (l_old + b_old)
+        new_b = bb * (new_l - l_old) + nb * b_old
+        new_s = g * (x1 - new_l) + ng * s_old
+        return F.concat(
+            F.array(new_l, new_b),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(HW_PERIOD)),
+                lambda j: F.when(j == xi, new_s).otherwise(
+                    F.element_at(acc, j + F.lit(2))
+                ),
+            ),
+        )
+
+    items = F.transform(
+        F.sequence(F.lit(2), F.size(F.col("vals"))),
+        lambda i: F.array(
+            F.element_at(F.col("vals"), i),
+            ((i - 1) % HW_PERIOD + 1).cast("double"),
+        ),
+    )
+    init = F.concat(
+        F.array(
+            F.element_at(F.col("vals"), 1),
+            F.element_at(F.col("vals"), 2)
+            - F.element_at(F.col("vals"), 1),
+        ),
+        F.array_repeat(F.lit(0.0), HW_PERIOD),
+    )
+    st = lst.select(
+        "event_type",
+        F.size("vals").alias("n"),
+        F.aggregate(items, init, step).alias("s"),
+    )
+    slot = ((F.col("n") + F.col("horizon") - 1) % HW_PERIOD + 1).cast(
+        "int"
+    )
+    return st.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(HW_HORIZON))).alias(
+            "horizon"
+        ),
+        F.col("s"),
+        F.col("n"),
+    ).select(
+        "event_type",
+        F.col("horizon").cast("int").alias("horizon"),
+        F.element_at("s", 1).alias("level"),
+        F.element_at("s", 2).alias("trend"),
+        F.element_at(F.col("s"), slot + F.lit(2)).alias("seasonal"),
+        (
+            F.element_at("s", 1)
+            + F.col("horizon").cast("double") * F.element_at("s", 2)
+            + F.element_at(F.col("s"), slot + F.lit(2))
+        ).alias("forecast"),
+    )

@@ -242,6 +242,8 @@ KEYS += [
     "ts_stl_decompose",
     "events_funnel_any_match",
     "docs_span_corruption",
+    "agg_salted_two_stage",
+    "ts_holt_winters",
 ]
 
 

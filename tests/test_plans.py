@@ -1487,3 +1487,25 @@ def test_span_corruption_no_join_one_shuffle(spark, sf_dir):
     assert n_nodes(plan, "Exchange") == 1
     assert n_nodes(plan, "Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_salted_agg_two_shuffles_partial_final(spark, sf_dir):
+    """agg_salted_two_stage: exactly two exchanges — the wide
+    (key × salt) stage-1 shuffle and the tiny stage-2 merge — each with
+    a partial+final HashAggregate pair (4 total). One pruned scan."""
+    plan = plan_of(spark, sf_dir, "agg_salted_two_stage")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "HashAggregate") == 4
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_holt_winters_one_fold_per_series(spark, sf_dir):
+    """ts_holt_winters: two shuffles only (decimal bucket rollup, then
+    the per-type list collect) — the 26-slot fold and the horizon
+    explosion are in-place projections, never a third exchange or a
+    window; forecast emission is a Generate."""
+    plan = plan_of(spark, sf_dir, "ts_holt_winters")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "Scan parquet") == 1

@@ -835,3 +835,127 @@ def docs_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boost"),
     )
+
+
+_ATTRITION_ORACLE = f"""
+WITH tok_all AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+pool AS (SELECT * FROM tok_all WHERE lang IN {KEEP_LANGS!r}),
+types AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM pool) GROUP BY doc_id),
+quality AS (
+  SELECT pool.* FROM pool JOIN types USING (doc_id)
+  WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+    AND CAST(n_types AS DOUBLE) / n_tokens >= {MIN_TTR}),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1),
+raw_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok_all),
+stages AS (
+  SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM tok_all
+  UNION ALL
+  SELECT '2_lang', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM pool
+  UNION ALL
+  SELECT '3_quality', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM quality
+  UNION ALL
+  SELECT '4_exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM dedup)
+SELECT stage, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / (SELECT n FROM raw_n) AS docs_retained
+FROM stages
+"""
+
+
+@query("pipeline_attrition_report", oracle=_ATTRITION_ORACLE, category="L")
+def pipeline_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA-PIPELINE FUNNEL — per-stage document and token attrition
+    through the curation chain (raw → language allowlist → quality
+    gates → exact dedup), the one table every training-data run reports
+    before anyone trusts the resulting corpus: how many documents and
+    tokens each stage removed, and the cumulative retention rate.
+    Composes the exact stage semantics of ``pipeline_quality_corpus``
+    (same constants, same gates) but reports the ATTRITION at every
+    stage instead of only the survivors.
+
+    Exactness: stage counts and token sums are exact integers; the
+    retention rate is one mirrored double division by the raw count.
+
+    Scale: ONE corpus pass — every document is classified with stage
+    flags (lang_ok, quality_ok, dedup_keep) in a single pipeline (the
+    token stats branch is the only second read, over the already
+    lang-filtered pool), the dedup survivor picked by a window
+    partitioned on (text hash, quality flag), and all four stage
+    counts fall out of one conditional aggregation unpivoted to rows.
+    Counting each stage with its own scan would re-read the corpus
+    four times — the report exists to be cheap enough to run on every
+    pipeline invocation."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    lang_ok = F.col("lang").isin(*KEEP_LANGS)
+    types = (
+        d.filter(lang_ok)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("n_types"))
+    )
+    flagged = (
+        d.join(types, "doc_id", "left")
+        .withColumn("lang_ok", lang_ok)
+        .withColumn(
+            "quality_ok",
+            lang_ok
+            & F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+            & (
+                F.col("n_types").cast("double") / F.col("n_tokens")
+                >= MIN_TTR
+            ),
+        )
+    )
+    wd = Window.partitionBy(F.md5("text"), "quality_ok").orderBy("doc_id")
+    flagged = flagged.withColumn(
+        "dedup_keep",
+        F.col("quality_ok") & (F.row_number().over(wd) == 1),
+    )
+    one = flagged.agg(
+        F.count("*").cast("bigint").alias("d1"),
+        F.sum("n_tokens").cast("bigint").alias("t1"),
+        F.count_if("lang_ok").cast("bigint").alias("d2"),
+        F.sum(F.when(F.col("lang_ok"), F.col("n_tokens")))
+        .cast("bigint")
+        .alias("t2"),
+        F.count_if("quality_ok").cast("bigint").alias("d3"),
+        F.sum(F.when(F.col("quality_ok"), F.col("n_tokens")))
+        .cast("bigint")
+        .alias("t3"),
+        F.count_if("dedup_keep").cast("bigint").alias("d4"),
+        F.sum(F.when(F.col("dedup_keep"), F.col("n_tokens")))
+        .cast("bigint")
+        .alias("t4"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, '1_raw', d1, t1, '2_lang', d2, t2,"
+            " '3_quality', d3, t3, '4_exact_dedup', d4, t4)"
+        ).alias("stage", "n_docs", "n_tokens"),
+        F.col("d1").alias("raw_docs"),
+    ).select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("raw_docs")).alias(
+            "docs_retained"
+        ),
+    )

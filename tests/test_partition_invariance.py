@@ -244,6 +244,7 @@ KEYS += [
     "docs_span_corruption",
     "agg_salted_two_stage",
     "ts_holt_winters",
+    "pipeline_attrition_report",
 ]
 
 

@@ -1509,3 +1509,16 @@ def test_holt_winters_one_fold_per_series(spark, sf_dir):
     assert n_nodes(plan, "Generate") == 1
     assert n_nodes(plan, "Window") == 0
     assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_attrition_report_single_corpus_pass(spark, sf_dir):
+    """pipeline_attrition_report: stage counts must come from ONE
+    flag-classification pass (two scans total: the corpus + the
+    token-stats branch over the lang-filtered pool) unpivoted by
+    stack — never one scan per stage (the naive form read the corpus
+    7 times)."""
+    plan = plan_of(spark, sf_dir, "pipeline_attrition_report")
+    assert n_nodes(plan, "Scan parquet") == 2
+    assert n_nodes(plan, "Union") == 0, "per-stage scans leaked back in"
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "Generate") == 2  # token explode + stack

@@ -481,3 +481,92 @@ def etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tvd") <= T_CLOSENESS).alias("t_close"),
         )
     )
+
+
+# --- differential privacy: deterministic Laplace mechanism ---------------
+
+DP_EPSILON = 0.5  # privacy budget; count sensitivity 1 -> scale b = 2.0
+DP_SCALE = 1.0 / DP_EPSILON
+
+_DP_ORACLE = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY 1, 2),
+u AS (
+  SELECT *,
+         (CAST(CAST('0x' || substr(md5(CAST(c_nationkey AS VARCHAR)
+              || ':' || c_mktsegment), 1, 15) AS BIGINT) % 1000000
+           AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS c
+  FROM g)
+SELECT c_nationkey, c_mktsegment, true_count,
+       -{DP_SCALE} * sign(c) * round(ln(1.0 - 2.0 * abs(c)), 6) AS noise,
+       true_count + (-{DP_SCALE} * sign(c)
+                     * round(ln(1.0 - 2.0 * abs(c)), 6)) AS noisy_count,
+       CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+FROM u
+"""
+
+
+@query("etl_dp_noisy_counts", oracle=_DP_ORACLE, category="K")
+def etl_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts via the LAPLACE MECHANISM —
+    the release-side companion to the k-anonymity / l-diversity /
+    t-closeness audits: each quasi-identifier class count is perturbed
+    with Laplace(1/ε) noise (count queries have sensitivity 1), the
+    standard ε-DP release for histogram statistics. The draw is
+    DETERMINISTIC — inverse-CDF over an md5-uniform of the group key
+    (noise = −b·sign(U−½)·ln(1−2|U−½|)) — so the release is
+    reproducible on any engine and any partitioning, re-runs don't
+    consume extra privacy budget by re-randomizing, and the hash gate
+    can verify it bit-for-bit. True counts ride along as the AUDIT
+    column (this key demonstrates the mechanism; an actual release
+    projects them away).
+
+    Exactness: the uniform is an exact integer hash scaled by one
+    division; ln is rounded to 6 dp before the two exact products
+    (sign ±1, b a power of two) — the ``agg_geometric_mean_log``
+    rounded-transcendental discipline.
+
+    Scale: one partial+final count by the class tuple, then a pure
+    row-local noise expression over the |classes|-row result — the
+    mechanism adds zero shuffles to the histogram it protects."""
+    g = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_nationkey").cast("string"),
+                            F.lit(":"),
+                            F.col("c_mktsegment"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0 - 0.5
+    noise = (
+        F.lit(-DP_SCALE)
+        * F.signum(u)
+        * F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)), 6)
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("noisy_count"),
+        F.lit(DP_EPSILON).cast("double").alias("epsilon"),
+    )

@@ -161,3 +161,91 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("x").cast("bigint").alias("ru"))
         )
     return ranks.select("node", F.col("ru").alias("rank_units"))
+
+
+BF_ROUNDS = 4  # Bellman-Ford relaxation rounds (graph diameter ~3)
+
+_WSSSP_PRELUDE = """
+base AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS u,
+         'e' || event_type AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM events GROUP BY 1, 2),
+edges AS (
+  SELECT u AS src, v AS dst, w FROM base
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM base),
+seed AS (SELECT MIN('e' || event_type) AS node FROM events),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seed)
+"""
+
+
+def _bf_stage(k: int) -> str:
+    return f"""
+d{k} AS (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN edges e ON e.src = d.node)
+  GROUP BY node)"""
+
+
+@query(
+    "graph_weighted_sssp",
+    oracle="WITH "
+    + _WSSSP_PRELUDE
+    + ","
+    + ",".join(_bf_stage(k) for k in range(1, BF_ROUNDS + 1))
+    + f"""
+SELECT node, dist FROM d{BF_ROUNDS}
+""",
+    category="L",
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest path — Bellman-Ford with
+    {BF_ROUNDS} relaxation rounds over the interaction graph, edge
+    weight = interaction count (so min-cost routes prefer RARE
+    user↔type links; ``graph_sssp_hops`` is the unweighted special
+    case and can disagree with this key whenever a longer-hop,
+    lower-weight route exists). Distances are exact integer sums and
+    MIN is order-free, so every round's table is bit-identical on both
+    engines; the oracle unrolls the identical {BF_ROUNDS}-stage
+    relaxation as CTEs.
+
+    Scale: each round is one hash join of the current distance table
+    against the edge list (both partitioned on the join key) + one
+    min-combine — the textbook distributed Bellman-Ford whose round
+    count bounds path length; per-round ``localCheckpoint`` truncates
+    the growing lineage exactly like the BFS/PageRank family. Frontier
+    filtering (relax only improved nodes) is the production
+    optimization when diameters are large; at diameter ~3 the full
+    relaxation is already minimal."""
+    e = t(spark, sf_dir, "events")
+    base = e.groupBy(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("e"), F.col("event_type")).alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("w"))
+    edges = base.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        base.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    dist = _seed(spark, sf_dir).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=False)
+    for _ in range(BF_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

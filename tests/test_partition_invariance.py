@@ -245,6 +245,8 @@ KEYS += [
     "agg_salted_two_stage",
     "ts_holt_winters",
     "pipeline_attrition_report",
+    "etl_dp_noisy_counts",
+    "graph_weighted_sssp",
 ]
 
 

@@ -1522,3 +1522,24 @@ def test_attrition_report_single_corpus_pass(spark, sf_dir):
     assert n_nodes(plan, "Union") == 0, "per-stage scans leaked back in"
     assert n_nodes(plan, "Window") == 1
     assert n_nodes(plan, "Generate") == 2  # token explode + stack
+
+
+def test_dp_noise_is_map_over_one_count_shuffle(spark, sf_dir):
+    """etl_dp_noisy_counts: the mechanism must add ZERO shuffles to the
+    histogram it protects — one partial+final count exchange, the noise
+    a row-local projection over the class rows."""
+    plan = plan_of(spark, sf_dir, "etl_dp_noisy_counts")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_weighted_sssp_lineage_fully_truncated(spark, sf_dir):
+    """graph_weighted_sssp: every relaxation round localCheckpoints, so
+    the returned frame's plan is a single Scan ExistingRDD — the
+    iterative-algorithm lineage rule (round-workflow #7). Lineage
+    leaking past a round would show joins/aggregates here."""
+    plan = plan_of(spark, sf_dir, "graph_weighted_sssp")
+    assert n_nodes(plan, "Scan ExistingRDD") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0
+    assert n_nodes(plan, "Exchange") == 0

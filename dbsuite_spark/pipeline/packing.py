@@ -397,3 +397,98 @@ def docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_spans > 0, n_masked.cast("double") / n_spans
         ).alias("mean_span_len"),
     )
+
+
+# --- WebDataset-style shard assignment via distributed prefix sum --------
+
+SHARD_BYTES = 4096  # byte budget per output shard
+PS_RANGE = 100  # doc_id range width per prefix-sum bucket
+
+_SHARD_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT CAST((cum - n_chars) // {SHARD_BYTES} AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+@query("docs_shard_assign_prefix_sum", oracle=_SHARD_ORACLE, category="L")
+def docs_shard_assign_prefix_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WebDataset-style SHARD ASSIGNMENT — every document goes to shard
+    ⌊running_bytes / {SHARD_BYTES}⌋ in doc_id order, the layout step
+    that turns a curated corpus into fixed-size training shards. The
+    global running sum is computed as a DISTRIBUTED TWO-PASS PREFIX
+    SUM: docs bucket into contiguous doc_id ranges (width {PS_RANGE}),
+    pass 1 reduces each range to its byte total, the tiny range table
+    gets exclusive offsets with one window over |ranges| rows, pass 2
+    rejoins the offsets (broadcast) and computes the within-range
+    running sum under a window PARTITIONED by range. The naive form —
+    one un-partitioned window over the corpus — is the single-reducer
+    scale killer this key exists to avoid (same discipline as
+    ``docs_vocab_build``'s bounded-window rule); the oracle runs that
+    naive form, proving the two-pass decomposition is value-identical.
+
+    Exactness: byte counts and running sums are exact integers; shard
+    assignment is one integer floor division.
+
+    Scale: pass 1 is a partial+final sum keyed by range; the offsets
+    window runs over corpus_size/{PS_RANGE} rows (driver-safe,
+    broadcastable); pass 2's window state is bounded by the range
+    width. Shard stats are one more keyed aggregation."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_bytes")
+    )
+    g = (F.col("doc_id") / PS_RANGE).cast("long").alias("rng")
+    ranged = d.select("doc_id", "n_bytes", g)
+    totals = ranged.groupBy("rng").agg(
+        F.sum("n_bytes").alias("range_bytes")
+    )
+    w_off = (
+        Window.orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "rng",
+        (F.sum("range_bytes").over(w_off) - F.col("range_bytes")).alias(
+            "offset"
+        ),
+    )
+    w_loc = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranged.join(F.broadcast(offsets), "rng").select(
+        "doc_id",
+        "n_bytes",
+        (
+            F.col("offset")
+            + F.sum("n_bytes").over(w_loc)
+            - F.col("n_bytes")
+        ).alias("start"),
+    )
+    return (
+        cum.select(
+            "doc_id",
+            "n_bytes",
+            F.expr(f"start div {SHARD_BYTES}").cast("int").alias(
+                "shard_id"
+            ),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )

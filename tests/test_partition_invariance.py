@@ -247,6 +247,7 @@ KEYS += [
     "pipeline_attrition_report",
     "etl_dp_noisy_counts",
     "graph_weighted_sssp",
+    "docs_shard_assign_prefix_sum",
 ]
 
 

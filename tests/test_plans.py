@@ -1543,3 +1543,22 @@ def test_weighted_sssp_lineage_fully_truncated(spark, sf_dir):
     assert n_nodes(plan, "Scan ExistingRDD") == 1
     assert n_nodes(plan, "SortMergeJoin") == 0
     assert n_nodes(plan, "Exchange") == 0
+
+
+def test_shard_assign_prefix_sum_is_two_pass(spark, sf_dir):
+    """docs_shard_assign_prefix_sum: the corpus-side running sum must
+    run under a window PARTITIONED by range (hashpartitioning
+    exchange), with the only single-partition window over the REDUCED
+    range-totals table (post-aggregation); offsets rejoin as a
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "docs_shard_assign_prefix_sum")
+    assert n_nodes(plan, "Window") == 2
+    assert plan.count("Arguments: SinglePartition") == 1, (
+        "exactly one tiny offsets window; a second single-partition "
+        "exchange means the corpus cumsum went through one reducer"
+    )
+    assert "hashpartitioning(rng" in plan, (
+        "corpus running sum must be partitioned by range"
+    )
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "SortMergeJoin") == 0

@@ -69,13 +69,12 @@ def main() -> None:
     from dbsuite_spark.tables import clear_session_cache
 
     def run(name: str, cold: bool = False) -> float:
-        # cold=True forgets session-memoized substrates first, so a key
-        # that shares a cached frame with a sibling headline key (e.g.
-        # dedup_near_minhash after dedup_connected_components) is timed
-        # on its own full plan cost, not a warm cache hit (VERDICT r08
-        # ask #3). Within one key's best-of-2 the second run may still
-        # reuse what the FIRST run of the same key built — that self-
-        # warming is the steady-state plan cost we want to measure.
+        # cold=True forgets session-memoized substrates first, so every
+        # timed run measures the key's OWN full plan cost — neither a
+        # sibling headline key's warm cache (dedup_near_minhash after
+        # dedup_connected_components) nor the key's own previous run
+        # (VERDICT r08 ask #3). Both best-of-2 runs are cold: min()
+        # still removes GC/compilation spikes, but never cache hits.
         if cold:
             clear_session_cache(spark)
         fn = specs[name].fn
@@ -97,7 +96,9 @@ def main() -> None:
     for name in HEADLINE:
         if name not in specs:
             continue
-        timings[name] = round(min(run(name, cold=True), run(name)), 3)
+        timings[name] = round(
+            min(run(name, cold=True), run(name, cold=True)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(

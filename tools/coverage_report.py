@@ -11,6 +11,10 @@ Prints, from the registry and all CORRECTNESS_r*.json driver artifacts:
 Usage:
     python tools/coverage_report.py            # human report
     python tools/coverage_report.py --list     # bare never-driven key list
+    python tools/coverage_report.py --summary  # one-line markdown block
+                                               # for the BASELINE.md
+                                               # certification record
+                                               # (VERDICT r08 ask #8)
 """
 
 from __future__ import annotations
@@ -53,6 +57,22 @@ def main() -> int:
     if "--list" in sys.argv[1:]:
         for k in never:
             print(k)
+        return 0
+
+    if "--summary" in sys.argv[1:]:
+        worst = Counter(_category(k) for k in never)
+        lag = ", ".join(
+            f"{c} {n}" for c, n in worst.most_common(5)
+        ) or "none"
+        print(
+            f"| Driver-certification burn-down | registry {len(registered)} keys; "
+            f"driver-certified green {len(green_set)} "
+            f"({100 * len(green_set) / len(registered):.0f}%), "
+            f"failed-latest {len(set(failed) & set(registered))}, "
+            f"never-driven {len(never)} "
+            f"(largest gaps: {lag}) | "
+            f"{len(files)} driver rounds | `tools/coverage_report.py --summary` |"
+        )
         return 0
 
     reg_by_cat = Counter(_category(k) for k in registered)

@@ -1110,3 +1110,88 @@ def etl_manifest_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_total",
     )
+
+
+_PE_ORACLE = """
+SELECT CAST(0 AS INT) AS version, 'year' AS scheme,
+       (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+        FROM orders) AS n_partitions,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT CAST(1 AS INT) AS version, 'year_month' AS scheme,
+       (SELECT CAST(COUNT(DISTINCT (year(o_orderdate),
+                                    month(o_orderdate))) AS BIGINT)
+        FROM orders) AS n_partitions,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+"""
+
+
+@query("etl_partition_evolution", oracle=_PE_ORACLE, category="K")
+def etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION across snapshot versions — the remaining
+    table-format behavior the manifest substrate can express: version 0
+    lays orders out by YEAR, version 1 RE-PARTITIONS the same rows by
+    (year, month), and both remain readable through the manifest, each
+    under its own scheme (Iceberg's headline feature: the partition
+    spec is VERSION metadata, not a property of the table, so a layout
+    migration is just another snapshot — no reader breaks, no
+    big-bang rewrite of history). The manifest records each version's
+    scheme and partition count at write time; the report re-reads both
+    versions through the manifest and re-counts, so a scheme change
+    that loses or duplicates rows fails the hash gate.
+
+    Scale: each version is one partitioned write (the second is the
+    layout migration a compaction job runs); reads are ordinary
+    partition-pruned scans under whichever scheme their version
+    declares. Readers of old snapshots keep old pruning; new
+    predicates get the finer grain going forward."""
+    import json as _json
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_pe/manifest.json")
+    pe_dir = os.path.dirname(root)
+    schemes = {
+        0: ("year", ["yr"]),
+        1: ("year_month", ["yr", "mo"]),
+    }
+    staged = base.withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    ).withColumn("mo", F.month("o_orderdate").cast("int"))
+    versions: dict[str, dict] = {}
+    for v, (name, cols) in schemes.items():
+        path = os.path.join(pe_dir, f"v{v}")
+        staged.write.mode("overwrite").partitionBy(*cols).parquet(path)
+        n_parts = staged.select(*cols).distinct().count()
+        versions[str(v)] = {
+            "path": path,
+            "scheme": name,
+            "partition_cols": cols,
+            "n_partitions": n_parts,
+        }
+    tmp = root + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"current": 1, "versions": versions}, fh)
+    os.replace(tmp, root)
+
+    manifest = _json.load(open(root))
+    out = None
+    for v in sorted(manifest["versions"], key=int):
+        meta = manifest["versions"][v]
+        frame = (
+            spark.read.parquet(meta["path"])
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .select(
+                F.lit(int(v)).cast("int").alias("version"),
+                F.lit(meta["scheme"]).alias("scheme"),
+                F.lit(meta["n_partitions"])
+                .cast("bigint")
+                .alias("n_partitions"),
+                "n_rows",
+            )
+        )
+        out = frame if out is None else out.unionAll(frame)
+    return out

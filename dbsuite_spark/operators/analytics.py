@@ -2709,3 +2709,165 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(F.col("s"), slot + F.lit(2))
         ).alias("forecast"),
     )
+
+
+HW_HOLDOUT = 24  # hours held out per series for the backtest
+
+
+@query(
+    "ts_holt_winters_backtest",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+         {DSUM("value")} AS v
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, list(v ORDER BY hour_ts) AS vals
+  FROM b GROUP BY event_type),
+tr AS (
+  SELECT event_type, vals,
+         len(vals) - {HW_HOLDOUT} AS n_train
+  FROM l WHERE len(vals) >= {HW_HOLDOUT} + 2),
+st AS (
+  SELECT event_type, vals, n_train,
+         list_reduce(
+           [[vals[1], vals[2] - vals[1]] ||
+              list_transform(generate_series(1, {HW_PERIOD}),
+                             j -> 0.0)] ||
+             list_transform(
+               generate_series(2, n_train),
+               i -> [vals[i],
+                     CAST((i - 1) % {HW_PERIOD} + 1 AS DOUBLE)]),
+           (acc, x) -> [{_HW_NEW_L}, {_HW_NEW_B}] ||
+             list_transform(generate_series(1, {HW_PERIOD}),
+               j -> CASE WHEN j = CAST(x[2] AS INT)
+                         THEN {_HW_NEW_S}
+                         ELSE acc[j + 2] END)) AS s
+  FROM tr),
+err AS (
+  SELECT event_type, h,
+         vals[n_train + h] AS actual,
+         s[1] + CAST(h AS DOUBLE) * s[2]
+           + s[CAST((n_train + h - 1) % {HW_PERIOD} + 1 AS INT) + 2]
+             AS forecast
+  FROM st, unnest(generate_series(1, {HW_HOLDOUT})) t(h))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       {DSUM("round(abs(forecast - actual), 6)")} AS sum_abs_err,
+       {DSUM("round(abs(actual), 6)")} AS sum_abs_actual,
+       {DSUM("round(abs(forecast - actual), 6)")}
+         / {DSUM("round(abs(actual), 6)")} AS wape
+FROM err GROUP BY event_type
+""",
+    category="E",
+)
+def ts_holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALK-FORWARD BACKTEST of the Holt-Winters forecaster — the
+    evaluation half that makes ``ts_holt_winters`` trustworthy: the
+    last {HW_HOLDOUT} hours of each type's series are HELD OUT, the
+    smoothing state is folded over the training prefix only, forecasts
+    for the held-out horizon are scored against the actuals, and each
+    type reports its WAPE (the scale-free error a forecast dashboard
+    alerts on). Train/test separation is positional, so there is no
+    leakage by construction.
+
+    Exactness: the training fold is the ``ts_holt_winters`` shared-
+    template recursion verbatim (prefix-bounded); absolute errors are
+    rounded to 6 dp before the order-free decimal sums; WAPE is one
+    mirrored division of two such sums.
+
+    Scale: identical envelope to the forecaster — one decimal bucket
+    shuffle, one O(n_train) fold per series, {HW_HOLDOUT} scored rows
+    per type. Rolling-origin variants re-fold per origin; exponential
+    smoothing's mergeable-forward state makes each successive origin
+    an O(1) extension of the last, not a re-fold."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(dsum(F.col("value")).alias("v"))
+    lst = b.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_ts", "v"))).alias(
+            "pairs"
+        )
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["v"])
+    tr = (
+        lst.select("event_type", vals.alias("vals"))
+        .withColumn("n_train", F.size("vals") - HW_HOLDOUT)
+        .filter(F.size("vals") >= HW_HOLDOUT + 2)
+    )
+
+    a, na = F.lit(HW_ALPHA), F.lit(1 - HW_ALPHA)
+    bb, nb = F.lit(HW_BETA), F.lit(1 - HW_BETA)
+    g, ng = F.lit(HW_GAMMA), F.lit(1 - HW_GAMMA)
+
+    def step(acc, x):
+        x1 = F.element_at(x, 1)
+        xi = F.element_at(x, 2).cast("int")
+        s_old = F.element_at(acc, xi + F.lit(2))
+        l_old = F.element_at(acc, 1)
+        b_old = F.element_at(acc, 2)
+        new_l = a * (x1 - s_old) + na * (l_old + b_old)
+        new_b = bb * (new_l - l_old) + nb * b_old
+        new_s = g * (x1 - new_l) + ng * s_old
+        return F.concat(
+            F.array(new_l, new_b),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(HW_PERIOD)),
+                lambda j: F.when(j == xi, new_s).otherwise(
+                    F.element_at(acc, j + F.lit(2))
+                ),
+            ),
+        )
+
+    items = F.transform(
+        F.sequence(F.lit(2), F.col("n_train")),
+        lambda i: F.array(
+            F.element_at(F.col("vals"), i),
+            ((i - 1) % HW_PERIOD + 1).cast("double"),
+        ),
+    )
+    init = F.concat(
+        F.array(
+            F.element_at(F.col("vals"), 1),
+            F.element_at(F.col("vals"), 2)
+            - F.element_at(F.col("vals"), 1),
+        ),
+        F.array_repeat(F.lit(0.0), HW_PERIOD),
+    )
+    st = tr.select(
+        "event_type",
+        "vals",
+        "n_train",
+        F.aggregate(items, init, step).alias("s"),
+    )
+    err = st.select(
+        "event_type",
+        "vals",
+        "n_train",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.lit(HW_HOLDOUT))).alias("h"),
+    )
+    slot = ((F.col("n_train") + F.col("h") - 1) % HW_PERIOD + 1).cast(
+        "int"
+    )
+    scored = err.select(
+        "event_type",
+        F.element_at(F.col("vals"), F.col("n_train") + F.col("h")).alias(
+            "actual"
+        ),
+        (
+            F.element_at("s", 1)
+            + F.col("h").cast("double") * F.element_at("s", 2)
+            + F.element_at(F.col("s"), slot + F.lit(2))
+        ).alias("forecast"),
+    )
+    abs_err = F.round(F.abs(F.col("forecast") - F.col("actual")), 6)
+    abs_act = F.round(F.abs(F.col("actual")), 6)
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        dsum(abs_err).alias("sum_abs_err"),
+        dsum(abs_act).alias("sum_abs_actual"),
+        (dsum(abs_err) / dsum(abs_act)).alias("wape"),
+    )

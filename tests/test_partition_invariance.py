@@ -248,6 +248,8 @@ KEYS += [
     "etl_dp_noisy_counts",
     "graph_weighted_sssp",
     "docs_shard_assign_prefix_sum",
+    "ts_holt_winters_backtest",
+    "etl_partition_evolution",
 ]
 
 

@@ -1562,3 +1562,26 @@ def test_shard_assign_prefix_sum_is_two_pass(spark, sf_dir):
     )
     assert n_nodes(plan, "BroadcastHashJoin") == 1
     assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_hw_backtest_same_envelope_as_forecaster(spark, sf_dir):
+    """ts_holt_winters_backtest: identical envelope to the forecaster —
+    two shuffles (bucket rollup + per-type collect), the training fold
+    and scoring as in-place projections, one Generate for the horizon,
+    no window, one scan."""
+    plan = plan_of(spark, sf_dir, "ts_holt_winters_backtest")
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Generate") == 1
+    assert n_nodes(plan, "Window") == 0
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_partition_evolution_counts_prune_to_footers(spark, sf_dir):
+    """etl_partition_evolution: both version re-reads are empty-schema
+    count scans (the report reads no data columns), one per scheme,
+    partial+final each."""
+    plan = plan_of(spark, sf_dir, "etl_partition_evolution")
+    assert n_nodes(plan, "Scan parquet") == 2
+    assert plan.count("ReadSchema: struct<>") == 2
+    assert n_nodes(plan, "HashAggregate") == 4
+    assert n_nodes(plan, "Union") == 1

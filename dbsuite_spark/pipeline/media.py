@@ -343,3 +343,48 @@ def media_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, out_w int, out_h int, "
         "pixels_hex string, pooled_mean double",
     )
+
+
+_MEDIA_DEDUP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(lower(hex({_PAYLOAD_SQL}))) AS content_hash
+  FROM documents)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       COUNT(*) > 1 AS is_duplicate_cluster
+FROM h GROUP BY content_hash
+"""
+
+
+@query("media_dedup_binary_hash", oracle=_MEDIA_DEDUP_ORACLE, category="L")
+def media_dedup_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CONTENT-HASH dedup of the binary media column — the image/
+    audio counterpart of text exact-dedup and the first stage of every
+    multimodal curation run (byte-identical assets are the dominant
+    duplicate class in crawled media): hash the raw payload bytes, one
+    cluster row per distinct content with its copy count and the
+    keeper (lowest doc_id), duplicates flagged. Hashing happens on the
+    opaque BINARY column directly — no decode, per the stage-ordering
+    rule in this module's header (decode is the expensive step; dedup
+    must run before it).
+
+    Exactness: the content hash is md5 over the hex encoding of the
+    payload bytes (injective; the canonicalizer-safe form of hashing
+    the bytes themselves), identical on both engines; counts and
+    keeper ids are exact integers.
+
+    Scale: one partial+final aggregation keyed by a 32-char digest —
+    16-byte-class shuffle rows regardless of asset size, the reason
+    content-hash dedup is cheap even at petabyte media scale. The
+    payload column itself is pruned away before the exchange."""
+    m = attach_media(spark, sf_dir)
+    h = m.select(
+        "doc_id",
+        F.md5(F.lower(F.hex("payload"))).alias("content_hash"),
+    )
+    return h.groupBy("content_hash").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        (F.count("*") > 1).alias("is_duplicate_cluster"),
+    )

@@ -250,6 +250,8 @@ KEYS += [
     "docs_shard_assign_prefix_sum",
     "ts_holt_winters_backtest",
     "etl_partition_evolution",
+    "media_dedup_binary_hash",
+    "multimodal_contrastive_pairs",
 ]
 
 

@@ -1585,3 +1585,25 @@ def test_partition_evolution_counts_prune_to_footers(spark, sf_dir):
     assert plan.count("ReadSchema: struct<>") == 2
     assert n_nodes(plan, "HashAggregate") == 4
     assert n_nodes(plan, "Union") == 1
+
+
+def test_media_dedup_single_digest_shuffle(spark, sf_dir):
+    """media_dedup_binary_hash: one partial+final aggregation keyed by
+    the content digest — the payload never crosses an exchange."""
+    plan = plan_of(spark, sf_dir, "media_dedup_binary_hash")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "HashAggregate") == 2
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_contrastive_pairs_bucketed_sampling(spark, sf_dir):
+    """multimodal_contrastive_pairs: negative sampling must stay
+    bucket-scoped (equi-joins only, no cartesian), the per-slot argmin
+    engages WindowGroupLimit pushdown, and the anchor frame comes from
+    the session memo cache (8 scans before the fix, <=4 after)."""
+    plan = plan_of(spark, sf_dir, "multimodal_contrastive_pairs")
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "WindowGroupLimit") >= 1
+    assert n_nodes(plan, "InMemoryTableScan") >= 2
+    assert n_nodes(plan, "Scan parquet") <= 4
+    assert n_nodes(plan, "Union") == 1

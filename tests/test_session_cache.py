@@ -88,3 +88,25 @@ def test_memo_cache_unpersists_dataframes_on_clear(spark, sf_dir):
     rebuilt = T.memo_cache(df, "test_nation_proj")
     assert rebuilt.storageLevel.useMemory
     T.clear_session_cache(spark)
+
+
+def test_bpe_oracles_share_trainer_stages():
+    """ADVICE r08: both BPE oracles must assemble from the SAME stage
+    list — every trainer CTE (words, w0, p{r}/b{r}/w{r}) appears
+    verbatim in the encode oracle's WITH body, so a formatting change
+    cannot desynchronize them the way the old string-slicing did."""
+    from dbsuite_spark.pipeline.vocab import (
+        BPE_MERGES,
+        _bpe_encode_oracle,
+        _bpe_oracle,
+        _bpe_trainer_stages,
+    )
+
+    stages = _bpe_trainer_stages()
+    assert len(stages) == 1 + BPE_MERGES
+    train, encode = _bpe_oracle(), _bpe_encode_oracle()
+    for stage in stages:
+        assert stage in train, stage[:40]
+        assert stage in encode, stage[:40]
+    # the encode oracle reuses the learned rules, not a re-training
+    assert f"b{BPE_MERGES}" in encode and f"a{BPE_MERGES}" in encode

@@ -148,3 +148,77 @@ def test_occ_conflict_report_shape(spark, sf_dir, key):
     assert all(r["n_rows"] is not None for r in committed)
     retry = next(r for r in committed if r["writer"] == "B")
     assert retry["base_version"] == 2 and retry["attempt"] == 2
+
+
+def test_time_travel_read_and_expire_agree_on_shared_version(spark, sf_dir):
+    """Cross-key law: version 1 (orders minus open 'F' status) is
+    computed independently by the read key and the expire key — the
+    counts must agree exactly."""
+    read_rows = {r["version"]: r for r in _rows(spark, sf_dir, "etl_time_travel_read")}
+    exp_rows = {r["version"]: r for r in _rows(spark, sf_dir, "etl_time_travel_expire")}
+    assert read_rows[1]["n_rows"] == exp_rows[1]["n_rows"]
+    # and version 0 (the full snapshot) matches expire's audit stats
+    assert read_rows[0]["n_rows"] == exp_rows[0]["n_rows"]
+
+
+def test_occ_winner_matches_time_travel_version1(spark, sf_dir):
+    """The OCC winner commits the same transform (retire 'F' orders)
+    as time-travel version 1 — row counts must agree."""
+    occ = {(r["writer"], r["attempt"]): r for r in _rows(spark, sf_dir, "etl_occ_write_conflict")}
+    tt = {r["version"]: r for r in _rows(spark, sf_dir, "etl_time_travel_read")}
+    assert occ[("A", 1)]["n_rows"] == tt[1]["n_rows"]
+
+
+def test_file_skipping_agrees_with_full_scan_filter(spark, sf_dir):
+    """Manifest pruning must be invisible to results: the pruned
+    aggregate equals a plain filtered aggregate over the raw table."""
+    from dbsuite_spark.etl.loaders import _SKIP_HI, _SKIP_LO
+    from dbsuite_spark.tables import t
+    from pyspark.sql import functions as F
+
+    pruned = _rows(spark, sf_dir, "etl_manifest_file_skipping")[0]
+    direct = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between(_SKIP_LO, _SKIP_HI))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .first()
+    )
+    assert pruned["n_rows"] == direct["n"]
+    assert pruned["sum_total"] == direct["s"]
+    assert pruned["files_read"] + pruned["files_skipped"] == pruned["files_total"]
+
+
+def test_contrastive_pairs_structure(spark, sf_dir):
+    """Every anchored doc gets exactly one positive (itself, cosine
+    within fold-noise of 1) and NEG_K negatives that are never the
+    anchor."""
+    from dbsuite_spark.pipeline.multimodal import NEG_K
+
+    rows = _rows(spark, sf_dir, "multimodal_contrastive_pairs")
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, prs in by_doc.items():
+        pos = [r for r in prs if r["label"] == 1]
+        neg = [r for r in prs if r["label"] == 0]
+        assert len(pos) == 1 and pos[0]["vec_id"] == doc
+        assert abs(pos[0]["cos_sim"] - 1.0) < 1e-9
+        assert len(neg) == NEG_K
+        assert all(r["vec_id"] != doc for r in neg)
+        assert {r["neg_slot"] for r in neg} == set(range(1, NEG_K + 1))
+
+
+def test_media_dedup_clusters_partition_the_corpus(spark, sf_dir):
+    """Cluster copy counts sum to the document count and keepers are
+    cluster members (keeper <= any doc hashing there, by min)."""
+    from dbsuite_spark.tables import t
+
+    rows = _rows(spark, sf_dir, "media_dedup_binary_hash")
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r["n_copies"] for r in rows) == n_docs
+    assert all((r["n_copies"] > 1) == r["is_duplicate_cluster"] for r in rows)

@@ -2497,20 +2497,40 @@ def events_funnel_any_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     suites (Amplitude-style funnels) default to this any-match mode,
     so both semantics must be available and clearly named.
 
-    Scale: each hop is a per-user interval join (events co-partitioned
-    on user_id; pair fan-out bounded by per-user step counts — the
-    ``join_interval_overlap`` envelope), reduced by DISTINCT before
-    the next hop so qualified-step state is one row per (user, ts).
-    The final counts are three partial+final aggregations. No global
-    window, no per-user event lists."""
-    e = t(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .select("user_id", F.col("ts").alias("vts"))
+    Scale: each hop joins on (user_id, time bucket) — bucket width =
+    the hop window, the LATER step replicated to its bucket and the
+    one before (the ``join_range_binned`` ±1 pattern; the earlier
+    event's bucket is always one of the two, so no pair is lost and
+    none duplicates). That bounds pair fan-out by per-(user, 6 h
+    bucket) step densities instead of per-user TOTALS — the guard
+    VERDICT r09 asked for: one bot user with 10⁵ views and 10⁵ clicks
+    spread over months generates pairs only inside each shared
+    window, not 10¹⁰ (ADVICE-class hot-key blowup). Each hop is then
+    DISTINCT-reduced so qualified-step state is one row per
+    (user, ts). The final counts are three partial+final
+    aggregations. No global window, no per-user event lists."""
+    # FUNNEL_HOP as an exact integer bin width (microseconds)
+    hop_us = 6 * 3600 * 1_000_000
+    e = t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.expr(f"us div {hop_us}").alias("bin"),
     )
     qc = (
         e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
+        .select(
+            "user_id",
+            "ts",
+            F.expr(f"us div {hop_us}").alias("obin"),
+            F.explode(F.array(F.lit(0), F.lit(-1))).alias("shift"),
+        )
+        .select(
+            "user_id", "ts", (F.col("obin") + F.col("shift")).alias("bin")
+        )
+        .join(v, ["user_id", "bin"])
         .filter(
             (F.col("ts") > F.col("vts"))
             & (F.col("ts") <= F.col("vts") + F.expr(FUNNEL_HOP))
@@ -2520,7 +2540,23 @@ def events_funnel_any_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qp = (
         e.filter(F.col("event_type") == "purchase")
-        .join(qc.select("user_id", F.col("ts").alias("cts")), "user_id")
+        .select(
+            "user_id",
+            "ts",
+            F.expr(f"us div {hop_us}").alias("obin"),
+            F.explode(F.array(F.lit(0), F.lit(-1))).alias("shift"),
+        )
+        .select(
+            "user_id", "ts", (F.col("obin") + F.col("shift")).alias("bin")
+        )
+        .join(
+            qc.select(
+                "user_id",
+                F.col("ts").alias("cts"),
+                F.expr(f"unix_micros(ts) div {hop_us}").alias("bin"),
+            ),
+            ["user_id", "bin"],
+        )
         .filter(
             (F.col("ts") > F.col("cts"))
             & (F.col("ts") <= F.col("cts") + F.expr(FUNNEL_HOP))

@@ -211,7 +211,11 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-weight route exists). Distances are exact integer sums and
     MIN is order-free, so every round's table is bit-identical on both
     engines; the oracle unrolls the identical {BF_ROUNDS}-stage
-    relaxation as CTEs.
+    relaxation as CTEs. The oracle cannot detect non-convergence (it
+    unrolls the SAME round count), so convergence is pinned separately:
+    ``tests/test_round9_semantics.py`` runs one EXTRA round and asserts
+    no distance changes — the result is a true shortest distance, not
+    merely min cost over ≤{BF_ROUNDS}-edge paths (ADVICE r09 #3).
 
     Scale: each round is one hash join of the current distance table
     against the edge list (both partitioned on the join key) + one

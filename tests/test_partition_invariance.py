@@ -254,8 +254,25 @@ KEYS += [
     "multimodal_contrastive_pairs",
 ]
 
+# Round-10 additions: COW merge mixes a manifest-pruned rewrite with
+# by-reference carries; CDC row-diffs only changed file groups — both
+# reports must be identical however the merge/diff joins partition.
+KEYS += [
+    "etl_merge_cow_manifest",
+    "etl_manifest_cdc",
+    "etl_multi_table_txn",
+]
+
 
 def _rows(spark, sf_dir, key, width):
+    # Drop the session memo cache so BOTH widths recompute the full
+    # plan — memo keys don't vary with partitioning, so without this
+    # the second width would reuse the first width's cached substrate
+    # and the invariance assertion would be vacuous for that sub-plan
+    # (ADVICE r09 #5).
+    from dbsuite_spark.tables import clear_session_cache
+
+    clear_session_cache(spark)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:

@@ -1468,13 +1468,21 @@ def test_stl_single_window_and_broadcast_profile(spark, sf_dir):
 def test_funnel_any_match_pushes_step_filters(spark, sf_dir):
     """events_funnel_any_match: every hop's event-type filter must
     reach its scan (candidate generation touches only that step's
-    rows), hops join per-user (broadcast or shuffled equi — no
-    cartesian), steps reduce before the final union of counts."""
+    rows), hops join on (user_id, time bucket) — the later step
+    replicated ±1 bucket via explode — never per-user alone (the
+    hot-user quadratic guard, VERDICT r09 ask #2), no cartesian,
+    steps reduce before the final union of counts."""
     plan = plan_of(spark, sf_dir, "events_funnel_any_match")
     assert "EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
     assert "CartesianProduct" not in plan
+    # the ±1-bucket replication on both hops (step2 feeds step3, so
+    # the click explode appears under each consumer)
+    assert n_nodes(plan, "Generate") >= 2
+    assert "explode([0,-1]" in plan
+    # every hop join key carries the bucket, not user_id alone
+    assert "bin#" in plan
     assert n_nodes(plan, "Union") == 1
 
 
@@ -1607,3 +1615,42 @@ def test_contrastive_pairs_bucketed_sampling(spark, sf_dir):
     assert n_nodes(plan, "InMemoryTableScan") >= 2
     assert n_nodes(plan, "Scan parquet") <= 4
     assert n_nodes(plan, "Union") == 1
+
+
+def test_cow_merge_report_reads_two_snapshots(spark, sf_dir):
+    """etl_merge_cow_manifest: the report is two manifest-driven
+    snapshot reads reduced partial+final and unioned — the merge work
+    happened at write time; no join survives into the report plan, and
+    file counts come from manifest metadata (literals)."""
+    plan = plan_of(spark, sf_dir, "etl_merge_cow_manifest")
+    assert n_nodes(plan, "Scan parquet") == 2
+    assert n_nodes(plan, "HashAggregate") == 4
+    assert n_nodes(plan, "Union") == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_manifest_cdc_scans_changed_files_only(spark, sf_dir):
+    """etl_manifest_cdc: CDC cost ∝ changed files — exactly 4 parquet
+    scans (pre/post rewritten pairs, dropped group, added group)
+    REGARDLESS of how many groups were carried; one full-outer key
+    join executes once (single grouped aggregation over the unioned
+    feed, not one join per op branch); the op spine joins broadcast."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_cdc")
+    assert n_nodes(plan, "Scan parquet") == 4
+    assert plan.count("Join type: FullOuter") == 1
+    assert plan.count("Join type: LeftOuter") == 1
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_table_txn_per_version_fk_audit(spark, sf_dir):
+    """etl_multi_table_txn: each catalog version resolves to its own
+    snapshot pair — 4 scans per version (two counts + the two sides of
+    the orphan audit), the FK audit is an anti-join per version, and
+    the only nested-loop joins are 1-row aggregate stitches."""
+    plan = plan_of(spark, sf_dir, "etl_multi_table_txn")
+    assert plan.count("Join type: LeftAnti") == 2
+    assert n_nodes(plan, "Scan parquet") == 8
+    assert n_nodes(plan, "Union") == 1
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,98 @@
+"""Semantic invariants of the round-10 manifest operators — laws the
+hash oracle can't see: copy-on-write must carry untouched files BY
+REFERENCE (byte-identical, zero rewrite), old snapshots must stay
+readable after a commit, and the CDC feed must conserve the version
+delta."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import dbsuite_spark
+from dbsuite_spark.etl.io import artifact_path
+
+SPECS = dbsuite_spark.all_specs()
+
+
+def _part_hashes(path: str) -> dict[str, str]:
+    """md5 of every parquet part file under a group directory."""
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(path, name), "rb") as fh:
+                out[name] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_cow_merge_carries_untouched_files_by_reference(spark, sf_dir):
+    """VERDICT r09 ask #3's done-criterion: groups the merge didn't
+    touch appear in version 2 with the IDENTICAL path (carry by
+    reference — zero bytes rewritten, verified by md5 of the actual
+    part files against a pre-commit recording), rewritten and added
+    groups get fresh paths, and version 1 stays fully readable."""
+    spec = SPECS["etl_merge_cow_manifest"]
+    spec.fn(spark, sf_dir).collect()
+    root = artifact_path(sf_dir, "tt_cow/manifest.json")
+    m = json.load(open(root))
+    g1 = m["versions"]["1"]["groups"]
+    g2 = m["versions"]["2"]["groups"]
+
+    carried = [g for g in g1 if g in g2 and g2[g]["path"] == g1[g]["path"]]
+    rewritten = [g for g in g1 if g in g2 and g2[g]["path"] != g1[g]["path"]]
+    added = [g for g in g2 if g not in g1]
+    assert sorted(rewritten) == ["1", "2"]
+    assert added == ["20"]
+    assert len(carried) == len(g1) - 2
+
+    # the commit's write set on disk is EXACTLY the touched groups —
+    # the v2 rewrite dir holds grp=1 and grp=2 and nothing else, so
+    # zero bytes of any carried group were rewritten (carried paths
+    # point into the untouched v1 tree)
+    rw_dir = os.path.dirname(g2["1"]["path"])
+    written = sorted(
+        d for d in os.listdir(rw_dir) if d.startswith("grp=")
+    )
+    assert written == ["grp=1", "grp=2"]
+    for g in carried:
+        assert g1[g]["path"].startswith(
+            os.path.join(os.path.dirname(root), "v1")
+        )
+        # carried manifest entries are verbatim copies (stats included)
+        assert g2[g] == g1[g]
+        assert _part_hashes(g2[g]["path"]) == _part_hashes(g1[g]["path"])
+
+    # version 1 stays readable after the commit: per-group stats in
+    # the manifest still match an actual read (time travel intact),
+    # and the rewritten group's v2 data actually differs from v1
+    some = rewritten[0]
+    v1_grp = spark.read.parquet(g1[some]["path"])
+    assert v1_grp.count() == g1[some]["n_rows"]
+    v1_sum = v1_grp.agg({"o_totalprice": "sum"}).first()[0]
+    v2_sum = (
+        spark.read.parquet(g2[some]["path"])
+        .agg({"o_totalprice": "sum"})
+        .first()[0]
+    )
+    assert v2_sum > v1_sum  # +1000 per matched key applied exactly once
+
+
+def test_manifest_cdc_feed_conserves_version_delta(spark, sf_dir):
+    """Applying the CDC counts to version 1's row count must land
+    exactly on version 2's: |v2| = |v1| + inserts − deletes; updates
+    are count-neutral; and the skipped-file count equals the carried
+    groups in the manifest."""
+    rows = {
+        r["op"]: r
+        for r in SPECS["etl_manifest_cdc"].fn(spark, sf_dir).collect()
+    }
+    root = artifact_path(sf_dir, "tt_cdc/manifest.json")
+    m = json.load(open(root))
+    mv1, mv2 = m["versions"]["1"], m["versions"]["2"]
+    n1 = spark.read.parquet(*mv1.values()).count()
+    n2 = spark.read.parquet(*mv2.values()).count()
+    assert n2 == n1 + rows["insert"]["n_rows"] - rows["delete"]["n_rows"]
+    carried = sum(1 for g in mv1 if g in mv2 and mv1[g] == mv2[g])
+    assert rows["skipped_files"]["n_rows"] == carried
+    assert rows["update"]["n_rows"] > 0  # the differ exercised equality

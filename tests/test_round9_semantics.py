@@ -69,6 +69,23 @@ def test_weighted_sssp_dominates_hop_count(spark, sf_dir):
         assert wdist[n] >= hops[n], n
 
 
+def test_weighted_sssp_converged_at_bf_rounds(spark, sf_dir, monkeypatch):
+    """A fifth relaxation round changes NOTHING: the BF_ROUNDS=4
+    Bellman-Ford has converged on this graph, so reported distances
+    are true shortest distances — not merely min cost over <=4-edge
+    paths, which weighted search could otherwise under-serve even on a
+    diameter-3 graph (longer-hop cheaper routes, ADVICE r09 #3). The
+    hash oracle unrolls the same rounds and cannot see this."""
+    from dbsuite_spark.pipeline import graph_paths
+
+    base = sorted(map(tuple, _rows(spark, sf_dir, "graph_weighted_sssp")))
+    monkeypatch.setattr(
+        graph_paths, "BF_ROUNDS", graph_paths.BF_ROUNDS + 1
+    )
+    extra = sorted(map(tuple, _rows(spark, sf_dir, "graph_weighted_sssp")))
+    assert extra == base, "extra round changed distances — not converged"
+
+
 def test_shard_assignment_respects_budget_and_contiguity(spark, sf_dir):
     """Every shard except possibly the last stays within budget + one
     document (a doc never splits); doc ranges are contiguous and

@@ -6,7 +6,6 @@ delta."""
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -14,16 +13,6 @@ import dbsuite_spark
 from dbsuite_spark.etl.io import artifact_path
 
 SPECS = dbsuite_spark.all_specs()
-
-
-def _part_hashes(path: str) -> dict[str, str]:
-    """md5 of every parquet part file under a group directory."""
-    out = {}
-    for name in sorted(os.listdir(path)):
-        if name.endswith(".parquet"):
-            with open(os.path.join(path, name), "rb") as fh:
-                out[name] = hashlib.md5(fh.read()).hexdigest()
-    return out
 
 
 def test_cow_merge_carries_untouched_files_by_reference(spark, sf_dir):
@@ -55,13 +44,29 @@ def test_cow_merge_carries_untouched_files_by_reference(spark, sf_dir):
         d for d in os.listdir(rw_dir) if d.startswith("grp=")
     )
     assert written == ["grp=1", "grp=2"]
+
+    def _newest_mtime(path: str) -> float:
+        return max(
+            os.path.getmtime(os.path.join(path, n))
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )
+
+    # the merge never touched a carried byte: every carried part file
+    # predates the v2 rewrite (v1 is written first, so a merge that
+    # rewrote in place would bump a carried mtime past the rewrite's)
+    rewrite_started = min(
+        _newest_mtime(g2[g]["path"]) for g in rewritten
+    )
     for g in carried:
         assert g1[g]["path"].startswith(
             os.path.join(os.path.dirname(root), "v1")
         )
         # carried manifest entries are verbatim copies (stats included)
         assert g2[g] == g1[g]
-        assert _part_hashes(g2[g]["path"]) == _part_hashes(g1[g]["path"])
+        assert _newest_mtime(g2[g]["path"]) <= rewrite_started, (
+            f"carried group {g} modified during the commit"
+        )
 
     # version 1 stays readable after the commit: per-group stats in
     # the manifest still match an actual read (time travel intact),

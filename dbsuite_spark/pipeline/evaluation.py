@@ -777,6 +777,138 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- isotonic calibration (round 10) ------------------------------------
+
+_CALIB_BIN_STATS_CTE = f"""
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS score,
+         (user_id % 5 = 0) AS label
+  FROM events GROUP BY user_id),
+binned AS (
+  SELECT score, label,
+         CAST(ntile({CALIB_BINS}) OVER (ORDER BY score, user_id) AS INT)
+           AS bin
+  FROM per_user),
+bins AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM binned GROUP BY bin)
+"""
+
+_ISO_ORACLE = f"""
+WITH {_CALIB_BIN_STATS_CTE},
+cum AS (
+  SELECT bin, n, n_pos,
+         SUM(n) OVER (ORDER BY bin) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin) AS cpos
+  FROM bins),
+spans AS (
+  SELECT i.bin AS lo, j.bin AS hi,
+         CAST(j.cpos - (i.cpos - i.n_pos) AS DOUBLE)
+           / (j.cn - (i.cn - i.n)) AS span_avg
+  FROM cum i JOIN cum j ON i.bin <= j.bin),
+lower_env AS (
+  SELECT b.bin, s.lo, MIN(s.span_avg) AS min_over_hi
+  FROM bins b JOIN spans s ON s.lo <= b.bin AND b.bin <= s.hi
+  GROUP BY b.bin, s.lo)
+SELECT b.bin, b.n, b.n_pos,
+       CAST(b.n_pos AS DOUBLE) / b.n AS raw_rate,
+       MAX(l.min_over_hi) AS iso_rate
+FROM bins b JOIN lower_env l ON l.bin = b.bin
+GROUP BY b.bin, b.n, b.n_pos
+"""
+
+
+@query("ml_isotonic_calibration", oracle=_ISO_ORACLE, category="L")
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration over the reliability bins — the
+    monotone fit PAVA computes, here via the equivalent minimax formula
+    iso(k) = max_{i≤k} min_{j≥k} avg(pos rate over bins i..j) (Robertson
+    et al., *Order Restricted Statistical Inference*, the closed form of
+    pool-adjacent-violators). Shares ``ml_calibration_bins``'s exact
+    binning, so raw vs isotonic rates are directly comparable; the
+    fitted curve is the non-decreasing projection a model server would
+    apply to raw scores.
+
+    Exactness: every span average is ONE double division of exact
+    integer prefix-sum differences, and min/max are order-free — no
+    float summation, no rounding needed, hash-identical on both engines.
+
+    Scale: the corpus-scale work is the per-user count + bin assignment
+    (``ml_calibration_bins``'s envelope — swap the global ntile for
+    histogram cut-points at extreme scale); the minimax runs over
+    B={CALIB_BINS} fixed bins, so the span triangle is B(B+1)/2 rows
+    and the envelope join B·spans — constants independent of corpus
+    size, broadcast-joined locally."""
+    e = t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("score"))
+        .select(
+            "user_id", "score", (F.col("user_id") % 5 == 0).alias("label")
+        )
+    )
+    wb = Window.orderBy("score", "user_id")
+    binned = per_user.select(
+        "score",
+        "label",
+        F.ntile(CALIB_BINS).over(wb).cast("int").alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n_pos").over(wc).alias("cpos"),
+    )
+    i = cum.select(
+        F.col("bin").alias("lo"),
+        (F.col("cpos") - F.col("n_pos")).alias("cpos_before"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+    )
+    j = cum.select(
+        F.col("bin").alias("hi"),
+        F.col("cpos").alias("cpos_hi"),
+        F.col("cn").alias("cn_hi"),
+    )
+    spans = i.join(F.broadcast(j), F.col("lo") <= F.col("hi")).select(
+        "lo",
+        "hi",
+        (
+            (F.col("cpos_hi") - F.col("cpos_before")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_before"))
+        ).alias("span_avg"),
+    )
+    k = bins.select("bin", "n", "n_pos")
+    lower_env = (
+        k.join(
+            F.broadcast(spans),
+            (F.col("lo") <= F.col("bin")) & (F.col("bin") <= F.col("hi")),
+        )
+        .groupBy("bin", "n", "n_pos", "lo")
+        .agg(F.min("span_avg").alias("min_over_hi"))
+    )
+    iso = lower_env.groupBy("bin", "n", "n_pos").agg(
+        F.max("min_over_hi").alias("iso_rate")
+    )
+    return iso.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("raw_rate"),
+        "iso_rate",
+    )
+
+
 # --- MinHash estimator calibration (round 6) ----------------------------
 
 MH_EST_HASHES = 24  # mirror the production signature width

@@ -679,3 +679,242 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
     )
+
+
+# --- Bradley-Terry preference ratings (round 10) -------------------------
+
+BT_ITERS = 5  # fixed MM iterations — enough for the 5-item fixture duel
+#                matrix; convergence pinned in tests/test_round10_semantics
+
+
+def _bt_step_sql(k: int) -> str:
+    """One MM update r{k} -> r{k+1} as a CTE body (shared template so
+    the oracle's five folds are assembled, not hand-copied — the
+    ts_holt_winters discipline). MATERIALIZED because each round
+    references its predecessor twice (si/sj): inlined, the oracle plan
+    doubles per round (measured 5.1 s -> 0.07 s at sf0.1) — the DuckDB
+    twin of the localCheckpoint the Spark side takes."""
+    return f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT n.i AS item,
+         MAX(w.wins)::DOUBLE
+           / list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(n.n_ij AS DOUBLE) / (si.s + sj.s)
+                                 ORDER BY n.j)),
+               (a, b) -> a + b) AS s
+  FROM n
+  JOIN r{k} si ON si.item = n.i
+  JOIN r{k} sj ON sj.item = n.j
+  JOIN wtot w ON w.i = n.i
+  GROUP BY n.i)"""
+
+
+def _bt_oracle() -> str:
+    steps = ",".join(_bt_step_sql(k) for k in range(BT_ITERS))
+    return f"""
+WITH ut AS MATERIALIZED (
+  SELECT user_id, event_type, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id, event_type),
+duels AS (
+  SELECT CASE WHEN a.last_ts > b.last_ts
+                OR (a.last_ts = b.last_ts
+                    AND a.event_type > b.event_type)
+              THEN a.event_type ELSE b.event_type END AS w,
+         CASE WHEN a.last_ts > b.last_ts
+                OR (a.last_ts = b.last_ts
+                    AND a.event_type > b.event_type)
+              THEN b.event_type ELSE a.event_type END AS l
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type),
+wg AS (SELECT w, l, CAST(COUNT(*) AS BIGINT) AS w_ij
+       FROM duels GROUP BY w, l),
+items AS (SELECT DISTINCT event_type AS item FROM events),
+pairs AS (SELECT a.item AS i, b.item AS j
+          FROM items a JOIN items b ON a.item <> b.item),
+n AS MATERIALIZED (
+  SELECT p.i, p.j,
+         coalesce(w1.w_ij, 0) AS w_ij,
+         coalesce(w1.w_ij, 0) + coalesce(w2.w_ij, 0) AS n_ij
+  FROM pairs p
+  LEFT JOIN wg w1 ON w1.w = p.i AND w1.l = p.j
+  LEFT JOIN wg w2 ON w2.w = p.j AND w2.l = p.i),
+wtot AS MATERIALIZED (SELECT i, CAST(SUM(w_ij) AS BIGINT) AS wins,
+                CAST(SUM(n_ij) AS BIGINT) AS games
+         FROM n GROUP BY i),
+r0 AS MATERIALIZED (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items),
+{steps},
+tot AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY item)),
+           (a, b) -> a + b) AS tot
+  FROM r{BT_ITERS})
+SELECT r.item, w.wins, w.games,
+       round(r.s / tot.tot, 6) AS rating,
+       CAST(row_number() OVER (
+         ORDER BY round(r.s / tot.tot, 6) DESC, r.item) AS INT) AS rank
+FROM r{BT_ITERS} r, tot
+JOIN wtot w ON w.i = r.item
+"""
+
+
+@query("ml_bradley_terry_fixed", oracle=_bt_oracle(), category="L")
+def ml_bradley_terry_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY preference ratings via {BT_ITERS} fixed
+    minorization-maximization iterations (Hunter 2004, public method) —
+    the pairwise-comparison model behind RLHF reward-model data prep
+    and chatbot-arena-style leaderboards. Duels are revealed
+    preferences: for each user and each pair of event types both
+    present in their history, the type with the later last occurrence
+    wins (ties break on the type name — total order, deterministic).
+    The MM update s_i <- W_i / SUM_j n_ij/(s_i+s_j) runs {BT_ITERS}
+    rounds from s=1, then ratings normalize to sum 1.
+
+    Exactness: the duel matrix is pure integer counting; every MM
+    division is IEEE-identical on both engines because the per-item
+    denominator folds terms in j-order (array_sort fold ≡ DuckDB
+    list(... ORDER BY j) + list_reduce — the bit-identical-fold
+    discipline of pipeline/vectors.py); only the FINAL rating is
+    rounded (6dp) for the rank cut.
+
+    Scale: one corpus shuffle builds the per-(user, item) summary
+    (map-side combined); duel generation is a per-user self-join over
+    that user's item set — bounded by the event-type alphabet here;
+    with unbounded item sets, cap per-user items first (the
+    CF_PART_CAP treatment in rec_user_cf_topk). Everything after is
+    |items|²-sized, broadcast-local; the iteration frames are
+    |items| rows — no collect, no driver loop, plan depth is the
+    fixed {BT_ITERS}."""
+    from dbsuite_spark.tables import memo_cache
+
+    e = t(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.max("ts").alias("last_ts")
+    )
+    a = ut.select(
+        "user_id",
+        F.col("event_type").alias("ta"),
+        F.col("last_ts").alias("la"),
+    )
+    b = ut.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_type").alias("tb"),
+        F.col("last_ts").alias("lb"),
+    )
+    a_wins = (F.col("la") > F.col("lb")) | (
+        (F.col("la") == F.col("lb")) & (F.col("ta") > F.col("tb"))
+    )
+    duels = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ta") < F.col("tb")),
+    ).select(
+        F.when(a_wins, F.col("ta")).otherwise(F.col("tb")).alias("w"),
+        F.when(a_wins, F.col("tb")).otherwise(F.col("ta")).alias("l"),
+    )
+    wg = duels.groupBy("w", "l").agg(
+        F.count("*").cast("bigint").alias("w_ij")
+    )
+    items = e.select(F.col("event_type").alias("item")).distinct()
+    pairs = items.select(F.col("item").alias("i")).join(
+        items.select(F.col("item").alias("j")),
+        F.col("i") != F.col("j"),
+    )
+    n = memo_cache(
+        pairs.join(
+            wg.select(
+                F.col("w").alias("i1"),
+                F.col("l").alias("j1"),
+                F.col("w_ij").alias("wf"),
+            ),
+            (F.col("i") == F.col("i1")) & (F.col("j") == F.col("j1")),
+            "left",
+        )
+        .join(
+            wg.select(
+                F.col("w").alias("i2"),
+                F.col("l").alias("j2"),
+                F.col("w_ij").alias("wr"),
+            ),
+            (F.col("i") == F.col("j2")) & (F.col("j") == F.col("i2")),
+            "left",
+        )
+        .select(
+            "i",
+            "j",
+            F.coalesce(F.col("wf"), F.lit(0)).cast("bigint").alias("w_ij"),
+            (
+                F.coalesce(F.col("wf"), F.lit(0))
+                + F.coalesce(F.col("wr"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_ij"),
+        ),
+        # consumed by every MM round (x{BT_ITERS}) plus the win totals
+        f"bt_duel_matrix:{sf_dir}",
+    )
+    wtot = n.groupBy("i").agg(
+        F.sum("w_ij").cast("bigint").alias("wins"),
+        F.sum("n_ij").cast("bigint").alias("games"),
+    )
+    # per-round lazy checkpoint: si and sj both reference r, so without
+    # lineage truncation the plan doubles every MM round (2^ITERS tree —
+    # the MMR-diversify blowup, round 6)
+    r = (
+        items.select("item", F.lit(1.0).alias("s"))
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(BT_ITERS):
+        si = r.select(F.col("item").alias("i"), F.col("s").alias("s_i"))
+        sj = r.select(F.col("item").alias("j"), F.col("s").alias("s_j"))
+        terms = (
+            n.join(si, "i")
+            .join(sj, "j")
+            .select(
+                "i",
+                "j",
+                (
+                    F.col("n_ij").cast("double")
+                    / (F.col("s_i") + F.col("s_j"))
+                ).alias("term"),
+            )
+        )
+        denom = terms.groupBy("i").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("denom")
+        )
+        r = (
+            denom.join(wtot, "i")
+            .select(
+                F.col("i").alias("item"),
+                (F.col("wins").cast("double") / F.col("denom")).alias("s"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+    tot = r.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("item", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("tot")
+    )
+    rating = F.round(F.col("s") / F.col("tot"), 6)
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .join(wtot.withColumnRenamed("i", "item"), "item")
+        .select(
+            "item",
+            "wins",
+            "games",
+            rating.alias("rating"),
+            F.row_number()
+            .over(Window.orderBy(rating.desc(), F.col("item")))
+            .cast("int")
+            .alias("rank"),
+        )
+    )

@@ -724,26 +724,11 @@ WHERE t1.src < t1.dst
 """
 
 
-@query("sim_knn_graph", oracle=_knn_graph_oracle(), category="L")
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual k-NN graph over the embedding corpus — the substrate for
-    graph-based curation (density-based pruning, label propagation,
-    cluster discovery beyond threshold-CC). Cell-scoped like
-    ``docs_semantic_dedup_ivf``: vectors are assigned to their nearest
-    of max(16, ceil(√n)) seed centroids (the shared deterministic
-    assignment of ``dedup_extra._sem_cells_assign``), each vector ranks
-    its within-cell neighbors by the bit-identical fold cosine, and an
-    edge survives only if MUTUAL — each endpoint in the other's
-    within-cell top-{KNN_GRAPH_K} (undirected output, src < dst, with
-    both directed ranks). Mutuality is the standard symmetrization that
-    drops hub-induced asymmetric edges.
-
-    Scale: one corpus shuffle by cell co-partitions the self-join; cell
-    sizes are O(√n) so the per-cell quadratic term is bounded (the exact
-    within-cell kNN is the same cluster-then-exact envelope as IVF
-    search); the mutual join is top-k-row-count sized, shuffled on the
-    (src, dst) pair key. No driver-side loop, no Python in the hot path
-    — the cosine fold runs in JVM codegen."""
+def _knn_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIRECTED within-cell top-{KNN_GRAPH_K} frame (cell, src, dst,
+    cos_sim, rn) — the pre-mutualization substrate shared by
+    ``sim_knn_graph`` and ``sim_search_graph_beam`` (extracted round 10;
+    plan unchanged, same memo key)."""
     from dbsuite_spark.pipeline.dedup_extra import _sem_cells_assign
 
     # cached: the assignment argmax (one corpus scan x cells broadcast)
@@ -772,13 +757,36 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst")
     )
-    topk = memo_cache(
+    return memo_cache(
         pairs.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= KNN_GRAPH_K),
-        # consumed twice by the mutuality self-join, and rebuilt by
-        # repeat invocations in one session
+        # consumed twice by the mutuality self-join, by the beam-search
+        # edge table, and rebuilt by repeat invocations in one session
         f"knn_graph_topk:{sf_dir}:{KNN_GRAPH_K}",
     )
+
+
+@query("sim_knn_graph", oracle=_knn_graph_oracle(), category="L")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus — the substrate for
+    graph-based curation (density-based pruning, label propagation,
+    cluster discovery beyond threshold-CC). Cell-scoped like
+    ``docs_semantic_dedup_ivf``: vectors are assigned to their nearest
+    of max(16, ceil(√n)) seed centroids (the shared deterministic
+    assignment of ``dedup_extra._sem_cells_assign``), each vector ranks
+    its within-cell neighbors by the bit-identical fold cosine, and an
+    edge survives only if MUTUAL — each endpoint in the other's
+    within-cell top-{KNN_GRAPH_K} (undirected output, src < dst, with
+    both directed ranks). Mutuality is the standard symmetrization that
+    drops hub-induced asymmetric edges.
+
+    Scale: one corpus shuffle by cell co-partitions the self-join; cell
+    sizes are O(√n) so the per-cell quadratic term is bounded (the exact
+    within-cell kNN is the same cluster-then-exact envelope as IVF
+    search); the mutual join is top-k-row-count sized, shuffled on the
+    (src, dst) pair key. No driver-side loop, no Python in the hot path
+    — the cosine fold runs in JVM codegen."""
+    topk = _knn_topk_frame(spark, sf_dir)
     t2 = topk.select(
         F.col("src").alias("dst2"),
         F.col("dst").alias("src2"),
@@ -1320,4 +1328,276 @@ def sim_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_vecs").cast("double") / F.col("n_total")).alias("share"),
         (F.col("n_vecs").cast("double") / ideal).alias("load_factor"),
         (F.col("n_vecs") > 2.0 * ideal).alias("overloaded"),
+    )
+
+
+# --- graph-based ANN: beam search over the kNN graph (round 10) ----------
+
+BEAM_BUCKETS = 16  # hash buckets whose representatives seed the search
+BEAM_LONG = 2  # deterministic long-range edges per node (NSW shortcut)
+BEAM_WIDTH = 8  # candidates kept per query per round
+BEAM_ROUNDS = 3  # expansion rounds (graph diameter budget)
+BEAM_OUT = 5  # final top-k emitted, scored against the exact truth
+
+
+def _graph_beam_oracle() -> str:
+    from dbsuite_spark.pipeline.dedup_extra import _SEM_ASSIGN_CTE
+
+    def md5i(x: str) -> str:
+        return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+    rounds = []
+    for r in range(1, BEAM_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT DISTINCT qid, node FROM (
+    SELECT qid, node FROM b{r - 1}
+    UNION ALL
+    SELECT b.qid, ed.dst AS node
+    FROM b{r - 1} b JOIN edges ed ON ed.src = b.node)
+  WHERE node <> qid),
+s{r} AS (
+  SELECT c.qid, c.node, {COSINE('e.embedding', 'q.qe')} AS cos_sim
+  FROM c{r} c
+  JOIN embeddings e ON e.vec_id = c.node
+  JOIN q ON q.qid = c.qid),
+b{r} AS MATERIALIZED (
+  SELECT qid, node, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, node) AS rn
+    FROM s{r}) WHERE rn <= {BEAM_WIDTH})""")
+    return f"""
+WITH {_SEM_ASSIGN_CTE},
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {COSINE('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a
+  JOIN assign aa ON aa.vec_id = a.vec_id
+  JOIN assign ab ON ab.cell = aa.cell
+  JOIN embeddings b ON b.vec_id = ab.vec_id AND b.vec_id <> a.vec_id),
+ktop AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn
+    FROM p) WHERE rn <= {KNN_GRAPH_K}),
+nodes AS (
+  SELECT vec_id,
+         {md5i("CAST(vec_id AS VARCHAR)")} % {BEAM_BUCKETS} AS bucket
+  FROM embeddings),
+reps AS MATERIALIZED (
+  SELECT bucket, MIN(vec_id) AS rep FROM nodes GROUP BY bucket),
+longe AS (
+  SELECT n.vec_id AS src, r.rep AS dst
+  FROM nodes n,
+       (SELECT unnest(generate_series(1, {BEAM_LONG})) AS m) ms
+  JOIN reps r
+    ON r.bucket = {md5i(
+        "CAST(n.vec_id AS VARCHAR) || ':' || CAST(ms.m AS VARCHAR)"
+    )} % {BEAM_BUCKETS}),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM ktop UNION ALL SELECT src, dst FROM longe),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0),
+c0 AS (
+  SELECT q.qid, r.rep AS node FROM q, reps r WHERE r.rep <> q.qid),
+s0 AS (
+  SELECT c.qid, c.node, {COSINE('e.embedding', 'q.qe')} AS cos_sim
+  FROM c0 c
+  JOIN embeddings e ON e.vec_id = c.node
+  JOIN q ON q.qid = c.qid),
+b0 AS MATERIALIZED (
+  SELECT qid, node, cos_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, node) AS rn
+    FROM s0) WHERE rn <= {BEAM_WIDTH}),
+{",".join(rounds)},
+truth AS MATERIALIZED (
+  SELECT qid, node FROM (
+    SELECT q.qid, e.vec_id AS node, row_number() OVER (
+        PARTITION BY q.qid
+        ORDER BY {COSINE('e.embedding', 'q.qe')} DESC, e.vec_id) AS rn
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+  WHERE rn <= {BEAM_OUT})
+SELECT f.qid, CAST(f.rn AS INT) AS rank, f.node AS neighbor_id,
+       f.cos_sim, t.node IS NOT NULL AS hit
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, node) AS rn
+      FROM b{BEAM_ROUNDS}) f
+LEFT JOIN truth t ON t.qid = f.qid AND t.node = f.node
+WHERE f.rn <= {BEAM_OUT}
+"""
+
+
+@query("sim_search_graph_beam", oracle=_graph_beam_oracle(), category="L")
+def sim_search_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED ANN — beam search over a navigable small-world graph
+    (the HNSW/NSW/Vamana index family, public method), completing the
+    index matrix next to LSH (``sim_search_ann_lsh``), IVF
+    (``sim_search_ann_ivf``), and PQ (``sim_search_pq_adc``). The graph
+    is the directed within-cell top-{KNN_GRAPH_K} of ``sim_knn_graph``
+    (local edges) plus {BEAM_LONG} deterministic md5-routed long-range
+    edges per node to hash-bucket representatives (the small-world
+    shortcuts that let the walk cross cells). Search seeds at all
+    {BEAM_BUCKETS} bucket representatives, then runs {BEAM_ROUNDS}
+    rounds of expand-neighbors / keep-best-{BEAM_WIDTH}; since each
+    round's candidate set contains the previous beam, beam quality is
+    monotone. The final top-{BEAM_OUT} carries a per-row ``hit`` flag
+    against the exact cosine truth — the recall honesty every ANN key
+    in this package ships with.
+
+    Exactness: cosines are the bit-identical fold (pipeline/vectors.py);
+    every beam cut orders by (cos_sim DESC, node) — a total order, so
+    the beam sets are identical on both engines; hash routing is md5
+    integer arithmetic.
+
+    Scale: the index build is the kNN-graph envelope (one corpus
+    shuffle by cell, O(√n) cells) plus a row-local long-edge map; the
+    SEARCH touches |Q| × {BEAM_WIDTH} × (deg) rows per round —
+    independent of corpus size, the property that makes graph ANN the
+    serving-tier choice. Each round is one hash join frontier→edges
+    plus one join to fetch candidate vectors (co-partitioned on the
+    node id); per-round lazy checkpoints stop the two-consumer plan
+    doubling. The exact-truth join is |Q| × n and exists only as this
+    key's recall audit — production serving omits it."""
+    return _beam_final(spark, sf_dir, BEAM_ROUNDS)
+
+
+def _beam_final(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> DataFrame:
+    """Beam-search body with a parameterized round count — the key runs
+    BEAM_ROUNDS; tests/test_round10_semantics runs rounds+1 to prove the
+    beam's best cosine is monotone in the round budget."""
+    e = t(spark, sf_dir, "embeddings")
+    ktop = _knn_topk_frame(spark, sf_dir).select("src", "dst")
+    bucket_of = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % BEAM_BUCKETS
+    )
+    nodes = e.select("vec_id", bucket_of.alias("bucket"))
+    reps = nodes.groupBy("bucket").agg(F.min("vec_id").alias("rep"))
+    longe = (
+        nodes.select(
+            "vec_id", F.explode(F.sequence(F.lit(1), F.lit(BEAM_LONG))).alias("m")
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("vec_id").cast("string"),
+                                F.lit(":"),
+                                F.col("m").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BEAM_BUCKETS
+            ).alias("tbucket"),
+        )
+        .join(
+            F.broadcast(reps.withColumnRenamed("bucket", "tbucket")),
+            "tbucket",
+        )
+        .select("src", F.col("rep").alias("dst"))
+    )
+    edges = memo_cache(
+        ktop.unionByName(longe),
+        # consumed by every expansion round
+        f"beam_edges:{sf_dir}:{KNN_GRAPH_K}:{BEAM_BUCKETS}:{BEAM_LONG}",
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    emb = e.select(F.col("vec_id").alias("node"), F.col("embedding").alias("ne"))
+
+    def _score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(emb, "node")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid",
+                "node",
+                cosine(F.col("ne"), F.col("qe")).alias("cos_sim"),
+            )
+        )
+
+    def _cut(scored: DataFrame, k: int) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("node")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "node", "cos_sim")
+        )
+
+    c0 = q.select("qid").crossJoin(F.broadcast(reps.select("rep"))).filter(
+        F.col("rep") != F.col("qid")
+    ).select("qid", F.col("rep").alias("node"))
+    # per-round lazy checkpoint: the next round references the beam
+    # TWICE (carry-over union + frontier expansion) — without lineage
+    # truncation the plan doubles per round (the MM/BF discipline)
+    beam = _cut(_score(c0), BEAM_WIDTH).coalesce(1).localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        expanded = beam.join(
+            edges, beam["node"] == edges["src"]
+        ).select("qid", edges["dst"].alias("node"))
+        cand = (
+            beam.select("qid", "node")
+            .unionByName(expanded)
+            .filter(F.col("node") != F.col("qid"))
+            .distinct()
+        )
+        beam = (
+            _cut(_score(cand), BEAM_WIDTH)
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("node")
+    )
+    final = (
+        beam.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= BEAM_OUT)
+    )
+    truth = (
+        emb.join(F.broadcast(q), F.col("node") != F.col("qid"))
+        .select(
+            "qid", "node", cosine(F.col("ne"), F.col("qe")).alias("tc")
+        )
+        .withColumn(
+            "trn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("tc").desc(), F.col("node")
+                )
+            ),
+        )
+        .filter(F.col("trn") <= BEAM_OUT)
+        .select("qid", F.col("node").alias("tnode"))
+    )
+    return final.join(
+        truth,
+        (final["qid"] == truth["qid"]) & (final["node"] == truth["tnode"]),
+        "left",
+    ).select(
+        final["qid"],
+        "rank",
+        F.col("node").alias("neighbor_id"),
+        "cos_sim",
+        F.col("tnode").isNotNull().alias("hit"),
     )

@@ -193,3 +193,180 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("novelty_frac"),
     )
+
+
+# --- content-defined chunking dedup (round 10) ---------------------------
+
+CDC_WINDOW = 4  # tokens hashed per boundary test (the "gear" window)
+CDC_DIVISOR = 16  # P(boundary) = 1/16 per position → E[chunk] ≈ 16 tokens
+
+_CDC_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, toks, n,
+         list_filter(
+           generate_series({CDC_WINDOW}, n - 1),
+           i -> CAST('0x' || substr(
+                  md5(array_to_string(
+                        list_slice(toks, i - {CDC_WINDOW - 1}, i), ' ')),
+                  1, 15) AS BIGINT) % {CDC_DIVISOR} = 0) AS bpos
+  FROM tk),
+kx AS (
+  SELECT doc_id, toks, n, bpos,
+         unnest(generate_series(0, len(bpos))) AS k
+  FROM b),
+ch AS (
+  SELECT doc_id, n, k,
+         CASE WHEN k = 0 THEN 1 ELSE bpos[k] + 1 END AS lo,
+         CASE WHEN k = len(bpos) THEN n ELSE bpos[k + 1] END AS hi,
+         md5(array_to_string(
+               list_slice(toks,
+                          CASE WHEN k = 0 THEN 1 ELSE bpos[k] + 1 END,
+                          CASE WHEN k = len(bpos) THEN n
+                               ELSE bpos[k + 1] END), ' ')) AS chash
+  FROM kx),
+freq AS (
+  SELECT chash, CAST(COUNT(*) AS BIGINT) AS f FROM ch GROUP BY chash)
+SELECT ch.doc_id,
+       CAST(MAX(ch.n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE freq.f > 1) AS BIGINT) AS n_dup_chunks,
+       CAST(coalesce(SUM(ch.hi - ch.lo + 1) FILTER (WHERE freq.f > 1), 0)
+            AS BIGINT) AS dup_tokens,
+       CAST(coalesce(SUM(ch.hi - ch.lo + 1) FILTER (WHERE freq.f > 1), 0)
+            AS DOUBLE) / MAX(ch.n) AS dup_token_frac,
+       CAST(MAX(ch.n) AS DOUBLE) / COUNT(*) AS mean_chunk_len
+FROM ch JOIN freq ON freq.chash = ch.chash
+GROUP BY ch.doc_id
+"""
+
+
+@query("docs_cdc_chunk_dedup", oracle=_CDC_ORACLE, category="L")
+def docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (the FastCDC / LBFS / rsync family,
+    public method): chunk boundaries fall where the hash of the trailing
+    {CDC_WINDOW}-token window ≡ 0 (mod {CDC_DIVISOR}), so boundaries are
+    a function of LOCAL CONTENT, not position — insert one token and only
+    the chunks touching the edit change, while every fixed-width scheme
+    (``text_chunk_dedup_global``'s complement) shifts all downstream
+    chunk frames and misses every repeat after the edit. Per document:
+    chunk count, corpus-duplicated chunk count (the chunk's hash appears
+    >1 time anywhere, within- or cross-document), duplicated token mass,
+    and realized mean chunk length (target ≈ {CDC_DIVISOR} tokens) — the
+    dial a storage-dedup or corpus-curation run monitors.
+
+    Exactness: boundary tests and chunk identities are md5 integer
+    comparisons — no floats until the two final mirrored divisions of
+    exact integers; last-position boundaries are excluded (i ≤ n−1), so
+    no empty chunks exist on either engine.
+
+    Scale: boundary detection, chunk splitting, and chunk hashing are
+    ROW-LOCAL array expressions inside codegen (no shuffle, no Python —
+    positions are generated, not joined); the corpus-wide work is one
+    map-side-combined count on the 16-byte chunk hash, a co-partitioned
+    hash join back, and the per-doc rollup on doc_id. Chunks travel as
+    hashes, never text. The per-position window hash is O(W) with
+    W={CDC_WINDOW} — constant per token, embarrassingly parallel."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = _cdc_chunk_rows(d)
+    freq = ch.groupBy("chash").agg(F.count("*").cast("bigint").alias("f"))
+    dup_tok = F.coalesce(
+        F.sum(F.when(F.col("f") > 1, F.col("clen"))), F.lit(0)
+    )
+    return (
+        ch.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.count_if(F.col("f") > 1).cast("bigint").alias("n_dup_chunks"),
+            dup_tok.cast("bigint").alias("dup_tokens"),
+            (dup_tok.cast("double") / F.max("n")).alias("dup_token_frac"),
+            (F.max("n").cast("double") / F.count("*")).alias(
+                "mean_chunk_len"
+            ),
+        )
+    )
+
+
+def _cdc_chunk_rows(d: DataFrame) -> DataFrame:
+    """Row-local content-defined chunker: (doc_id, text) -> one row per
+    chunk (doc_id, n, clen, chash). Factored out so the
+    insert-robustness law (tests/test_round10_semantics) can chunk a
+    synthetic perturbed pair with the EXACT production expressions."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def _cond(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("toks"),
+                                i - (CDC_WINDOW - 1),
+                                F.lit(CDC_WINDOW),
+                            ),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CDC_DIVISOR
+            == 0
+        )
+
+    base = d.select(
+        "doc_id", toks.alias("toks"), n.cast("int").alias("n")
+    ).select(
+        "doc_id",
+        "toks",
+        "n",
+        # Spark's sequence(a, b) DESCENDS when b < a (DuckDB's returns
+        # empty) — guard the short-doc case explicitly.
+        F.when(
+            F.col("n") - 1 >= CDC_WINDOW,
+            F.filter(
+                F.sequence(F.lit(CDC_WINDOW), F.col("n") - 1), _cond
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("bpos"),
+    )
+    nb = F.size(F.col("bpos"))
+    lo_of = lambda k: F.when(k == 0, F.lit(1)).otherwise(
+        F.element_at(F.col("bpos"), k) + 1
+    )
+    hi_of = lambda k: F.when(k == nb, F.col("n")).otherwise(
+        F.element_at(F.col("bpos"), k + 1)
+    )
+    return base.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nb),
+                lambda k: F.struct(
+                    (hi_of(k) - lo_of(k) + 1).alias("clen"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("toks"),
+                                lo_of(k),
+                                hi_of(k) - lo_of(k) + 1,
+                            ),
+                        )
+                    ).alias("chash"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "n", F.col("c.clen").alias("clen"), "c.chash")

@@ -263,6 +263,17 @@ KEYS += [
     "etl_multi_table_txn",
 ]
 
+# Round-10 continuation: the MM fold (Bradley-Terry) and the beam cuts
+# order their own inputs (array_sort folds, (cos, id) windows), the CDC
+# chunker is row-local, and the isotonic minimax is bin-bounded — all
+# four must be bit-identical however the corpus shuffles.
+KEYS += [
+    "ml_isotonic_calibration",
+    "ml_bradley_terry_fixed",
+    "docs_cdc_chunk_dedup",
+    "sim_search_graph_beam",
+]
+
 
 def _rows(spark, sf_dir, key, width):
     # Drop the session memo cache so BOTH widths recompute the full

@@ -1654,3 +1654,58 @@ def test_multi_table_txn_per_version_fk_audit(spark, sf_dir):
     assert n_nodes(plan, "Scan parquet") == 8
     assert n_nodes(plan, "Union") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_isotonic_minimax_is_bin_bounded(spark, sf_dir):
+    """ml_isotonic_calibration: the corpus-scale work is the per-user
+    count (partial+final); the minimax triangle runs over CALIB_BINS
+    fixed bins, so its only join machinery is two nested-loop joins over
+    B-row broadcast sides — constant-size at any corpus scale — and no
+    cartesian or Python appears."""
+    plan = plan_of(spark, sf_dir, "ml_isotonic_calibration")
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Scan parquet") <= 3
+
+
+def test_cdc_chunking_is_row_local(spark, sf_dir):
+    """docs_cdc_chunk_dedup: boundary detection + chunk hashing happen
+    inside codegen as row-local array expressions (the only Generates),
+    and the corpus-wide work is exactly two exchanges — the chunk-hash
+    frequency aggregation and the per-doc rollup. The freq join is an
+    equi hash join; no Python, no cartesian, no window."""
+    plan = plan_of(spark, sf_dir, "docs_cdc_chunk_dedup")
+    assert n_nodes(plan, "Generate") == 2
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bradley_terry_iterations_are_item_bounded(spark, sf_dir):
+    """ml_bradley_terry_fixed: the duel matrix is session-memoized (its
+    InMemoryTableScan feeds every MM round), the only window is the
+    final rank, and every nested-loop join has an item-alphabet-bounded
+    or 1-row side (items x items, the normalizing total) — the corpus
+    appears only in the per-(user, item) aggregation."""
+    plan = plan_of(spark, sf_dir, "ml_bradley_terry_fixed")
+    assert n_nodes(plan, "InMemoryTableScan") >= 1
+    assert n_nodes(plan, "Window") == 1
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_graph_beam_search_cuts_push_group_limit(spark, sf_dir):
+    """sim_search_graph_beam: every beam cut plans as WindowGroupLimit
+    (per-partition top-B heaps before the window sort — no full sort of
+    the candidate set), the truth audit's nested-loop join carries the
+    broadcast bounded query side, and nothing goes cartesian. The plan
+    segment visible past the per-round checkpoints must stay
+    Python-free."""
+    plan = plan_of(spark, sf_dir, "sim_search_graph_beam")
+    assert n_nodes(plan, "WindowGroupLimit") >= 2
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

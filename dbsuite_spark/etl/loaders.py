@@ -1779,3 +1779,115 @@ def etl_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = frame if out is None else out.unionAll(frame)
     return out
+
+
+# --- orphan-file vacuum (round 10) -----------------------------------------
+
+_VACUUM_ORACLE = """
+SELECT * FROM (
+  SELECT 'v0' AS item, 'live' AS status,
+         CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+  UNION ALL
+  SELECT 'v1', 'live', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT 'orphan_mod7', 'vacuumed', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'orphan_mod11', 'vacuumed', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderkey % 11 = 0)
+"""
+
+
+@query("etl_vacuum_orphan_files", oracle=_VACUUM_ORACLE, category="H")
+def etl_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM of unreferenced files — the garbage-collection half of the
+    manifest substrate (Delta VACUUM / Iceberg remove-orphan-files
+    shape) that ``etl_time_travel_expire`` doesn't cover: expire
+    removes OLD VERSIONS the manifest knows about; vacuum removes
+    directories the manifest NEVER adopted — debris of writers that
+    died between data write and OCC commit (``etl_occ_write_conflict``
+    losers that never rebased). The substrate stages two live versions
+    plus two aborted-writer directories; vacuum walks the table root,
+    classifies every data directory against the union of manifest
+    version paths, records the orphans' row counts for the audit trail,
+    deletes them, and re-reads the live versions through the manifest —
+    proving the GC touched nothing a reader can reach.
+
+    Exactness: the report is four integer counts; orphan contents are
+    deterministic key-mod slices, so the oracle reproduces them from
+    the fixture without touching the filesystem.
+
+    Scale: classification is driver-side metadata (set difference of
+    directory names vs manifest paths — no data read to DECIDE); the
+    orphan row counts are pruned single-column scans read once for the
+    audit before deletion, and live verification reads only manifest
+    paths. At a million files the walk parallelizes as a listing job;
+    the decision stays a hash-set lookup per file."""
+    import json as _json
+    import shutil as _shutil
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_vacuum/manifest.json")
+    vac_dir = os.path.dirname(root)
+    # live, manifest-adopted versions
+    versions: dict[str, dict] = {}
+    for v, df in {
+        0: base,
+        1: base.filter(F.col("o_orderstatus") != "F"),
+    }.items():
+        path = os.path.join(vac_dir, f"v{v}")
+        df.write.mode("overwrite").parquet(path)
+        versions[str(v)] = {"path": path, "n_rows": df.count()}
+    # aborted writers: data landed, the OCC commit never did — exactly
+    # the state an etl_occ_write_conflict loser leaves if it dies
+    # before rebasing
+    orphans = {
+        "orphan_mod7": base.filter(F.col("o_orderkey") % 7 == 0),
+        "orphan_mod11": base.filter(F.col("o_orderkey") % 11 == 0),
+    }
+    for name, df in orphans.items():
+        df.write.mode("overwrite").parquet(os.path.join(vac_dir, name))
+    tmp = root + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"current": 1, "versions": versions}, fh)
+    os.replace(tmp, root)
+
+    # --- the vacuum: classify every directory under the table root ---
+    manifest = _json.load(open(root))
+    live_paths = {v["path"] for v in manifest["versions"].values()}
+    rows = []
+    for entry in sorted(os.listdir(vac_dir)):
+        full = os.path.join(vac_dir, entry)
+        if not os.path.isdir(full):
+            continue  # the manifest file itself
+        if full in live_paths:
+            continue
+        # audit before delete: a real vacuum logs what it reclaims
+        n = spark.read.parquet(full).count()
+        _shutil.rmtree(full)
+        rows.append((entry, "vacuumed", n))
+    assert sorted(r[0] for r in rows) == ["orphan_mod11", "orphan_mod7"]
+    assert all(
+        not os.path.exists(os.path.join(vac_dir, r[0])) for r in rows
+    ), "vacuumed directories must be gone"
+
+    vacuumed = spark.createDataFrame(
+        rows, "item string, status string, n_rows bigint"
+    )
+    live = [
+        spark.read.parquet(manifest["versions"][v]["path"])
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            F.lit(f"v{v}").alias("item"),
+            F.lit("live").alias("status"),
+            "n_rows",
+        )
+        for v in sorted(manifest["versions"], key=int)
+    ]
+    out = vacuumed
+    for fr in live:
+        out = out.unionByName(fr)
+    return out

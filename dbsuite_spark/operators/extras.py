@@ -1063,3 +1063,116 @@ def agg_variance_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("delta") / F.col("total_delta"))
         .alias("contribution"),
     )
+
+
+# --- Chatterjee's xi rank correlation (round 10) --------------------------
+
+_XI_ORACLE = """
+WITH base AS (
+  SELECT o_totalprice AS x, o_orderdate AS y, o_orderkey AS k
+  FROM orders),
+ranked AS (
+  SELECT
+    CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS sx,
+    CAST(row_number() OVER (ORDER BY y, k) AS BIGINT) AS ry
+  FROM base),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+sxy AS (
+  SELECT CAST(SUM(abs(ry - lag_ry)) AS BIGINT) AS s
+  FROM (SELECT ry, lag(ry) OVER (ORDER BY sx) AS lag_ry FROM ranked)
+  WHERE lag_ry IS NOT NULL),
+syx AS (
+  SELECT CAST(SUM(abs(sx - lag_sx)) AS BIGINT) AS s
+  FROM (SELECT sx, lag(sx) OVER (ORDER BY ry) AS lag_sx FROM ranked)
+  WHERE lag_sx IS NOT NULL)
+SELECT n.n,
+       sxy.s AS s_xy, syx.s AS s_yx,
+       1.0 - 3.0 * CAST(sxy.s AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n - 1)
+         AS xi_xy,
+       1.0 - 3.0 * CAST(syx.s AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n - 1)
+         AS xi_yx
+FROM n, sxy, syx
+"""
+
+
+@query("agg_xi_correlation", oracle=_XI_ORACLE, category="D")
+def agg_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHATTERJEE'S XI rank correlation (Chatterjee 2020, "A new
+    coefficient of correlation", JASA — public method) in BOTH
+    directions: sort by X, take consecutive |rank(Y)| jumps,
+    xi = 1 − 3·Σ|r_{i+1} − r_i|/(n²−1). Unlike Pearson/Spearman
+    (``agg_regr``/``agg_corr_matrix``), xi detects ARBITRARY functional
+    dependence (a parabola scores ~0 Pearson but high xi) and is
+    asymmetric — xi(X→Y) ≠ xi(Y→X) tells you which variable determines
+    which. Runs on X = order price vs Y = order date; ties break on the
+    UNIQUE o_orderkey — a genuinely total order (the lineitem fixture's
+    (orderkey, linenumber) is NOT unique, which would make row_number
+    engine-dependent) — the deterministic form of the estimator's
+    random tie-break.
+
+    Exactness: both ranks and the jump sum are pure integers; the two
+    final divisions are mirrored double expressions.
+
+    Scale: two global rank windows + two lag windows — the exactness
+    reference formulation. At extreme n, both ranks distribute by the
+    compressed two-pass spine (``ml_feature_quantile_bin``) or the
+    range-totals prefix sum (``docs_shard_assign_prefix_sum``), and the
+    consecutive-jump sum localizes per range with one boundary row
+    exchanged per partition; the formula itself is a single integer
+    reduction either way."""
+    li = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderdate").alias("y"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ranked = li.select(
+        F.row_number()
+        .over(Window.orderBy("x", "k"))
+        .cast("bigint")
+        .alias("sx"),
+        F.row_number()
+        .over(Window.orderBy("y", "k"))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    s_xy = (
+        ranked.select(
+            "ry", F.lag("ry").over(Window.orderBy("sx")).alias("lag_ry")
+        )
+        .filter(F.col("lag_ry").isNotNull())
+        .agg(
+            F.sum(F.abs(F.col("ry") - F.col("lag_ry")))
+            .cast("bigint")
+            .alias("s_xy")
+        )
+    )
+    s_yx = (
+        ranked.select(
+            "sx", F.lag("sx").over(Window.orderBy("ry")).alias("lag_sx")
+        )
+        .filter(F.col("lag_sx").isNotNull())
+        .agg(
+            F.sum(F.abs(F.col("sx") - F.col("lag_sx")))
+            .cast("bigint")
+            .alias("s_yx")
+        )
+    )
+    nf = li.agg(F.count("*").cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    return (
+        nf.crossJoin(F.broadcast(s_xy))
+        .crossJoin(F.broadcast(s_yx))
+        .select(
+            "n",
+            "s_xy",
+            "s_yx",
+            (
+                F.lit(1.0)
+                - F.lit(3.0) * F.col("s_xy").cast("double") / (nd * F.col("n") - 1)
+            ).alias("xi_xy"),
+            (
+                F.lit(1.0)
+                - F.lit(3.0) * F.col("s_yx").cast("double") / (nd * F.col("n") - 1)
+            ).alias("xi_yx"),
+        )
+    )

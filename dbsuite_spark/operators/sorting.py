@@ -373,3 +373,74 @@ def limit_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(KEYSET_PAGE)
     )
+
+
+# --- weighted reservoir sample (round 10) ---------------------------------
+
+WRS_K = 100  # fixed sample size
+
+
+_WRS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0
+           AS u
+  FROM documents),
+keyed AS (
+  SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS draw_key
+  FROM d)
+SELECT doc_id, n_chars, draw_key,
+       CAST(row_number() OVER (ORDER BY draw_key DESC, doc_id) AS INT)
+         AS rank
+FROM keyed
+ORDER BY draw_key DESC, doc_id
+LIMIT {WRS_K}
+"""
+
+
+@query("sample_weighted_reservoir", oracle=_WRS_ORACLE, category="F")
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reservoir sampling (Efraimidis-Spirakis A-ES, public
+    method), deterministic: each document draws an md5-uniform u and is
+    ranked by ln(u)/weight (the log form of u^(1/w) — same order, no
+    cross-engine pow hazard); the top-{WRS_K} keys are a
+    without-replacement sample where inclusion probability scales with
+    the weight (n_chars) — the token-mass-proportional sampler a corpus
+    builder needs when a uniform row sample would over-represent short
+    documents. Completes the sampler family: fixed-rate
+    (``sample_fraction``), fixed-size uniform (``sample_reservoir_hash``),
+    Bernoulli-weighted (``docs_sample_weighted``), fixed-size weighted
+    (this).
+
+    Exactness: u is exact integer arithmetic (+0.5 midpoint over 10⁶);
+    ln rounds to 9dp before the cut (the geometric-mean-log
+    discipline) with doc_id tie-break — a total order.
+
+    Scale: the draw is row-local; order-by-limit plans as
+    TakeOrderedAndProject (per-partition k-heaps, driver merges
+    partition tops) — O(k) memory per task, no global sort, no
+    shuffle of the corpus."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("draw_key"),
+    )
+    w = Window.orderBy(F.col("draw_key").desc(), "doc_id")
+    return (
+        keyed.orderBy(F.col("draw_key").desc(), "doc_id")
+        .limit(WRS_K)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

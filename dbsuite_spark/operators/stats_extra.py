@@ -11,6 +11,7 @@ operation-for-operation in the oracle so every double is bit-identical.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1559,4 +1560,161 @@ def events_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("llr") >= SPRT_UP, "accept_h1")
         .when(F.col("llr") <= SPRT_LO, "accept_h0")
         .otherwise("continue"),
+    )
+
+
+# --- dynamic time warping (round 10) -------------------------------------
+
+DTW_L = 24  # hour-of-day profile length per event-type series
+_DTW_BIG = 1 << 40  # unreachable-cell sentinel (greater than any path)
+
+
+def _dtw_oracle() -> str:
+    """DTW as a RECURSIVE-CTE wavefront: diagonal m is one list per
+    pair (slot x holds D(x-1, m-x+1), NULL when off-grid), each
+    iteration derives diagonal k+1 from diagonals k and k-1 carried on
+    the same row — the standard way to run a 2-D dynamic program
+    through a single-self-reference recursion. Integer costs make the
+    DP exact on both engines."""
+    L, BIG = DTW_L, _DTW_BIG
+    return f"""
+WITH RECURSIVE types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT t.event_type, hs.h
+  FROM types t, (SELECT unnest(generate_series(0, {L - 1})) AS h) hs),
+cnt AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hour(ts)),
+ser AS MATERIALIZED (
+  SELECT s.event_type, list(coalesce(c.c, 0) ORDER BY s.h) AS arr
+  FROM spine s
+  LEFT JOIN cnt c ON c.event_type = s.event_type AND c.h = s.h
+  GROUP BY s.event_type),
+pairs AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.arr AS ca, b.arr AS cb
+  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+dp AS (
+  SELECT type_a, type_b, ca, cb, 0 AS k,
+         list_transform(generate_series(1, {L}), x ->
+           CASE WHEN x = 1 THEN abs(ca[1] - cb[1]) END) AS diag,
+         CAST(NULL AS BIGINT[]) AS dprev
+  FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, ca, cb, k + 1,
+         list_transform(generate_series(1, {L}), x ->
+           CASE WHEN k + 3 - x BETWEEN 1 AND {L} THEN
+             abs(ca[x] - cb[k + 3 - x])
+             + least(
+                 coalesce(diag[x], {BIG}),
+                 coalesce(CASE WHEN x > 1 THEN diag[x - 1] END, {BIG}),
+                 coalesce(CASE WHEN x > 1 THEN dprev[x - 1] END, {BIG}))
+           END),
+         diag
+  FROM dp WHERE k < {2 * L - 2}),
+lockstep AS (
+  SELECT type_a, type_b,
+         list_reduce(list_transform(generate_series(1, {L}),
+                                    i -> abs(ca[i] - cb[i])),
+                     (a, b) -> a + b) AS lockstep_cost
+  FROM pairs)
+SELECT d.type_a, d.type_b,
+       CAST(d.diag[{L}] AS BIGINT) AS dtw_cost,
+       CAST(ls.lockstep_cost AS BIGINT) AS lockstep_cost,
+       CAST(ls.lockstep_cost - d.diag[{L}] AS BIGINT) AS warp_gain
+FROM dp d
+JOIN lockstep ls ON ls.type_a = d.type_a AND ls.type_b = d.type_b
+WHERE d.k = {2 * L - 2}
+"""
+
+
+@query("ts_dtw_distance", oracle=_dtw_oracle(), category="L")
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between every pair of event-type
+    hour-of-day profiles (Sakoe & Chiba 1978, public method) — the
+    alignment-tolerant series similarity that lockstep L1 cannot
+    express: a profile shifted by an hour stays near under DTW but far
+    under lockstep. Emits both costs per pair (and their gap), so the
+    warp gain itself is the signal; DTW ≤ lockstep ALWAYS (the diagonal
+    is one admissible warping path) — law-tested.
+
+    This is the package's canonical "built-ins can't express it" lane:
+    a 2-D dynamic program is not a DataFrame expression, so the DP runs
+    in an Arrow-vectorized pandas UDF over INTEGER costs (bit-exact by
+    construction); the oracle runs the identical DP as a recursive-CTE
+    diagonal wavefront — full cross-engine hash coverage for a
+    non-SQL-expressible operator.
+
+    Scale: the corpus collapses to |types| × {DTW_L} integer counts in
+    one map-side-combined aggregation; profile assembly is a spine join
+    and an in-group sort; the quadratic DP runs on |types|²/2 pairs ×
+    {DTW_L}² cells inside Arrow batches — series-count-bounded, never
+    corpus-bounded. For millions of series, pre-cluster pairs (blocked
+    DTW) — the pair generation here is the same self-join envelope as
+    ``ml_bradley_terry_fixed``'s duel matrix."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(DTW_L - 1))).alias("h"),
+    )
+    cnt = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    ser = (
+        spine.join(cnt, ["event_type", "h"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "c"))),
+                lambda s: F.coalesce(s["c"], F.lit(0)),
+            ).alias("arr")
+        )
+    )
+    pairs = (
+        ser.select(F.col("event_type").alias("type_a"), F.col("arr").alias("ca"))
+        .join(
+            ser.select(
+                F.col("event_type").alias("type_b"), F.col("arr").alias("cb")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+
+    @F.pandas_udf("long")
+    def _dtw(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ca, cb in zip(a, b):
+            x = [int(v) for v in ca]
+            y = [int(v) for v in cb]
+            n = len(x)
+            big = _DTW_BIG
+            # border formulation: D[0][0]=0, borders BIG — identical
+            # cell values to the oracle's NULL-padded wavefront
+            prev = [0] + [big] * n
+            for i in range(1, n + 1):
+                cur = [big] * (n + 1)
+                for j in range(1, n + 1):
+                    c = abs(x[i - 1] - y[j - 1])
+                    cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+                prev = cur
+            out.append(prev[n])
+        return pd.Series(out)
+
+    lockstep = F.aggregate(
+        F.zip_with(
+            F.col("ca"), F.col("cb"), lambda p, q: F.abs(p - q)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        _dtw(F.col("ca"), F.col("cb")).alias("dtw_cost"),
+        lockstep.alias("lockstep_cost"),
+        (lockstep - _dtw(F.col("ca"), F.col("cb"))).alias("warp_gain"),
     )

@@ -417,3 +417,159 @@ def ml_logreg_gd_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --- learning-curve points (round 10) -------------------------------------
+
+LC_FRACTIONS = (25, 50, 100)  # percent of the train pool used per point
+LC_EVAL_MOD = 5  # vec_id % 5 == 3 -> held-out eval set
+
+
+def _lc_point_sql(p: int) -> str:
+    train = (
+        f"vec_id % {LC_EVAL_MOD} <> 3 AND "
+        f"CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % 100 < {p}"
+    )
+    return f"""
+u{p} AS (
+  SELECT label, ii.i AS i,
+         CAST(SUM(CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * {UNIT})
+                       AS BIGINT)) AS BIGINT) AS units,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) ii
+  WHERE {train}
+  GROUP BY label, ii.i),
+c{p} AS (
+  SELECT label, list(CAST(units AS DOUBLE) / {UNIT} / n ORDER BY i) AS c
+  FROM u{p} GROUP BY label),
+nt{p} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM embeddings
+  WHERE {train}),
+pred{p} AS (
+  SELECT true_label = cand AS correct FROM (
+    SELECT e.vec_id, e.label AS true_label, ct.label AS cand,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {COSINE('e.embedding', 'ct.c')} DESC,
+                        ct.label) AS rn
+    FROM embeddings e, c{p} ct
+    WHERE e.vec_id % {LC_EVAL_MOD} = 3) WHERE rn = 1),
+row{p} AS (
+  SELECT {p} AS pct, nt.n_train,
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS accuracy
+  FROM pred{p}, nt{p} nt GROUP BY nt.n_train)"""
+
+
+_LC_ORACLE = (
+    "WITH "
+    + ",".join(_lc_point_sql(p) for p in LC_FRACTIONS)
+    + "\n"
+    + " UNION ALL ".join(f"SELECT * FROM row{p}" for p in LC_FRACTIONS)
+)
+
+
+@query("ml_learning_curve_points", oracle=_LC_ORACLE, category="L")
+def ml_learning_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNING-CURVE measurement — accuracy of the per-label centroid
+    classifier at {LC_FRACTIONS}% of the training pool against ONE
+    fixed held-out eval set (vec_id % {LC_EVAL_MOD} == 3): the
+    how-much-data-do-we-need observability every scaling decision rests
+    on. Train subsets are md5-NESTED (pct p is a superset of every
+    p' < p — the same hash draw against a growing threshold), so the
+    curve varies only the data budget, never the data identity — the
+    discipline scaling-law studies require.
+
+    Exactness: centroids are the integer-unit sums of
+    ``ml_centroid_classify``; the argmax orders by (fold cosine DESC,
+    label); accuracies are single mirrored divisions.
+
+    Scale: per point, ONE 65-agg hash aggregation over the train slice
+    (map-side combined) and one broadcast classify pass over the eval
+    set — the whole curve is {len(LC_FRACTIONS)} static branches of
+    the classify plan, unioned; no loop depends on data."""
+    e = t(spark, sf_dir, "embeddings")
+    hash_draw = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    eval_set = e.filter(F.col("vec_id") % LC_EVAL_MOD == 3).select(
+        "vec_id", F.col("label").alias("true_label"), "embedding"
+    )
+    out = None
+    for p in LC_FRACTIONS:
+        train = e.filter(
+            (F.col("vec_id") % LC_EVAL_MOD != 3) & (hash_draw < p)
+        )
+        agg = train.groupBy("label").agg(
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("embedding", i).cast("double")
+                        * F.lit(UNIT)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias(f"u{i}")
+                for i in range(1, DIM + 1)
+            ],
+            F.count("*").alias("n"),
+        )
+        cents = agg.select(
+            "label",
+            F.array(
+                *[
+                    (
+                        F.col(f"u{i}").cast("double")
+                        / F.lit(UNIT)
+                        / F.col("n")
+                    )
+                    for i in range(1, DIM + 1)
+                ]
+            ).alias("c"),
+        )
+        n_train = train.agg(
+            F.count("*").cast("bigint").alias("n_train")
+        )
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), F.col("cand")
+        )
+        pred = (
+            eval_set.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "true_label",
+                F.col("label").alias("cand"),
+                cosine(F.col("embedding"), F.col("c")).alias("cs"),
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(
+                (F.col("true_label") == F.col("cand")).alias("correct")
+            )
+        )
+        n_correct = F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        row = (
+            pred.agg(
+                F.count("*").cast("bigint").alias("n_eval"),
+                n_correct.cast("bigint").alias("n_correct"),
+                (n_correct.cast("double") / F.count("*")).alias("accuracy"),
+            )
+            .crossJoin(F.broadcast(n_train))
+            .select(
+                F.lit(p).cast("int").alias("pct"),
+                "n_train",
+                "n_eval",
+                "n_correct",
+                "accuracy",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

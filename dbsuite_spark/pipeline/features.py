@@ -652,3 +652,325 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- exact greedy depth-2 regression tree (round 10) ----------------------
+
+_TREE_FEATS_CTE = """
+u AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS f1,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS f2,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS y
+  FROM events GROUP BY user_id)
+"""
+
+# per-(feat, val) prefix stats -> candidate split scores; {side} is ''
+# for the root and 'side,' for the child pass (same machinery, one more
+# grouping key) — assembled, not hand-copied
+def _tree_cand_sql(melt: str, tot: str, side: str) -> str:
+    sc = f"{side}" if not side else f"{side}, "
+    return f"""
+  SELECT {sc}feat, val,
+         SUM(n_v) OVER w AS cn,
+         SUM(s_v) OVER w AS cs,
+         SUM(q_v) OVER w AS cq
+  FROM (SELECT {sc}feat, val, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(y) AS BIGINT) AS s_v,
+               CAST(SUM(y * y) AS BIGINT) AS q_v
+        FROM {melt} GROUP BY {sc}feat, val)
+  WINDOW w AS (PARTITION BY {sc}feat ORDER BY val
+               ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def _tree_oracle() -> str:
+    sse = (
+        lambda q, s, n: f"(CAST({q} AS DOUBLE) - CAST({s} AS DOUBLE)"
+        f" * ({s}) / ({n}))"
+    )
+    red = (
+        f"round({sse('t.q','t.s','t.n')} - {sse('c.cq','c.cs','c.cn')}"
+        f" - {sse('t.q - c.cq','t.s - c.cs','t.n - c.cn')}, 6)"
+    )
+    redc = (
+        f"round({sse('t2.q','t2.s','t2.n')} - {sse('c.cq','c.cs','c.cn')}"
+        f" - {sse('t2.q - c.cq','t2.s - c.cs','t2.n - c.cn')}, 6)"
+    )
+    return f"""
+WITH {_TREE_FEATS_CTE},
+melt AS (
+  SELECT 'f1' AS feat, f1 AS val, y FROM u
+  UNION ALL SELECT 'f2', f2, y FROM u),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(y * y) AS BIGINT) AS q FROM u),
+cand AS ({_tree_cand_sql("melt", "tot", "")}),
+root_best AS MATERIALIZED (
+  SELECT feat AS rfeat, val AS rthr, score AS rscore FROM (
+    SELECT c.feat, c.val, {red} AS score,
+           row_number() OVER (ORDER BY {red} DESC, c.feat, c.val) AS rn
+    FROM cand c, tot t WHERE c.cn < t.n) WHERE rn = 1),
+sided AS MATERIALIZED (
+  SELECT u.f1, u.f2, u.y,
+         CASE WHEN (CASE WHEN rb.rfeat = 'f1' THEN u.f1 ELSE u.f2 END)
+                   <= rb.rthr
+              THEN 'L' ELSE 'R' END AS side
+  FROM u, root_best rb),
+melt2 AS (
+  SELECT side, 'f1' AS feat, f1 AS val, y FROM sided
+  UNION ALL SELECT side, 'f2', f2, y FROM sided),
+tot2 AS MATERIALIZED (
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS q FROM sided GROUP BY side),
+cand2 AS ({_tree_cand_sql("melt2", "tot2", "side")}),
+child_best AS MATERIALIZED (
+  SELECT side AS cside, feat AS cfeat, val AS cthr, score AS cscore
+  FROM (
+    SELECT c.side, c.feat, c.val, {redc} AS score,
+           row_number() OVER (PARTITION BY c.side
+                              ORDER BY {redc} DESC, c.feat, c.val) AS rn
+    FROM cand2 c JOIN tot2 t2 ON t2.side = c.side
+    WHERE c.cn < t2.n) WHERE rn = 1),
+leaves AS (
+  SELECT s.side ||
+         (CASE WHEN (CASE WHEN cb.cfeat = 'f1' THEN s.f1 ELSE s.f2 END)
+                    <= cb.cthr THEN 'L' ELSE 'R' END) AS node,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s.y) AS BIGINT) AS sum_y
+  FROM sided s JOIN child_best cb ON cb.cside = s.side
+  GROUP BY 1)
+SELECT 'root' AS node, t.n, t.s AS sum_y,
+       CAST(t.s AS DOUBLE) / t.n AS mean_y,
+       rb.rfeat AS split_feat, rb.rthr AS split_thr,
+       rb.rscore AS sse_reduction
+FROM tot t, root_best rb
+UNION ALL
+SELECT t2.side, t2.n, t2.s, CAST(t2.s AS DOUBLE) / t2.n,
+       cb.cfeat, cb.cthr, cb.cscore
+FROM tot2 t2 LEFT JOIN child_best cb ON cb.cside = t2.side
+UNION ALL
+SELECT node, n, sum_y, CAST(sum_y AS DOUBLE) / n, NULL, NULL, NULL
+FROM leaves
+"""
+
+
+@query("ml_decision_tree_depth2", oracle=_tree_oracle(), category="L")
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT GREEDY DEPTH-2 REGRESSION TREE (CART / the
+    histogram-split primitive inside every gradient-boosting trainer,
+    public method): features f1 = events per user, f2 = active days;
+    target y = purchases. Every distinct feature value is a candidate
+    threshold; split quality is the SSE reduction computed from
+    (n, Σy, Σy²) prefix sums over the value spine; the best root split
+    then the best split per child are chosen by (rounded score DESC,
+    feat, threshold) — fully DECLARATIVE: the argmax is a 1-row frame
+    broadcast-joined back to route rows, no collect, no driver loop.
+    Emits all 7 nodes (root, L/R, 4 leaves) with population, target
+    mass, mean prediction, and the chosen split per internal node.
+
+    Exactness: sufficient statistics are exact integers; SSEs are
+    mirrored double expressions of double-cast BIGINTs (the ANSI
+    overflow-safe form); scores round to 6dp before the argmax
+    tie-break on (feat, val) — a total order.
+
+    Scale: this is EXACTLY how distributed GBDT trainers split — per
+    (feature, bin) sufficient stats (one map-side-combined shuffle of
+    |features|×|bins| rows), prefix-scan the spine, argmax, route, and
+    recurse one level. The spine here is distinct-value-sized; at
+    extreme cardinality you quantile-bin first
+    (``ml_feature_quantile_bin``) and the same plan runs over ≤256
+    bins per feature. Candidate scoring never touches row data after
+    the one stats aggregation; routing is one broadcast join per
+    level."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("f1"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("f2"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("y"),
+    ).select("f1", "f2", "y")
+
+    def _melt(df: DataFrame, keys: list[str]) -> DataFrame:
+        return df.select(
+            *keys,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("f1").alias("feat"), F.col("f1").alias("val")
+                    ),
+                    F.struct(
+                        F.lit("f2").alias("feat"), F.col("f2").alias("val")
+                    ),
+                )
+            ).alias("fv"),
+            "y",
+        ).select(*keys, "fv.feat", "fv.val", "y")
+
+    def _cand(melt: DataFrame, keys: list[str]) -> DataFrame:
+        byval = melt.groupBy(*keys, "feat", "val").agg(
+            F.count("*").cast("bigint").alias("n_v"),
+            F.sum("y").cast("bigint").alias("s_v"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q_v"),
+        )
+        w = (
+            Window.partitionBy(*keys, "feat")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return byval.select(
+            *keys,
+            "feat",
+            "val",
+            F.sum("n_v").over(w).alias("cn"),
+            F.sum("s_v").over(w).alias("cs"),
+            F.sum("q_v").over(w).alias("cq"),
+        )
+
+    def _sse(q, s, n):
+        return q.cast("double") - s.cast("double") * s / n
+
+    def _red(tn, ts_, tq):
+        return F.round(
+            _sse(tq, ts_, tn)
+            - _sse(F.col("cq"), F.col("cs"), F.col("cn"))
+            - _sse(tq - F.col("cq"), ts_ - F.col("cs"), tn - F.col("cn")),
+            6,
+        )
+
+    tot = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q"),
+    )
+    scored = (
+        _cand(_melt(u, []), [])
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cn") < F.col("n"))
+        .select(
+            "feat",
+            "val",
+            _red(F.col("n"), F.col("s"), F.col("q")).alias("score"),
+        )
+    )
+    root_best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "feat", "val")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("feat").alias("rfeat"),
+            F.col("val").alias("rthr"),
+            F.col("score").alias("rscore"),
+        )
+    )
+    sided = u.crossJoin(F.broadcast(root_best)).select(
+        "f1",
+        "f2",
+        "y",
+        F.when(
+            F.when(F.col("rfeat") == "f1", F.col("f1")).otherwise(
+                F.col("f2")
+            )
+            <= F.col("rthr"),
+            F.lit("L"),
+        )
+        .otherwise(F.lit("R"))
+        .alias("side"),
+    )
+    # routed rows feed the child stats, the child totals, AND the leaf
+    # rollup — memoizing avoids recomputing the corpus agg three times
+    from dbsuite_spark.tables import memo_cache
+
+    sided = memo_cache(sided, f"tree_sided:{sf_dir}")
+    tot2 = sided.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q"),
+    )
+    scored2 = (
+        _cand(_melt(sided, ["side"]), ["side"])
+        .join(F.broadcast(tot2), "side")
+        .filter(F.col("cn") < F.col("n"))
+        .select(
+            "side",
+            "feat",
+            "val",
+            _red(F.col("n"), F.col("s"), F.col("q")).alias("score"),
+        )
+    )
+    child_best = (
+        scored2.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("side").orderBy(
+                    F.col("score").desc(), "feat", "val"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("side").alias("cside"),
+            F.col("feat").alias("cfeat"),
+            F.col("val").alias("cthr"),
+            F.col("score").alias("cscore"),
+        )
+    )
+    leaves = (
+        sided.join(
+            F.broadcast(child_best), F.col("side") == F.col("cside")
+        )
+        .select(
+            F.concat(
+                F.col("side"),
+                F.when(
+                    F.when(F.col("cfeat") == "f1", F.col("f1")).otherwise(
+                        F.col("f2")
+                    )
+                    <= F.col("cthr"),
+                    F.lit("L"),
+                ).otherwise(F.lit("R")),
+            ).alias("node"),
+            "y",
+        )
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+        )
+    )
+    mean = (F.col("sum_y").cast("double") / F.col("n")).alias("mean_y")
+    root_row = tot.crossJoin(F.broadcast(root_best)).select(
+        F.lit("root").alias("node"),
+        "n",
+        F.col("s").alias("sum_y"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_y"),
+        F.col("rfeat").alias("split_feat"),
+        F.col("rthr").alias("split_thr"),
+        F.col("rscore").alias("sse_reduction"),
+    )
+    child_rows = tot2.join(
+        F.broadcast(child_best),
+        F.col("side") == F.col("cside"),
+        "left",
+    ).select(
+        F.col("side").alias("node"),
+        "n",
+        F.col("s").alias("sum_y"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_y"),
+        F.col("cfeat").alias("split_feat"),
+        F.col("cthr").alias("split_thr"),
+        F.col("cscore").alias("sse_reduction"),
+    )
+    leaf_rows = leaves.select(
+        "node",
+        "n",
+        "sum_y",
+        mean,
+        F.lit(None).cast("string").alias("split_feat"),
+        F.lit(None).cast("bigint").alias("split_thr"),
+        F.lit(None).cast("double").alias("sse_reduction"),
+    )
+    return root_row.unionByName(child_rows).unionByName(leaf_rows)

@@ -521,3 +521,145 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+# --- deterministic random-walk corpus (round 10) --------------------------
+
+RW_WALKS = 2  # walks per start node
+RW_STEPS = 4  # steps per walk
+RW_START_MOD = 10  # user_id % MOD == 0 -> start node (bounded fan-out)
+
+
+def _rw_md5_idx(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _rw_oracle() -> str:
+    from dbsuite_spark.pipeline.graph import _BFS_EDGES_SQL
+
+    steps = []
+    for s in range(1, RW_STEPS + 1):
+        hsh = _rw_md5_idx(
+            f"w{s - 1}.start || ':' || CAST(w{s - 1}.w AS VARCHAR)"
+            f" || ':' || {s}"
+        )
+        steps.append(f"""
+w{s} AS (
+  SELECT w{s - 1}.start, w{s - 1}.w,
+         w{s - 1}.path || '>' ||
+           a.nbrs[CAST({hsh} % a.deg AS INT) + 1] AS path,
+         a.nbrs[CAST({hsh} % a.deg AS INT) + 1] AS cur
+  FROM w{s - 1} JOIN adj a ON a.src = w{s - 1}.cur)""")
+    return f"""
+WITH {_BFS_EDGES_SQL.strip()},
+adj AS MATERIALIZED (
+  SELECT src, list(dst ORDER BY dst) AS nbrs,
+         CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY src),
+w0 AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS start, ws.w,
+         'u' || CAST(user_id AS VARCHAR) AS path,
+         'u' || CAST(user_id AS VARCHAR) AS cur
+  FROM (SELECT DISTINCT user_id FROM events
+        WHERE user_id % {RW_START_MOD} = 0),
+       (SELECT unnest(generate_series(1, {RW_WALKS})) AS w) ws),
+{",".join(steps)}
+SELECT start, CAST(w AS INT) AS walk_id, path,
+       cur AS end_node,
+       CAST(len(string_split(path, '>')) AS INT) AS n_nodes
+FROM w{RW_STEPS}
+"""
+
+
+@query("graph_random_walk_fixed", oracle=_rw_oracle(), category="L")
+def graph_random_walk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM-WALK corpus over the user↔event-type
+    interaction graph — the sentence-generation step of
+    DeepWalk/node2vec (Perozzi 2014, public method): the walk corpus is
+    what a skip-gram embedding trainer consumes, making this the graph
+    twin of the text pipeline's token stream. Each sampled user starts
+    {RW_WALKS} walks of {RW_STEPS} steps; step t moves to neighbor
+    index md5(start:walk:t) % degree in the DST-SORTED adjacency list —
+    reproducible on any engine and any partitioning (the
+    ``docs_sample_weighted`` hash-draw discipline applied to graph
+    traversal).
+
+    Exactness: adjacency lists sort by dst (total order), indices are
+    integer hash arithmetic, paths are string folds of the fixed walk —
+    no floats anywhere.
+
+    Scale: adjacency materializes once (one grouped shuffle; list size
+    = degree — for hub nodes cap or hash-sample the list, the
+    CF_PART_CAP treatment); each step is ONE hash join of the walk
+    frontier (|starts|×{RW_WALKS} rows) against adj on the current
+    node, co-partitioned on the join key. The plan is a static
+    {RW_STEPS}-join chain — walk count controls cost, never corpus
+    size. Start sampling is user_id % {RW_START_MOD}."""
+    from dbsuite_spark.pipeline.graph import _edges
+    from dbsuite_spark.tables import memo_cache
+
+    adj = memo_cache(
+        _edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs"),
+            F.count("*").cast("bigint").alias("deg"),
+        ),
+        # consumed by every walk step
+        f"rw_adj:{sf_dir}",
+    )
+    starts = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id") % RW_START_MOD == 0)
+        .distinct()
+        .select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "start"
+            )
+        )
+    )
+    walk = starts.crossJoin(
+        spark.range(1, RW_WALKS + 1).select(
+            F.col("id").cast("int").alias("w")
+        )
+    ).select(
+        "start", "w", F.col("start").alias("path"), F.col("start").alias("cur")
+    )
+    for s in range(1, RW_STEPS + 1):
+        hsh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("start"),
+                        F.lit(":"),
+                        F.col("w").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(s)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = F.element_at(
+            F.col("nbrs"), (hsh % F.col("deg")).cast("int") + 1
+        )
+        walk = (
+            walk.join(adj, walk["cur"] == adj["src"])
+            .select(
+                "start",
+                "w",
+                F.concat(F.col("path"), F.lit(">"), nxt).alias("path"),
+                nxt.alias("cur"),
+            )
+        )
+    return walk.select(
+        "start",
+        F.col("w").alias("walk_id"),
+        "path",
+        F.col("cur").alias("end_node"),
+        F.size(F.split(F.col("path"), ">")).cast("int").alias("n_nodes"),
+    )

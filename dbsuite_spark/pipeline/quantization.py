@@ -190,3 +190,109 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("qid", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# --- per-dimension embedding whitening stats (round 10) -------------------
+
+WHITEN_Z = 3.0  # |z| above this flags an outlier cell
+
+
+_WHITEN_ORACLE = f"""
+WITH cells AS (
+  SELECT u.d AS dim, round(CAST(e.embedding[u.d] AS DOUBLE), 6) AS v
+  FROM embeddings e,
+       (SELECT unnest(generate_series(1, 64)) AS d) u),
+stats AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           AS mean_sq
+  FROM cells GROUP BY dim),
+sd AS (
+  SELECT dim, n, mean,
+         sqrt(CASE WHEN mean_sq - mean * mean <= 0 THEN 0.0
+                   ELSE mean_sq - mean * mean END) AS std
+  FROM stats)
+SELECT s.dim, s.n, round(s.mean, 6) AS mean, round(s.std, 6) AS std,
+       CAST(COUNT(*) FILTER (
+         WHERE s.std > 0 AND abs(c.v - s.mean) > {WHITEN_Z} * s.std)
+         AS BIGINT) AS n_outliers,
+       round(MAX(CASE WHEN s.std > 0
+                      THEN abs(c.v - s.mean) / s.std ELSE 0.0 END), 6)
+         AS max_abs_z
+FROM sd s JOIN cells c ON c.dim = s.dim
+GROUP BY s.dim, s.n, s.mean, s.std
+"""
+
+
+@query("ml_embedding_whitening", oracle=_WHITEN_ORACLE, category="L")
+def ml_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding WHITENING statistics — the
+    mean-centering / variance-normalization pass retrieval pipelines
+    apply before indexing ("all-but-the-top"-style post-processing,
+    public method): per dimension the corpus mean and std, the
+    outlier-cell count at |z| > {WHITEN_Z}, and the max |z| — the
+    dashboard that catches dead dimensions (std ≈ 0), hot dimensions
+    (heavy outlier mass), and mean shift that breaks cosine geometry.
+
+    Exactness: each cell rounds to 6dp once (float32→double is exact;
+    the round pins the decimal), sums are order-free DECIMAL — the
+    6dp × 6dp square is exact in DECIMAL(28,12) — and every division /
+    sqrt is a mirrored IEEE expression; outputs round at the edge.
+
+    Scale: posexplode is row-local (dim-wise rows never shuffle as
+    vectors); the stats aggregation is ONE map-side-combined shuffle of
+    |corpus| × dim slim rows keyed by dim; the outlier pass re-joins
+    the 64-row stats table broadcast. For 10⁹ vectors keep the same
+    plan — the stats table stays |dim|-sized, and the z-pass fuses into
+    the apply step that writes the whitened vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.posexplode(F.col("embedding")).alias("p", "raw")
+    ).select(
+        (F.col("p") + 1).alias("dim"),
+        F.round(F.col("raw").cast("double"), 6).alias("v"),
+    )
+    stats = cells.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean"),
+        (
+            F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("mean_sq"),
+    )
+    var = F.col("mean_sq") - F.col("mean") * F.col("mean")
+    sd = stats.select(
+        "dim",
+        "n",
+        "mean",
+        F.sqrt(F.when(var <= 0, F.lit(0.0)).otherwise(var)).alias("std"),
+    )
+    z_ok = F.col("std") > 0
+    absz = F.abs(F.col("v") - F.col("mean")) / F.col("std")
+    return (
+        cells.join(F.broadcast(sd), "dim")
+        .groupBy("dim", "n", "mean", "std")
+        .agg(
+            F.count_if(z_ok & (F.abs(F.col("v") - F.col("mean"))
+                               > WHITEN_Z * F.col("std")))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(
+                F.max(F.when(z_ok, absz).otherwise(F.lit(0.0))), 6
+            ).alias("max_abs_z"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("mean"), 6).alias("mean"),
+            F.round(F.col("std"), 6).alias("std"),
+            "n_outliers",
+            "max_abs_z",
+        )
+    )

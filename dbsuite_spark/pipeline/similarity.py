@@ -1601,3 +1601,175 @@ def _beam_final(
         "cos_sim",
         F.col("tnode").isNotNull().alias("hit"),
     )
+
+
+# --- filtered ANN (round 10) ----------------------------------------------
+
+
+def _filtered_ann_oracle() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {N_CELLS}),
+corpus_cells AS {_ivf_cells_sql("", "neighbor_id", 1)},
+query_cells AS {_ivf_cells_sql(
+    f" WHERE e.vec_id % {QUERY_MOD} = 0", "qid", N_PROBE)},
+cand AS (
+  SELECT DISTINCT q.qid, ql.label AS qlabel, cc.neighbor_id
+  FROM corpus_cells cc
+  JOIN query_cells q USING (cell)
+  JOIN embeddings ql ON ql.vec_id = q.qid
+  JOIN embeddings nl ON nl.vec_id = cc.neighbor_id
+                    AND nl.label = ql.label
+  WHERE cc.neighbor_id <> q.qid),
+approx AS (
+  SELECT qid, qlabel, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+  FROM (
+    SELECT cand.qid, cand.qlabel, cand.neighbor_id,
+           {COSINE("qe.embedding", "ne.embedding")} AS cos_sim,
+           row_number() OVER (PARTITION BY cand.qid
+               ORDER BY {COSINE("qe.embedding", "ne.embedding")} DESC,
+                        cand.neighbor_id) AS rn
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.qid
+    JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+  WHERE rn <= {TOP_K}),
+truth AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {COSINE("e.embedding", "q.embedding")} DESC,
+                        e.vec_id) AS rn
+    FROM embeddings q
+    JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label = q.label
+    WHERE q.vec_id % {QUERY_MOD} = 0)
+  WHERE rn <= {TOP_K})
+SELECT a.qid, a.qlabel, a.neighbor_id, a.cos_sim, a.rank,
+       t.neighbor_id IS NOT NULL AS hit
+FROM approx a
+LEFT JOIN truth t ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+"""
+
+
+@query("sim_search_filtered_ann", oracle=_filtered_ann_oracle(), category="L")
+def sim_search_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — ANN under a metadata predicate (the
+    filtered-DiskANN / vector-DB WHERE-clause problem, public method):
+    each query retrieves its top-{TOP_K} among corpus vectors sharing
+    its LABEL, probing {N_PROBE} IVF cells with the label predicate
+    pushed INTO candidate generation (filter-then-rank, never
+    rank-then-filter — post-filtering an unfiltered top-k silently
+    under-fills when the filter is selective). Per-row ``hit`` flags
+    against the exact filtered truth keep the recall honest, same as
+    every ANN key here.
+
+    Exactness: fold cosines, (cos DESC, id) total orders, integer
+    label equality — hash-identical end to end.
+
+    Scale: the IVF envelope (broadcast centroid argmax, one corpus
+    shuffle by cell) with the label filter applied at the
+    candidate join — candidate volume is nprobe/cells of ONE label
+    class, so selective filters make the search cheaper, not
+    recall-starved. The exact filtered truth is |Q| × |label class|
+    and exists as this key's audit only."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int):
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cell_sim").desc(), F.col("cell")
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("cell_sim", cosine(F.col(emb_col), F.col("ce")))
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= n)
+            .drop("ce", "cell_sim", "cell_rank")
+        )
+
+    corpus = nearest_cells(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            F.col("embedding").alias("ne"),
+        ),
+        "neighbor_id",
+        "ne",
+        1,
+    )
+    queries = nearest_cells(
+        e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+        ),
+        "qid",
+        "qe",
+        N_PROBE,
+    )
+    cand = (
+        corpus.join(queries, "cell")
+        .filter(
+            (F.col("neighbor_id") != F.col("qid"))
+            & (F.col("nlabel") == F.col("qlabel"))
+        )
+        .select("qid", "qlabel", "neighbor_id", "ne", "qe")
+        .distinct()
+    )
+    approx = _topk(
+        cand.select(
+            "qid",
+            "qlabel",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+        )
+    ).select("qid", "qlabel", "neighbor_id", "cos_sim", "rank")
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("tq"),
+        F.col("label").alias("tlabel"),
+        F.col("embedding").alias("tqe"),
+    )
+    truth = (
+        e.select(
+            F.col("vec_id").alias("tnid"),
+            F.col("label").alias("tnlabel"),
+            F.col("embedding").alias("tne"),
+        )
+        .join(
+            F.broadcast(q),
+            (F.col("tnid") != F.col("tq"))
+            & (F.col("tnlabel") == F.col("tlabel")),
+        )
+        .select(
+            "tq",
+            "tnid",
+            cosine(F.col("tne"), F.col("tqe")).alias("tc"),
+        )
+        .withColumn(
+            "trn",
+            F.row_number().over(
+                Window.partitionBy("tq").orderBy(
+                    F.col("tc").desc(), F.col("tnid")
+                )
+            ),
+        )
+        .filter(F.col("trn") <= TOP_K)
+        .select("tq", "tnid")
+    )
+    return approx.join(
+        truth,
+        (approx["qid"] == truth["tq"])
+        & (approx["neighbor_id"] == truth["tnid"]),
+        "left",
+    ).select(
+        "qid",
+        "qlabel",
+        "neighbor_id",
+        "cos_sim",
+        "rank",
+        F.col("tnid").isNotNull().alias("hit"),
+    )

@@ -272,6 +272,15 @@ KEYS += [
     "ml_bradley_terry_fixed",
     "docs_cdc_chunk_dedup",
     "sim_search_graph_beam",
+    "ts_dtw_distance",
+    "agg_xi_correlation",
+    "ml_decision_tree_depth2",
+    "graph_random_walk_fixed",
+    "sim_search_filtered_ann",
+    "ml_embedding_whitening",
+    "etl_vacuum_orphan_files",
+    "sample_weighted_reservoir",
+    "ml_learning_curve_points",
 ]
 
 

@@ -1709,3 +1709,120 @@ def test_graph_beam_search_cuts_push_group_limit(spark, sf_dir):
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dtw_python_is_one_arrow_batch(spark, sf_dir):
+    """ts_dtw_distance: the DP is the package's canonical Pandas-UDF
+    lane — exactly ONE ArrowEvalPython (vectorized, not row-at-a-time
+    BatchEvalPython), fed by a pairs join whose nested-loop side is the
+    |types|-bounded series table; the corpus reduces in partial+final
+    hash aggregation before any Python sees it."""
+    plan = plan_of(spark, sf_dir, "ts_dtw_distance")
+    assert n_nodes(plan, "ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_xi_correlation_is_rank_windows_only(spark, sf_dir):
+    """agg_xi_correlation: ranks + consecutive jumps are window work on
+    integers; the only joins are 1-row aggregate stitches; no Python,
+    no cartesian."""
+    plan = plan_of(spark, sf_dir, "agg_xi_correlation")
+    assert n_nodes(plan, "Window") >= 4
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "Scan parquet") <= 3
+
+
+def test_tree_routing_reuses_memoized_rows(spark, sf_dir):
+    """ml_decision_tree_depth2: the routed row set is session-memoized
+    (child stats, child totals, and the leaf rollup all read the
+    InMemoryTableScan instead of recomputing the corpus agg), both
+    argmax cuts push WindowGroupLimit, the node report assembles with
+    one Union, and the only nested-loop joins are 1-row best-split
+    broadcasts."""
+    plan = plan_of(spark, sf_dir, "ml_decision_tree_depth2")
+    assert n_nodes(plan, "InMemoryTableScan") >= 3
+    assert n_nodes(plan, "WindowGroupLimit") >= 2
+    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_random_walk_steps_join_memoized_adjacency(spark, sf_dir):
+    """graph_random_walk_fixed: every one of the RW_STEPS walk steps is
+    a hash join against the session-memoized adjacency (4 equi joins, 4
+    InMemoryTableScans — adjacency built once), and the walk frontier
+    never goes cartesian or through Python."""
+    plan = plan_of(spark, sf_dir, "graph_random_walk_fixed")
+    assert n_nodes(plan, "BroadcastHashJoin") + n_nodes(
+        plan, "ShuffledHashJoin"
+    ) + n_nodes(plan, "SortMergeJoin") >= 4
+    assert n_nodes(plan, "InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_filtered_ann_pushes_label_into_candidates(spark, sf_dir):
+    """sim_search_filtered_ann: filter-then-rank — the label predicate
+    lands in the candidate join (equi hash joins), every per-query cut
+    engages WindowGroupLimit, and the only nested-loop joins are the
+    broadcast centroid argmax / bounded-query truth audit. No
+    cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "sim_search_filtered_ann")
+    assert n_nodes(plan, "WindowGroupLimit") >= 4
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_whitening_is_one_stats_shuffle(spark, sf_dir):
+    """ml_embedding_whitening: dim explosion is row-local (Generate),
+    the stats aggregation is ONE partial+final shuffle keyed by dim,
+    and the z-pass joins the |dim|-row stats table broadcast — exactly
+    2 exchanges total, no window, no Python."""
+    plan = plan_of(spark, sf_dir, "ml_embedding_whitening")
+    assert n_nodes(plan, "Generate") == 2
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "Window") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_vacuum_report_reads_manifest_paths_only(spark, sf_dir):
+    """etl_vacuum_orphan_files: the REPORT plan reads only the live
+    manifest paths plus the driver-recorded audit rows (orphan counts
+    were read before deletion, outside this plan) — no join machinery
+    at all survives into the report."""
+    plan = plan_of(spark, sf_dir, "etl_vacuum_orphan_files")
+    assert n_nodes(plan, "Union") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    """sample_weighted_reservoir: the weighted draw is row-local and
+    the k-cut plans as TakeOrderedAndProject (per-partition heaps — no
+    exchange of the corpus at all); the only window ranks the k
+    survivors."""
+    plan = plan_of(spark, sf_dir, "sample_weighted_reservoir")
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "Exchange") == 0
+    assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_learning_curve_is_static_branch_union(spark, sf_dir):
+    """ml_learning_curve_points: one classify branch per fraction —
+    centroid aggs partial+final, eval classify via broadcast
+    nested-loop against the |labels|-row centroid table (bounded),
+    argmax as WindowGroupLimit, assembled by a single Union. No
+    cartesian, no Python, no data-dependent loop."""
+    plan = plan_of(spark, sf_dir, "ml_learning_curve_points")
+    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "WindowGroupLimit") >= 3
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 6
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

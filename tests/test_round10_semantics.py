@@ -282,3 +282,309 @@ def test_graph_beam_quality_is_monotone_in_rounds(spark, sf_dir):
         assert best_more[qid] >= b - 1e-12, (
             f"beam regressed for query {qid} with an extra round"
         )
+
+
+# --- batch-2 laws: DTW / xi / CART / random walks ------------------------
+
+
+def test_dtw_matches_reference_and_bounds_lockstep(spark, sf_dir):
+    """Independent check of the whole DTW pipeline: rebuild the
+    hour-of-day profiles in the test, run a textbook O(L²) DTW in pure
+    Python, and require exact equality with the operator's integer
+    costs; DTW ≤ lockstep must hold per pair (the diagonal is one
+    admissible warping path)."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.operators.stats_extra import DTW_L
+    from dbsuite_spark.tables import t
+
+    e = t(spark, sf_dir, "events")
+    prof: dict[str, list[int]] = {}
+    for r in e.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).count().collect():
+        prof.setdefault(r["event_type"], [0] * DTW_L)[r["h"]] = r["count"]
+
+    def dtw(x, y):
+        big = float("inf")
+        n = len(x)
+        prev = [0] + [big] * n
+        for i in range(1, n + 1):
+            cur = [big] * (n + 1)
+            for j in range(1, n + 1):
+                c = abs(x[i - 1] - y[j - 1])
+                cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return prev[n]
+
+    out = SPECS["ts_dtw_distance"].fn(spark, sf_dir).collect()
+    assert len(out) == len(prof) * (len(prof) - 1) // 2
+    for r in out:
+        ref = dtw(prof[r["type_a"]], prof[r["type_b"]])
+        assert r["dtw_cost"] == ref, (r["type_a"], r["type_b"])
+        assert r["dtw_cost"] <= r["lockstep_cost"]
+        assert r["warp_gain"] == r["lockstep_cost"] - r["dtw_cost"]
+
+
+def test_xi_correlation_matches_reference(spark, sf_dir):
+    """Chatterjee's xi recomputed in pure Python from the collected
+    (x, y, tiebreak) rows — same deterministic tie-break — must equal
+    the operator's value; xi must live in its theoretical range."""
+    from dbsuite_spark.tables import t
+
+    rows = (
+        t(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    data = [
+        (float(r["o_totalprice"]), r["o_orderdate"], r["o_orderkey"])
+        for r in rows
+    ]
+    n = len(data)
+
+    def xi(key_x, key_y):
+        by_y = sorted(range(n), key=lambda i: (key_y(data[i]), data[i][2]))
+        rank = [0] * n
+        for pos, i in enumerate(by_y, 1):
+            rank[i] = pos
+        by_x = sorted(range(n), key=lambda i: (key_x(data[i]), data[i][2]))
+        s = sum(
+            abs(rank[by_x[k + 1]] - rank[by_x[k]]) for k in range(n - 1)
+        )
+        return s, 1.0 - 3.0 * float(s) / (float(n) * n - 1)
+
+    s_xy, xi_xy = xi(lambda d: d[0], lambda d: d[1])
+    s_yx, xi_yx = xi(lambda d: d[1], lambda d: d[0])
+    out = SPECS["agg_xi_correlation"].fn(spark, sf_dir).collect()[0]
+    assert out["n"] == n
+    assert out["s_xy"] == s_xy and out["s_yx"] == s_yx
+    assert abs(out["xi_xy"] - xi_xy) < 1e-12
+    assert abs(out["xi_yx"] - xi_yx) < 1e-12
+    for v in (out["xi_xy"], out["xi_yx"]):
+        assert -0.5 - 1e-9 <= v <= 1.0
+
+
+def test_tree_partitions_conserve_and_root_split_is_optimal(spark, sf_dir):
+    """CART laws the hash oracle can't see as laws: children partition
+    the root population exactly, leaves partition the children, every
+    chosen split has non-negative SSE reduction, and a brute-force scan
+    over ALL candidate splits in pure Python confirms the root argmax
+    (greedy optimality, not just both-engines-agree)."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.tables import t
+
+    out = {r["node"]: r for r in
+           SPECS["ml_decision_tree_depth2"].fn(spark, sf_dir).collect()}
+    root, L, R = out["root"], out["L"], out["R"]
+    assert L["n"] + R["n"] == root["n"]
+    assert L["sum_y"] + R["sum_y"] == root["sum_y"]
+    leaves = [v for k, v in out.items() if len(k) == 2]
+    assert sum(v["n"] for v in leaves) == sum(
+        out[s]["n"] for s in ("L", "R") if out[s]["split_feat"] is not None
+    )
+    for k in ("root", "L", "R"):
+        if out[k]["split_feat"] is not None:
+            assert out[k]["sse_reduction"] >= 0
+
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("f1"),
+            F.countDistinct(F.to_date("ts")).alias("f2"),
+            F.count_if(F.col("event_type") == "purchase").alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r["f1"], r["f2"], r["y"]) for r in u]
+
+    def sse(ys):
+        if not ys:
+            return 0.0
+        s = sum(ys)
+        return sum(v * v for v in ys) - float(s) * s / len(ys)
+
+    tot = sse([p[2] for p in pts])
+    best = None
+    for fi, fname in ((0, "f1"), (1, "f2")):
+        for thr in sorted({p[fi] for p in pts})[:-1]:
+            l = [p[2] for p in pts if p[fi] <= thr]
+            r = [p[2] for p in pts if p[fi] > thr]
+            red = round(tot - sse(l) - sse(r), 6)
+            cand = (-red, fname, thr)
+            if best is None or cand < best:
+                best = cand
+    assert (root["split_feat"], root["split_thr"]) == (best[1], best[2])
+    assert abs(root["sse_reduction"] - (-best[0])) < 1e-6
+
+
+def test_random_walks_follow_real_edges(spark, sf_dir):
+    """Every consecutive pair in every emitted walk must be an actual
+    edge of the interaction graph, every walk must have exactly
+    RW_STEPS+1 nodes, and re-running the key must reproduce the paths
+    bit-for-bit (hash-driven determinism)."""
+    from dbsuite_spark.pipeline.graph import _edges
+    from dbsuite_spark.pipeline.graph_extra import RW_STEPS
+
+    edges = {
+        (r["src"], r["dst"]) for r in _edges(spark, sf_dir).collect()
+    }
+    out = SPECS["graph_random_walk_fixed"].fn(spark, sf_dir).collect()
+    assert out, "no walks emitted"
+    for r in out:
+        nodes = r["path"].split(">")
+        assert len(nodes) == RW_STEPS + 1 == r["n_nodes"]
+        assert nodes[0] == r["start"] and nodes[-1] == r["end_node"]
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in edges, f"phantom edge {a}->{b}"
+    again = {
+        (r["start"], r["walk_id"]): r["path"]
+        for r in SPECS["graph_random_walk_fixed"].fn(spark, sf_dir).collect()
+    }
+    assert again == {(r["start"], r["walk_id"]): r["path"] for r in out}
+
+
+# --- batch-3 laws: filtered ANN / whitening / vacuum ----------------------
+
+
+def test_filtered_ann_respects_the_predicate(spark, sf_dir):
+    """Every returned neighbor must carry the query's label (the filter
+    is a guarantee, not a preference), ranks must be dense per query,
+    and each query must find at least one same-label hit against the
+    exact truth (the IVF probe can't be recall-zero on the fixture)."""
+    from dbsuite_spark.tables import t
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    out = SPECS["sim_search_filtered_ann"].fn(spark, sf_dir).collect()
+    assert out
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] == r["qlabel"] == labels[r["qid"]]
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in per_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert any(r["hit"] for r in rows), f"query {qid} recall zero"
+
+
+def test_whitening_stats_match_reference(spark, sf_dir):
+    """Recompute every dimension's mean/std/outlier count in pure
+    Python from the collected embeddings (same 6dp cell rounding) and
+    require agreement; std must be non-negative and n constant across
+    dims."""
+    from dbsuite_spark.tables import t
+
+    vecs = [
+        r["embedding"]
+        for r in t(spark, sf_dir, "embeddings").select("embedding").collect()
+    ]
+    out = {r["dim"]: r for r in
+           SPECS["ml_embedding_whitening"].fn(spark, sf_dir).collect()}
+    assert len(out) == len(vecs[0])
+    from dbsuite_spark.pipeline.quantization import WHITEN_Z
+
+    for d in (1, 7, 33, len(vecs[0])):
+        cells = [round(float(v[d - 1]), 6) for v in vecs]
+        n = len(cells)
+        mean = sum(cells) / n  # tolerance below absorbs fold-order drift
+        var = sum(c * c for c in cells) / n - mean * mean
+        std = max(var, 0.0) ** 0.5
+        r = out[d]
+        assert r["n"] == n
+        assert abs(r["mean"] - mean) < 1e-5
+        assert abs(r["std"] - std) < 1e-5
+        if std > 0:
+            ref_out = sum(
+                1 for c in cells if abs(c - mean) > WHITEN_Z * std
+            )
+            # the 6dp-rounded engine std can flip boundary cells; allow 1
+            assert abs(r["n_outliers"] - ref_out) <= 1
+        assert r["std"] >= 0
+
+
+def test_vacuum_leaves_exactly_the_live_tree(spark, sf_dir):
+    """After the vacuum the table root must contain exactly the two
+    live version directories plus the manifest — nothing else — the
+    live versions must still read to their manifest row counts, and a
+    second run must be idempotent (the substrate re-stages its orphans
+    and reclaims them again, same report)."""
+    import json
+    import os
+
+    from dbsuite_spark.etl.io import artifact_path
+
+    first = sorted(
+        tuple(r) for r in
+        SPECS["etl_vacuum_orphan_files"].fn(spark, sf_dir).collect()
+    )
+    root = artifact_path(sf_dir, "tt_vacuum/manifest.json")
+    vac_dir = os.path.dirname(root)
+    entries = sorted(os.listdir(vac_dir))
+    assert entries == ["manifest.json", "v0", "v1"]
+    m = json.load(open(root))
+    for v, meta in m["versions"].items():
+        assert spark.read.parquet(meta["path"]).count() == meta["n_rows"]
+    second = sorted(
+        tuple(r) for r in
+        SPECS["etl_vacuum_orphan_files"].fn(spark, sf_dir).collect()
+    )
+    assert first == second
+
+
+# --- batch-4 laws: weighted reservoir / learning curve --------------------
+
+
+def test_weighted_reservoir_biases_toward_heavy_docs(spark, sf_dir):
+    """The sample must be exactly WRS_K rows with dense ranks, and the
+    weighting must actually bite: the sampled mean n_chars exceeds the
+    corpus mean (long documents over-represented — the property a
+    uniform sampler lacks)."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.operators.sorting import WRS_K
+    from dbsuite_spark.tables import t
+
+    out = SPECS["sample_weighted_reservoir"].fn(spark, sf_dir).collect()
+    assert len(out) == WRS_K
+    assert sorted(r["rank"] for r in out) == list(range(1, WRS_K + 1))
+    sample_mean = sum(r["n_chars"] for r in out) / len(out)
+    corpus_mean = (
+        t(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sample_mean > corpus_mean, (
+        f"weighted sample mean {sample_mean} <= corpus {corpus_mean}"
+    )
+
+
+def test_learning_curve_train_sets_nest(spark, sf_dir):
+    """The curve must vary the data BUDGET only: one fixed eval set
+    (n_eval identical across points), md5-nested train sets (n_train
+    strictly increasing, 100% = full pool), accuracies in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.classify import LC_EVAL_MOD
+    from dbsuite_spark.tables import t
+
+    rows = sorted(
+        SPECS["ml_learning_curve_points"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == [25, 50, 100]
+    assert len({r["n_eval"] for r in rows}) == 1
+    tr = [r["n_train"] for r in rows]
+    assert tr[0] < tr[1] < tr[2]
+    e = t(spark, sf_dir, "embeddings")
+    pool = e.filter(F.col("vec_id") % LC_EVAL_MOD != 3).count()
+    assert tr[2] == pool
+    for r in rows:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_eval"]

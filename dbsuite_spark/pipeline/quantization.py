@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dbsuite_spark.pipeline.clustering import DIM as _DIM
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
@@ -201,7 +202,7 @@ _WHITEN_ORACLE = f"""
 WITH cells AS (
   SELECT u.d AS dim, round(CAST(e.embedding[u.d] AS DOUBLE), 6) AS v
   FROM embeddings e,
-       (SELECT unnest(generate_series(1, 64)) AS d) u),
+       (SELECT unnest(generate_series(1, {_DIM})) AS d) u),
 stats AS (
   SELECT dim,
          CAST(COUNT(*) AS BIGINT) AS n,

@@ -121,10 +121,6 @@ def _pava(n: list[int], pos: list[int]) -> list[float]:
             b = pools.pop()
             pools[-1][0] += b[0]
             pools[-1][1] += b[1]
-    out: list[float] = []
-    i = 0
-    for nn, _ in zip(n, pos):
-        pass
     fitted = []
     for sp, sn in pools:
         fitted.extend([sp / sn] * int(sn))

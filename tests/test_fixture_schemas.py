@@ -84,3 +84,31 @@ def test_user_ts_uniqueness(spark, sf_dir):
         f"{dupes} (user_id, ts) collisions — fixture drift; re-audit "
         "sequence-ordered operators' tie-breaks"
     )
+
+
+def test_rank_tiebreak_keys_are_unique(spark, sf_dir):
+    """Rank ARITHMETIC (not just rank-ordered output) requires a
+    genuinely total order: `agg_xi_correlation` discovered the hard way
+    that lineitem's (l_orderkey, l_linenumber) is NOT unique in this
+    synthetic fixture (6000 rows, ~4600 distinct pairs at sf0.001), so
+    row_number over it is engine-dependent. The keys that DO back rank
+    arithmetic — o_orderkey, vec_id, doc_id, event_id — must stay
+    unique; if a regenerated fixture breaks one, every operator
+    tie-breaking on it silently loses cross-engine determinism."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.tables import t
+
+    for table, key in (
+        ("orders", "o_orderkey"),
+        ("embeddings", "vec_id"),
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+    ):
+        df = t(spark, sf_dir, table)
+        total = df.count()
+        distinct = df.select(key).distinct().count()
+        assert total == distinct, (
+            f"{table}.{key}: {total} rows but {distinct} distinct — "
+            "rank tie-breaks on this key are no longer total orders"
+        )

@@ -254,34 +254,21 @@ KEYS += [
     "multimodal_contrastive_pairs",
 ]
 
-# Round-10 additions: COW merge mixes a manifest-pruned rewrite with
-# by-reference carries; CDC row-diffs only changed file groups — both
-# reports must be identical however the merge/diff joins partition.
-KEYS += [
-    "etl_merge_cow_manifest",
-    "etl_manifest_cdc",
-    "etl_multi_table_txn",
-]
+# Round-10 additions (canonical list in dbsuite_spark._rounds; ADVICE
+# r10 #5): COW merge mixes a manifest-pruned rewrite with by-reference
+# carries; CDC row-diffs only changed file groups; the MM fold
+# (Bradley-Terry) and the beam cuts order their own inputs (array_sort
+# folds, (cos, id) windows); the CDC chunker is row-local; the isotonic
+# minimax is bin-bounded — all must be bit-identical however the corpus
+# shuffles.
+from dbsuite_spark._rounds import ROUND10_KEYS, ROUND11_KEYS  # noqa: E402
 
-# Round-10 continuation: the MM fold (Bradley-Terry) and the beam cuts
-# order their own inputs (array_sort folds, (cos, id) windows), the CDC
-# chunker is row-local, and the isotonic minimax is bin-bounded — all
-# four must be bit-identical however the corpus shuffles.
-KEYS += [
-    "ml_isotonic_calibration",
-    "ml_bradley_terry_fixed",
-    "docs_cdc_chunk_dedup",
-    "sim_search_graph_beam",
-    "ts_dtw_distance",
-    "agg_xi_correlation",
-    "ml_decision_tree_depth2",
-    "graph_random_walk_fixed",
-    "sim_search_filtered_ann",
-    "ml_embedding_whitening",
-    "etl_vacuum_orphan_files",
-    "sample_weighted_reservoir",
-    "ml_learning_curve_points",
-]
+KEYS += ROUND10_KEYS
+
+# Round-11 additions: the schema-evolution read name-aligns groups by
+# field id and the manifest sink folds commit-ordered groups — both
+# reports must be identical however the scans and summaries partition.
+KEYS += ROUND11_KEYS
 
 
 def _rows(spark, sf_dir, key, width):

@@ -388,7 +388,8 @@ WITH d AS (
            AS u
   FROM documents),
 keyed AS (
-  SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS draw_key
+  SELECT doc_id, n_chars,
+         round(ln(u) / greatest(n_chars, 1), 9) AS draw_key
   FROM d)
 SELECT doc_id, n_chars, draw_key,
        CAST(row_number() OVER (ORDER BY draw_key DESC, doc_id) AS INT)
@@ -433,10 +434,15 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         + 0.5
     ) / 1000000.0
+    # greatest(n_chars, 1) on BOTH sides: a zero-weight document would
+    # be NULL on Spark (div-by-zero -> NULL) but -inf in DuckDB —
+    # clamping keeps the draw total-ordered under any fixture
     keyed = d.select(
         "doc_id",
         "n_chars",
-        F.round(F.log(u) / F.col("n_chars"), 9).alias("draw_key"),
+        F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9).alias(
+            "draw_key"
+        ),
     )
     w = Window.orderBy(F.col("draw_key").desc(), "doc_id")
     return (

@@ -1709,10 +1709,17 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    # invoke the quadratic-DP UDF once per pair; warp_gain is derived
+    # from the materialized columns in a follow-up select
     return pairs.select(
         "type_a",
         "type_b",
         _dtw(F.col("ca"), F.col("cb")).alias("dtw_cost"),
         lockstep.alias("lockstep_cost"),
-        (lockstep - _dtw(F.col("ca"), F.col("cb"))).alias("warp_gain"),
+    ).select(
+        "type_a",
+        "type_b",
+        "dtw_cost",
+        "lockstep_cost",
+        (F.col("lockstep_cost") - F.col("dtw_cost")).alias("warp_gain"),
     )

@@ -685,6 +685,11 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BT_ITERS = 5  # fixed MM iterations — enough for the 5-item fixture duel
 #                matrix; convergence pinned in tests/test_round10_semantics
+BT_EPS = 1e-9  # MM rating floor (standard in BT implementations): a
+#                zero-win item would hit s=0 after round 1 and the next
+#                round's n_ij/(s_i+s_j) would diverge cross-engine
+#                (Spark NULL vs DuckDB inf); greatest(s, eps) on BOTH
+#                sides keeps every division finite and IEEE-identical
 
 
 def _bt_step_sql(k: int) -> str:
@@ -697,12 +702,14 @@ def _bt_step_sql(k: int) -> str:
     return f"""
 r{k + 1} AS MATERIALIZED (
   SELECT n.i AS item,
-         MAX(w.wins)::DOUBLE
-           / list_reduce(
-               list_prepend(CAST(0.0 AS DOUBLE),
-                            list(CAST(n.n_ij AS DOUBLE) / (si.s + sj.s)
-                                 ORDER BY n.j)),
-               (a, b) -> a + b) AS s
+         greatest(
+           MAX(w.wins)::DOUBLE
+             / list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list(CAST(n.n_ij AS DOUBLE) / (si.s + sj.s)
+                                   ORDER BY n.j)),
+                 (a, b) -> a + b),
+           {BT_EPS!r}) AS s
   FROM n
   JOIN r{k} si ON si.item = n.i
   JOIN r{k} sj ON sj.item = n.j
@@ -767,8 +774,10 @@ def ml_bradley_terry_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     preferences: for each user and each pair of event types both
     present in their history, the type with the later last occurrence
     wins (ties break on the type name — total order, deterministic).
-    The MM update s_i <- W_i / SUM_j n_ij/(s_i+s_j) runs {BT_ITERS}
-    rounds from s=1, then ratings normalize to sum 1.
+    The MM update s_i <- max(W_i / SUM_j n_ij/(s_i+s_j), BT_EPS) runs
+    {BT_ITERS} rounds from s=1 (the epsilon floor keeps a zero-win
+    item's next-round divisions finite on both engines), then ratings
+    normalize to sum 1.
 
     Exactness: the duel matrix is pure integer counting; every MM
     division is IEEE-identical on both engines because the per-item
@@ -891,7 +900,10 @@ def ml_bradley_terry_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             denom.join(wtot, "i")
             .select(
                 F.col("i").alias("item"),
-                (F.col("wins").cast("double") / F.col("denom")).alias("s"),
+                F.greatest(
+                    F.col("wins").cast("double") / F.col("denom"),
+                    F.lit(BT_EPS),
+                ).alias("s"),
             )
             .coalesce(1)
             .localCheckpoint(eager=False)

@@ -112,3 +112,25 @@ def test_rank_tiebreak_keys_are_unique(spark, sf_dir):
             f"{table}.{key}: {total} rows but {distinct} distinct — "
             "rank tie-breaks on this key are no longer total orders"
         )
+
+
+def test_weight_columns_are_positive(spark, sf_dir):
+    """Weighted samplers divide by a weight column: zero would yield
+    NULL on Spark (div-by-zero -> NULL) but -inf in DuckDB. The
+    operators now clamp with greatest(w, 1) on both sides, but a
+    regenerated fixture with zero/negative n_chars would still change
+    the sampling distribution silently — surface the drift here."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.tables import t
+
+    bad = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= 0)
+        .count()
+    )
+    assert bad == 0, (
+        f"{bad} documents with n_chars <= 0 — weighted samplers "
+        "(sample_weighted_reservoir, docs_sample_weighted) assume "
+        "strictly positive weights"
+    )

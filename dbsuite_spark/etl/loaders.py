@@ -28,6 +28,15 @@ from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
 from dbsuite_spark.registry import query
 from dbsuite_spark.tables import t
 
+def _read_manifest(path: str) -> dict:
+    """Read a manifest JSON under a context manager (no leaked file
+    handle — ADVICE r10 #1 applied to every manifest read)."""
+    import json as _json
+
+    with open(path) as fh:
+        return _json.load(fh)
+
+
 CUSTOMER_SCHEMA = T.StructType(
     [
         T.StructField("c_custkey", T.LongType()),
@@ -713,7 +722,7 @@ def etl_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         _json.dump({"current": 1, "versions": {"0": v0, "1": v1}}, fh)
     os.replace(tmp, root)  # atomic pointer swap
 
-    manifest = _json.load(open(root))
+    manifest = _read_manifest(root)
 
     def read_version(v: int) -> DataFrame:
         return spark.read.parquet(manifest["versions"][str(v)])
@@ -802,7 +811,7 @@ def etl_time_travel_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.replace(tmp, root)
 
     # retention: keep the newest TT_RETAIN_LAST versions, expire the rest
-    manifest = _json.load(open(root))
+    manifest = _read_manifest(root)
     ordered = sorted(manifest["versions"], key=int)
     keep = set(ordered[-TT_RETAIN_LAST:])
     expired = [v for v in ordered if v not in keep]
@@ -820,7 +829,7 @@ def etl_time_travel_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         _json.dump(new_manifest, fh)
     os.replace(tmp, root)  # atomic pointer swap: old-or-new, never torn
 
-    post = _json.load(open(root))
+    post = _read_manifest(root)
     assert all(
         not os.path.exists(manifest["versions"][v]["path"]) for v in expired
     ), "expired snapshot data must be deleted from disk"
@@ -923,8 +932,8 @@ def etl_occ_write_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_manifest({"current": 1, "versions": {"1": v1}})
 
     # both writers snapshot the manifest at version 1 (the race window)
-    seen_a = _json.load(open(root))
-    seen_b = _json.load(open(root))
+    seen_a = _read_manifest(root)
+    seen_b = _read_manifest(root)
     attempts = []
 
     def attempt_commit(writer, attempt_no, seen, predicate, suffix=""):
@@ -940,7 +949,7 @@ def etl_occ_write_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(predicate).write.mode("overwrite").parquet(out)
         claimed = try_claim(target)
         if claimed:
-            m = _json.load(open(root))
+            m = _read_manifest(root)
             m["versions"][str(target)] = out
             m["current"] = target
             write_manifest(m)
@@ -963,13 +972,13 @@ def etl_occ_write_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not b_won, "stale-base commit must be rejected"
 
     # writer B rebase: re-read the manifest, re-apply to the new base
-    seen_b2 = _json.load(open(root))
+    seen_b2 = _read_manifest(root)
     b2_won = attempt_commit(
         "B", 2, seen_b2, F.col("o_totalprice") < 200000
     )
     assert b2_won, "rebased retry against the fresh base must win"
 
-    final = _json.load(open(root))
+    final = _read_manifest(root)
     assert final["current"] == 3 and set(final["versions"]) == {
         "1",
         "2",
@@ -1082,7 +1091,7 @@ def etl_manifest_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         _json.dump({"groups": groups}, fh)
     os.replace(tmp, root)
 
-    manifest = _json.load(open(root))
+    manifest = _read_manifest(root)
     # driver-side metadata pruning: stats-interval overlap, no I/O
     read_groups = [
         g
@@ -1192,7 +1201,7 @@ def etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _json.dump({"current": 1, "versions": versions}, fh)
     os.replace(tmp, root)
 
-    manifest = _json.load(open(root))
+    manifest = _read_manifest(root)
     out = None
     for v in sorted(manifest["versions"], key=int):
         meta = manifest["versions"][v]
@@ -1357,7 +1366,7 @@ def etl_merge_cow_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # copy-on-write: rewrite ONLY the touched groups through the merge
-    manifest = _json.load(open(root))
+    manifest = _read_manifest(root)
     g1 = manifest["versions"]["1"]["groups"]
     rw_path = os.path.join(cow_dir, "v2_rewritten")
     if touched:  # an empty batch rewrites nothing (ADVICE r09 #4 class)
@@ -1402,13 +1411,13 @@ def etl_merge_cow_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileExistsError:
         claimed = False
     if claimed:
-        m = _json.load(open(root))
+        m = _read_manifest(root)
         m["versions"]["2"] = {"groups": groups2}
         m["current"] = 2
         write_manifest(m)
     assert claimed, "single writer must win its own version claim"
 
-    final = _json.load(open(root))
+    final = _read_manifest(root)
     n1 = len(final["versions"]["1"]["groups"])
     counts = {
         1: (n1, 0, 0, 0),
@@ -1574,7 +1583,7 @@ def etl_manifest_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.replace(tmp, root)  # atomic pointer swap
 
     # ---- the CDC read: manifest diff first, row diff second ----
-    m = _json.load(open(root))
+    m = _read_manifest(root)
     mv1, mv2 = m["versions"]["1"], m["versions"]["2"]
     pairs = [g for g in mv1 if g in mv2 and mv1[g] != mv2[g]]
     carried = [g for g in mv1 if g in mv2 and mv1[g] == mv2[g]]
@@ -1745,7 +1754,7 @@ def etl_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.filter(F.col("o_custkey") % 50 != 0).write.mode(
         "overwrite"
     ).parquet(paths[(2, "orders")])
-    cat = _json.load(open(root))
+    cat = _read_manifest(root)
     cat["versions"]["2"] = {
         "customer": paths[(2, "customer")],
         "orders": paths[(2, "orders")],
@@ -1755,7 +1764,7 @@ def etl_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the reader: resolve each catalog version and audit FK closure
     # WITHIN that version — atomicity means orphans are impossible
-    final = _json.load(open(root))
+    final = _read_manifest(root)
     out = None
     for v in ("1", "2"):
         snap = final["versions"][v]
@@ -1856,7 +1865,7 @@ def etl_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.replace(tmp, root)
 
     # --- the vacuum: classify every directory under the table root ---
-    manifest = _json.load(open(root))
+    manifest = _read_manifest(root)
     live_paths = {v["path"] for v in manifest["versions"].values()}
     rows = []
     for entry in sorted(os.listdir(vac_dir)):
@@ -1869,10 +1878,17 @@ def etl_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = spark.read.parquet(full).count()
         _shutil.rmtree(full)
         rows.append((entry, "vacuumed", n))
-    assert sorted(r[0] for r in rows) == ["orphan_mod11", "orphan_mod7"]
-    assert all(
-        not os.path.exists(os.path.join(vac_dir, r[0])) for r in rows
-    ), "vacuumed directories must be gone"
+    # real exceptions, not asserts: these guard a destructive rmtree
+    # path and must fire even under `python -O`
+    if sorted(r[0] for r in rows) != ["orphan_mod11", "orphan_mod7"]:
+        raise RuntimeError(
+            f"vacuum classified unexpected orphan set: {sorted(r[0] for r in rows)}"
+        )
+    leftover = [
+        r[0] for r in rows if os.path.exists(os.path.join(vac_dir, r[0]))
+    ]
+    if leftover:
+        raise RuntimeError(f"vacuumed directories still present: {leftover}")
 
     vacuumed = spark.createDataFrame(
         rows, "item string, status string, n_rows bigint"
@@ -1891,3 +1907,354 @@ def etl_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in live:
         out = out.unionByName(fr)
     return out
+
+
+# --- manifest schema evolution (round 11) ----------------------------------
+
+_SCHEMA_EVO_ORACLE = f"""
+SELECT CAST(1 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {DSUM('o_totalprice')} AS sum_price,
+       CAST(0 AS BIGINT) AS n_with_priority
+FROM orders WHERE year(o_orderdate) <= 1997
+UNION ALL
+SELECT CAST(2 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {DSUM('o_totalprice')} AS sum_price,
+       CAST(SUM(CASE WHEN year(o_orderdate) > 1997 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_priority
+FROM orders
+"""
+
+
+@query("etl_manifest_schema_evolution", oracle=_SCHEMA_EVO_ORACLE, category="K")
+def etl_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION ACROSS MANIFEST VERSIONS — the last lakehouse
+    behavior this environment can express (VERDICT r10 "what's missing"
+    #2), composing ``scan_parquet_schema_merge``'s null-fill semantics
+    with ``etl_time_travel_read``'s versioned manifest: each manifest
+    version carries its own LOGICAL schema as (field_id -> name, type)
+    — Iceberg's public name-mapping idea — and each file group records
+    the PHYSICAL column names it was written with, so a column RENAME
+    is a metadata-only commit (field id 2: ``o_totalprice`` -> ``price``)
+    and a column ADD null-fills history (field id 3:
+    ``o_orderpriority``, absent from v1's files).
+
+    Version 1 writes orders through 1997 under schema
+    [1: o_orderkey, 2: o_totalprice]. Version 2 commits post-1997 files
+    written under the NEW physical names [o_orderkey, price,
+    o_orderpriority], CARRIES v1's file group by reference (zero bytes
+    rewritten — law-tested via md5 in tests/test_round11_semantics),
+    and swaps the logical schema. The reader resolves every file group
+    against the READ version's schema BY FIELD ID: physical name ->
+    logical name per group, missing ids -> typed NULL — so v1 reads
+    back under v1's names, and a cross-version read of v2 name-aligns
+    old files to the renamed column. Both reads reduce to (n_rows,
+    decimal-exact sum over field 2, non-null count of field 3).
+
+    Scale: the rename/add commit is O(1) driver-side metadata; the
+    per-group rename projection is a zero-cost alias in the scan plan
+    (column pruning still reaches the parquet footer under the PHYSICAL
+    name); the cross-version read is an ordinary unionByName of pruned
+    scans — no rewrite of history at any size."""
+    import shutil as _shutil
+
+    o = t(spark, sf_dir, "orders")
+    root = artifact_path(sf_dir, "tt_schema_evo/manifest.json")
+    evo_dir = os.path.dirname(root)
+    _shutil.rmtree(evo_dir, ignore_errors=True)  # idempotent re-run
+    os.makedirs(evo_dir, exist_ok=True)
+
+    v1_path = os.path.join(evo_dir, "v1")
+    v2_path = os.path.join(evo_dir, "v2-adds")
+
+    # v1 data files: physical names match v1's logical schema
+    o.filter(F.year("o_orderdate") <= 1997).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(v1_path)
+
+    # v2 data files: written under the NEW physical names
+    o.filter(F.year("o_orderdate") > 1997).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(v2_path)
+
+    # field catalog: id -> (logical name per version, spark type)
+    manifest = {
+        "current": 2,
+        "versions": {
+            "1": {
+                "schema": [
+                    {"id": 1, "name": "o_orderkey", "type": "bigint"},
+                    {"id": 2, "name": "o_totalprice", "type": "double"},
+                ],
+                "groups": [
+                    {
+                        "path": v1_path,
+                        "physical": {"1": "o_orderkey", "2": "o_totalprice"},
+                    }
+                ],
+            },
+            "2": {
+                "schema": [
+                    {"id": 1, "name": "o_orderkey", "type": "bigint"},
+                    {"id": 2, "name": "price", "type": "double"},
+                    {"id": 3, "name": "o_orderpriority", "type": "string"},
+                ],
+                "groups": [
+                    # v1's group carried BY REFERENCE under its original
+                    # physical names — the rename touches zero data bytes
+                    {
+                        "path": v1_path,
+                        "physical": {"1": "o_orderkey", "2": "o_totalprice"},
+                    },
+                    {
+                        "path": v2_path,
+                        "physical": {
+                            "1": "o_orderkey",
+                            "2": "price",
+                            "3": "o_orderpriority",
+                        },
+                    },
+                ],
+            },
+        },
+    }
+    tmp = root + ".tmp"
+    with open(tmp, "w") as fh:
+        import json as _json
+
+        _json.dump(manifest, fh)
+    os.replace(tmp, root)  # atomic pointer swap
+
+    doc = _read_manifest(root)
+
+    def read_version(v: int) -> DataFrame:
+        """Name-align every file group to version v's logical schema by
+        field id; ids absent from a group null-fill at the group's
+        declared type — scan_parquet_schema_merge semantics, but driven
+        by the manifest instead of footer reconciliation."""
+        ver = doc["versions"][str(v)]
+        frames = []
+        for grp in ver["groups"]:
+            cols = []
+            for field in ver["schema"]:
+                phys = grp["physical"].get(str(field["id"]))
+                if phys is not None:
+                    cols.append(F.col(phys).alias(field["name"]))
+                else:
+                    cols.append(
+                        F.lit(None).cast(field["type"]).alias(field["name"])
+                    )
+            frames.append(spark.read.parquet(grp["path"]).select(cols))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def summarize(v: int) -> DataFrame:
+        df = read_version(v)
+        # field 2's logical name under THIS version's schema
+        ver = doc["versions"][str(v)]
+        names = {f["id"]: f["name"] for f in ver["schema"]}
+        prio = (
+            F.count(F.col(names[3])).cast("bigint")
+            if 3 in names
+            else F.lit(0).cast("bigint")
+        )
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col(names[2])).alias("sum_price"),
+            prio.alias("n_with_priority"),
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            "n_rows",
+            "sum_price",
+            "n_with_priority",
+        )
+
+    return summarize(1).unionAll(summarize(2))
+
+
+# --- deletion vectors / merge-on-read (round 11) ----------------------------
+
+DV_GROUPS = 4  # key-range file groups in the DV table layout
+_DV_PRED_SQL = "o_orderstatus = 'F' AND o_orderkey % 3 = 0"
+
+_DV_ORACLE = f"""
+WITH w AS (
+  SELECT CAST(MAX(o_orderkey) // {DV_GROUPS} + 1 AS BIGINT) AS width
+  FROM orders),
+del AS (
+  SELECT o_orderkey, o_orderkey // (SELECT width FROM w) AS grp
+  FROM orders WHERE {_DV_PRED_SQL}),
+live AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE NOT ({_DV_PRED_SQL}))
+SELECT CAST(1 AS INT) AS version, 'cow' AS mode,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       CAST(0 AS BIGINT) AS n_dv_entries,
+       CAST(0 AS BIGINT) AS n_groups_rewritten
+FROM orders
+UNION ALL
+SELECT CAST(2 AS INT) AS version, 'mor' AS mode,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       (SELECT {BIGCOUNT("*")} FROM del) AS n_dv_entries,
+       CAST(0 AS BIGINT) AS n_groups_rewritten
+FROM live
+UNION ALL
+SELECT CAST(3 AS INT) AS version, 'compacted' AS mode,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       CAST(0 AS BIGINT) AS n_dv_entries,
+       (SELECT {BIGCOUNT("DISTINCT grp")} FROM del) AS n_groups_rewritten
+FROM live
+"""
+
+
+@query("etl_manifest_deletion_vectors", oracle=_DV_ORACLE, category="K")
+def etl_manifest_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION VECTORS — merge-on-read row deletes, the lakehouse
+    behavior VERDICT r10's missing-list named alongside schema
+    evolution as what a real format still adds over this substrate: a
+    DELETE writes NO data files, only a deletion vector per touched
+    file group (here a key-set parquet — real formats use positional
+    roaring bitmaps, but parquet row positions aren't comparable across
+    engines, and orders keys are unique, so the key-set form keeps the
+    full cross-engine oracle while exercising identical mechanics), and
+    readers apply the DV as an anti-join at scan time.
+
+    Three versions through one manifest: v1 is the base snapshot in
+    {DV_GROUPS} key-range groups; v2 commits `DELETE WHERE status='F'
+    AND key%3=0` as DVs attached to touched groups with every data
+    group carried BY REFERENCE (zero data bytes written — the whole
+    point: delete cost ∝ matched rows, not table size; law-tested); v3
+    COMPACTS — rewrites only the groups that carry DVs (applying them),
+    carries DV-free groups by reference, drops every DV — the MOR→COW
+    lifecycle real tables run when read-amplification accumulates. The
+    report reads all three versions back through the manifest: v2 and
+    v3 must agree row-for-row (a DV applied twice, or a compaction that
+    misapplied one, breaks the hash).
+
+    Scale: the v2 commit writes |deleted keys| rows of DV + O(1)
+    metadata; the MOR scan is one broadcast anti-join of the (small)
+    DV union against the pruned group scans — on a real cluster the DV
+    is applied per-file at scan time (Delta/Iceberg's documented
+    merge-on-read path); compaction cost ∝ groups-with-DVs only."""
+    import json as _json
+    import shutil as _shutil
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = artifact_path(sf_dir, "tt_dv/manifest.json")
+    dv_dir = os.path.dirname(root)
+    _shutil.rmtree(dv_dir, ignore_errors=True)  # idempotent re-run
+    os.makedirs(dv_dir, exist_ok=True)
+
+    def write_manifest(doc: dict) -> None:
+        tmp = root + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        os.replace(tmp, root)  # atomic pointer swap
+
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    width = max_key // DV_GROUPS + 1
+    staged = base.withColumn("grp", F.expr(f"o_orderkey div {width}"))
+
+    # version 1: base snapshot, one file group per key range
+    v1_data = os.path.join(dv_dir, "v1")
+    staged.write.mode("overwrite").partitionBy("grp").parquet(v1_data)
+    grp_ids = sorted(
+        r["grp"]
+        for r in staged.select("grp").distinct().collect()  # ≤ DV_GROUPS
+    )
+    groups1 = {
+        str(g): {"path": os.path.join(v1_data, f"grp={g}"), "dv": None}
+        for g in grp_ids
+    }
+    write_manifest({"current": 1, "versions": {"1": {"groups": groups1}}})
+
+    # version 2: the DELETE as deletion vectors — zero data-file writes
+    deleted = staged.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    ).select("grp", "o_orderkey")
+    dv_data = os.path.join(dv_dir, "dv_v2")
+    deleted.write.mode("overwrite").partitionBy("grp").parquet(dv_data)
+    touched = sorted(
+        r["grp"]
+        for r in deleted.select("grp").distinct().collect()  # ≤ DV_GROUPS
+    )
+    m = _read_manifest(root)
+    groups2 = {
+        g: {
+            "path": spec["path"],  # carried BY REFERENCE, always
+            "dv": os.path.join(dv_data, f"grp={g}")
+            if int(g) in touched
+            else None,
+        }
+        for g, spec in m["versions"]["1"]["groups"].items()
+    }
+    m["versions"]["2"] = {"groups": groups2}
+    m["current"] = 2
+    write_manifest(m)
+
+    # version 3: compaction — rewrite ONLY the DV-carrying groups
+    v3_data = os.path.join(dv_dir, "v3")
+    doc = _read_manifest(root)
+    groups3 = {}
+    for g, spec in doc["versions"]["2"]["groups"].items():
+        if spec["dv"] is None:
+            groups3[g] = {"path": spec["path"], "dv": None}  # carried
+        else:
+            out = os.path.join(v3_data, f"grp={g}")
+            dv = spark.read.parquet(spec["dv"]).select("o_orderkey")
+            spark.read.parquet(spec["path"]).join(
+                F.broadcast(dv), "o_orderkey", "left_anti"
+            ).write.mode("overwrite").parquet(out)
+            groups3[g] = {"path": out, "dv": None}
+    doc["versions"]["3"] = {"groups": groups3}
+    doc["current"] = 3
+    write_manifest(doc)
+
+    final = _read_manifest(root)
+
+    def read_version(v: int) -> DataFrame:
+        """Merge-on-read scan: union the group scans, anti-join the
+        union of attached DVs (keys are unique, so the key-set DV
+        applies table-wide in ONE broadcast anti-join)."""
+        ver = final["versions"][str(v)]
+        data = None
+        dvs = None
+        for spec in ver["groups"].values():
+            df = spark.read.parquet(spec["path"]).select(
+                "o_orderkey", "o_totalprice"
+            )
+            data = df if data is None else data.unionByName(df)
+            if spec["dv"] is not None:
+                d = spark.read.parquet(spec["dv"]).select("o_orderkey")
+                dvs = d if dvs is None else dvs.unionByName(d)
+        if dvs is not None:
+            data = data.join(F.broadcast(dvs), "o_orderkey", "left_anti")
+        return data
+
+    n_deleted = deleted.count()  # manifest-grade metadata, group-bounded
+
+    def report_row(v: int, mode: str, n_dv: int, n_rw: int) -> DataFrame:
+        return read_version(v).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(mode).alias("mode"),
+            "n_rows",
+            "sum_total",
+            F.lit(n_dv).cast("bigint").alias("n_dv_entries"),
+            F.lit(n_rw).cast("bigint").alias("n_groups_rewritten"),
+        )
+
+    return (
+        report_row(1, "cow", 0, 0)
+        .unionAll(report_row(2, "mor", n_deleted, 0))
+        .unionAll(report_row(3, "compacted", 0, len(touched)))
+    )

@@ -1826,3 +1826,60 @@ def test_learning_curve_is_static_branch_union(spark, sf_dir):
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 6
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_schema_evolution_reads_prune_under_physical_names(spark, sf_dir):
+    """etl_manifest_schema_evolution: the rename alias is plan-free —
+    every group scan prunes to exactly the columns the summary needs
+    (field 2 under its PHYSICAL on-disk name, field 3 where present;
+    o_orderkey pruned everywhere), both version summaries are
+    partial+final HashAggregates, one Union assembles the report, and
+    nothing shuffles data wider than the two 1-row aggregates."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_schema_evolution")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads, "expected parquet scans in the plan"
+    assert all("o_orderkey" not in ln for ln in reads), reads
+    assert any("o_totalprice" in ln for ln in reads)  # carried v1 group
+    assert any("price" in ln for ln in reads)  # v2-adds group
+    # inner Union folds v2's two file groups; outer Union assembles
+    # the two 1-row version summaries
+    assert n_nodes(plan, "Union") == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_manifest_sink_fold_is_pure_scan_union(spark, sf_dir):
+    """stream_manifest_sink: the log fold reads back as a plain Union
+    of pruned parquet group scans — zero exchanges, zero Python; the
+    exactly-once machinery is all O(1) driver-side metadata, invisible
+    to the data plan."""
+    plan = plan_of(spark, sf_dir, "stream_manifest_sink")
+    assert n_nodes(plan, "Scan parquet") == 6  # one group per batch
+    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_append_assignment_is_broadcast_argmax(spark, sf_dir):
+    """sim_search_ivf_append: every centroid argmax is a
+    BroadcastNestedLoopJoin against the 16-row frozen-centroid frame
+    and the truth audit broadcasts the bounded query set — no
+    CartesianProduct, no Python; the report is 1-row aggregate
+    crossJoins."""
+    plan = plan_of(spark, sf_dir, "sim_search_ivf_append")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") >= 4
+
+
+def test_deletion_vector_scan_is_broadcast_anti_join(spark, sf_dir):
+    """etl_manifest_deletion_vectors: the merge-on-read scan applies
+    the DV union as ONE broadcast LEFT ANTI hash join over the unioned
+    group scans — no shuffle of the data side, no cartesian, no
+    Python; scans prune to the two report columns plus the join key."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_deletion_vectors")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("o_orderstatus" not in ln for ln in reads), reads

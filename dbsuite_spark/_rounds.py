@@ -40,4 +40,5 @@ ROUND11_KEYS: list[str] = [
     "stream_manifest_sink",
     "sim_search_ivf_append",
     "etl_manifest_deletion_vectors",
+    "etl_manifest_wap_branch",
 ]

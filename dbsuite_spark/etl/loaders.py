@@ -2258,3 +2258,165 @@ def etl_manifest_deletion_vectors(
         .unionAll(report_row(2, "mor", n_deleted, 0))
         .unionAll(report_row(3, "compacted", 0, len(touched)))
     )
+
+
+# --- write-audit-publish branch workflow (round 11) -------------------------
+
+_WAP_BATCH = "o_orderkey % 500 = 1"
+_WAP_BAD = "o_orderkey % 3 = 0"  # within the batch: the corrupt subset
+
+_WAP_ORACLE = f"""
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+batch AS (
+  SELECT (SELECT m FROM mx) + 1 + o_orderkey AS o_orderkey,
+         CASE WHEN {_WAP_BAD} THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE {_WAP_BATCH}),
+staged AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  UNION ALL SELECT o_orderkey, o_totalprice FROM batch),
+clean AS (SELECT * FROM staged WHERE o_totalprice >= 0)
+SELECT 'main' AS ref, CAST(1 AS INT) AS version,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       CAST(0 AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'audit' AS ref, CAST(2 AS INT) AS version,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       (SELECT {BIGCOUNT("*")} FROM batch WHERE o_totalprice < 0)
+         AS n_violations
+FROM staged
+UNION ALL
+SELECT 'audit' AS ref, CAST(3 AS INT) AS version,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       CAST(0 AS BIGINT) AS n_violations
+FROM clean
+UNION ALL
+SELECT 'main' AS ref, CAST(3 AS INT) AS version,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
+       CAST(0 AS BIGINT) AS n_violations
+FROM clean
+"""
+
+
+@query("etl_manifest_wap_branch", oracle=_WAP_ORACLE, category="K")
+def etl_manifest_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH over manifest BRANCHES — the staging
+    workflow Iceberg ships as refs/branches and Delta documents as WAP
+    (public pattern): the manifest gains named refs (branch -> version
+    pointer), an ingest batch commits on an `audit` branch that `main`
+    readers never see, data-quality gates run against the branch read,
+    the violating rows are quarantined into a follow-up branch commit,
+    and publishing is ONE atomic ref swap of `main` onto the audited
+    version — no data movement at publish time.
+
+    The run: v1 is the base snapshot (`main` -> 1). The batch (keys
+    remapped past max, ~0.2% of the table, with a deliberately corrupt
+    negative-price subset) commits as an appended group on `audit` -> 2
+    with the base group carried by reference. The audit gate
+    (o_totalprice >= 0) counts violations on the branch read, the clean
+    batch re-commits as `audit` -> 3, and `main` fast-forwards to 3.
+    The report reads THROUGH the refs at each stage — main@1 is
+    captured before the publish, so a publish that leaked staged or
+    corrupt rows into main, or a quarantine that dropped good rows,
+    breaks the hash. Isolation is law-tested: main@1's group list is
+    disjoint from the staged group until publish.
+
+    Scale: branch commits are O(1) metadata + the batch write (base
+    carried by reference); the audit gate is one pruned scan of the
+    STAGED GROUP only for violations plus the branch-read aggregate;
+    publish is one atomic os.replace — exactly why WAP is the standard
+    pattern for validating 100 TB ingests without blocking readers."""
+    import json as _json
+    import shutil as _shutil
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = artifact_path(sf_dir, "tt_wap/manifest.json")
+    wap_dir = os.path.dirname(root)
+    _shutil.rmtree(wap_dir, ignore_errors=True)  # idempotent re-run
+    os.makedirs(wap_dir, exist_ok=True)
+
+    def write_manifest(doc: dict) -> None:
+        tmp = root + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        os.replace(tmp, root)  # atomic pointer swap (commit + publish)
+
+    # version 1: base snapshot, main ref
+    v1_path = os.path.join(wap_dir, "v1")
+    base.write.mode("overwrite").parquet(v1_path)
+    write_manifest(
+        {
+            "refs": {"main": 1},
+            "versions": {"1": {"groups": [v1_path]}},
+        }
+    )
+
+    # stage the ingest batch on the audit branch (corrupt subset inside)
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    batch = base.filter(F.expr(_WAP_BATCH)).select(
+        (F.lit(max_key) + 1 + F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(F.expr(_WAP_BAD), -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    staged_path = os.path.join(wap_dir, "v2-staged")
+    batch.write.mode("overwrite").parquet(staged_path)
+    m = _read_manifest(root)
+    m["versions"]["2"] = {"groups": [v1_path, staged_path]}  # carry + add
+    m["refs"]["audit"] = 2
+    write_manifest(m)
+
+    def read_ref(doc: dict, ref: str) -> DataFrame:
+        ver = doc["versions"][str(doc["refs"][ref])]
+        frames = [spark.read.parquet(p) for p in ver["groups"]]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def summarize(doc: dict, ref: str, viol: int) -> DataFrame:
+        return read_ref(doc, ref).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(ref).alias("ref"),
+            F.lit(doc["refs"][ref]).cast("int").alias("version"),
+            "n_rows",
+            "sum_total",
+            F.lit(viol).cast("bigint").alias("n_violations"),
+        )
+
+    # the audit gate runs against the STAGED GROUP on the branch
+    n_bad = (
+        spark.read.parquet(staged_path)
+        .filter(F.col("o_totalprice") < 0)
+        .count()  # gate-grade metadata scalar
+    )
+    pre = _read_manifest(root)
+    row_main_v1 = summarize(pre, "main", 0)  # captured BEFORE publish
+    row_audit_v2 = summarize(pre, "audit", n_bad)
+
+    # quarantine: clean batch re-commits on the branch
+    clean_path = os.path.join(wap_dir, "v3-clean")
+    spark.read.parquet(staged_path).filter(
+        F.col("o_totalprice") >= 0
+    ).write.mode("overwrite").parquet(clean_path)
+    m = _read_manifest(root)
+    m["versions"]["3"] = {"groups": [v1_path, clean_path]}
+    m["refs"]["audit"] = 3
+    write_manifest(m)
+
+    # publish: fast-forward main onto the audited version — one swap
+    m = _read_manifest(root)
+    m["refs"]["main"] = m["refs"]["audit"]
+    write_manifest(m)
+
+    post = _read_manifest(root)
+    row_audit_v3 = summarize(post, "audit", 0)
+    row_main_v3 = summarize(post, "main", 0)
+    return (
+        row_main_v1.unionAll(row_audit_v2)
+        .unionAll(row_audit_v3)
+        .unionAll(row_main_v3)
+    )

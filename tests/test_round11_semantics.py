@@ -256,3 +256,29 @@ def test_deletion_vector_commit_writes_no_data_files(spark, sf_dir):
             )
         else:
             assert g3[g]["path"] == g1[g]["path"]
+
+
+def test_wap_branch_isolates_staging_until_publish(spark, sf_dir):
+    """The WAP isolation laws: the staged (pre-audit) version is only
+    ever reachable through the `audit` ref — main@1's group list never
+    contains the staged group — and the publish is a pure ref swap:
+    main's final version IS the audited version's group list (no data
+    copied at publish), with the corrupt staged group absent from it."""
+    SPECS["etl_manifest_wap_branch"].fn(spark, sf_dir).collect()
+    root = artifact_path(sf_dir, "tt_wap/manifest.json")
+    with open(root) as fh:
+        m = json.load(fh)
+    wap_dir = os.path.dirname(root)
+    v1 = os.path.join(wap_dir, "v1")
+    staged = os.path.join(wap_dir, "v2-staged")
+    clean = os.path.join(wap_dir, "v3-clean")
+
+    assert m["versions"]["1"]["groups"] == [v1]
+    assert m["versions"]["2"]["groups"] == [v1, staged]
+    assert m["versions"]["3"]["groups"] == [v1, clean]
+    # publish = ref swap onto the audited version, never onto staging
+    assert m["refs"]["main"] == m["refs"]["audit"] == 3
+    assert staged not in m["versions"]["3"]["groups"]
+    # the staged (corrupt) bytes still exist for audit forensics but
+    # are unreachable from main — exactly vacuum's orphan case later
+    assert os.path.isdir(staged)

@@ -41,4 +41,5 @@ ROUND11_KEYS: list[str] = [
     "sim_search_ivf_append",
     "etl_manifest_deletion_vectors",
     "etl_manifest_wap_branch",
+    "sim_search_ivf_delete",
 ]

@@ -1966,3 +1966,213 @@ def sim_search_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return state_frame("before", base).unionAll(state_frame("after", e))
+
+
+# --- IVF tombstone delete (round 11) ----------------------------------------
+
+IVF_DELETE_MOD = 9  # vec_id % 9 == 0 → the tombstoned (deleted) vectors
+
+
+def _ivf_delete_state_sql(s: str, tomb: bool) -> str:
+    """One search state (before/after the delete) — tombstones filter
+    BOTH the candidate stream and the exact truth."""
+    anti = (
+        f" AND nid % {IVF_DELETE_MOD} <> 0" if tomb else ""
+    )
+    return f"""
+cand_{s} AS (
+  SELECT DISTINCT q.qid, cc.nid
+  FROM cc cc JOIN qc q USING (cell)
+  WHERE cc.nid <> q.qid{anti}),
+top_{s} AS (
+  SELECT qid, nid FROM (
+    SELECT cand.qid, cand.nid,
+           row_number() OVER (PARTITION BY cand.qid
+             ORDER BY {COSINE('qe.embedding', 'ne.embedding')} DESC,
+                      cand.nid) AS rn
+    FROM cand_{s} cand
+    JOIN embeddings qe ON qe.vec_id = cand.qid
+    JOIN embeddings ne ON ne.vec_id = cand.nid) WHERE rn <= {TOP_K}),
+truth_{s} AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {COSINE('q.qe', 'e.embedding')} DESC, e.vec_id)
+             AS rn
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.qid{
+        f" AND e.vec_id % {IVF_DELETE_MOD} <> 0" if tomb else ""})
+  WHERE rn <= {TOP_K}),
+row_{s} AS (
+  SELECT '{s}' AS state,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings{
+             f" WHERE vec_id % {IVF_DELETE_MOD} <> 0" if tomb else ""})
+           AS n_vectors,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{s}) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM cand_{s}) AS DOUBLE)
+           / (SELECT COUNT(*) FROM q) AS avg_candidates,
+         CAST((SELECT COUNT(*) FROM top_{s} tp JOIN truth_{s} tr
+               ON tp.qid = tr.qid AND tp.nid = tr.nid) AS DOUBLE)
+           / ({TOP_K} * (SELECT COUNT(*) FROM q)) AS mean_recall)"""
+
+
+def _ivf_delete_oracle() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings
+  ORDER BY vec_id LIMIT {N_CELLS}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0 AND vec_id % {IVF_DELETE_MOD} <> 0),
+cc AS (
+  SELECT nid, cell FROM (
+    SELECT e.vec_id AS nid, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {COSINE('e.embedding', 'c.ce')} DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn <= 1),
+qc AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {COSINE('q.qe', 'c.ce')} DESC, c.cell) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= {N_PROBE}),
+{_ivf_delete_state_sql("before", False)},
+{_ivf_delete_state_sql("after", True)}
+SELECT * FROM row_before UNION ALL SELECT * FROM row_after
+"""
+
+
+@query("sim_search_ivf_delete", oracle=_ivf_delete_oracle(), category="L")
+def sim_search_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TOMBSTONE DELETE — the other half of index maintenance next
+    to ``sim_search_ivf_append``: deleting vectors from a built index
+    (right-to-be-forgotten, content takedowns) does NOT rebuild or
+    reassign anything — a tombstone set (vec_id ≡ 0 mod
+    {IVF_DELETE_MOD}, ~11%) is anti-joined out of the candidate stream
+    at SEARCH time, exactly the deletion-vector idea of
+    ``etl_manifest_deletion_vectors`` applied to a vector index (and
+    exactly how FAISS ``remove_ids``-less deployments and vector DBs
+    with soft deletes serve deletes between compactions, public
+    design).
+
+    'before' searches the intact index; 'after' applies the tombstones
+    to BOTH the candidate stream and the exact truth (the truth a user
+    observes post-delete) on the SAME surviving query set — the
+    dashboard shows deletes cost candidates, and whether recall holds
+    when ~11% of every cell is masked. No tombstoned id can ever be
+    emitted (law-tested).
+
+    Exactness: frozen lowest-id centroids, bit-identical cosine folds,
+    (cos DESC, id) tie-breaks — full hash oracle across both states.
+
+    Scale: the delete itself is O(|tombstones|) metadata; the search
+    overhead is one broadcast anti-join on the candidate stream (cost ∝
+    candidates, not corpus); compaction — physically dropping tombstoned
+    vectors and re-assigning nothing — is the DV key's v3 story."""
+    e = t(spark, sf_dir, "embeddings")
+    tombs = e.filter(
+        (F.col("vec_id") % IVF_DELETE_MOD) == 0
+    ).select(F.col("vec_id").alias("dead_id"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+        )
+    )
+    q = e.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") % IVF_DELETE_MOD != 0)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+
+    def nearest(df: DataFrame, id_col: str, emb_col: str, n: int):
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cell_sim").desc(), F.col("cell")
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("cell_sim", cosine(F.col(emb_col), F.col("ce")))
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= n)
+            .drop("ce", "cell_sim", "cell_rank")
+        )
+
+    corpus_r = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")
+    )
+    cc = nearest(corpus_r, "nid", "ne", 1)
+    qc = nearest(q, "qid", "qe", N_PROBE)
+
+    def state_frame(name: str, tomb: bool) -> DataFrame:
+        cand = (
+            cc.join(F.broadcast(qc), "cell")
+            .filter(F.col("nid") != F.col("qid"))
+        )
+        live_corpus = corpus_r
+        if tomb:
+            cand = cand.join(
+                F.broadcast(tombs),
+                cand["nid"] == tombs["dead_id"],
+                "left_anti",
+            )
+            live_corpus = corpus_r.join(
+                F.broadcast(tombs),
+                corpus_r["nid"] == tombs["dead_id"],
+                "left_anti",
+            )
+        cand = cand.select(
+            "qid",
+            "nid",
+            cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+        ).distinct()
+        wk = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("nid")
+        )
+        top = (
+            cand.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "nid")
+        )
+        truth = (
+            live_corpus.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+            .select(
+                "qid",
+                "nid",
+                cosine(F.col("qe"), F.col("ne")).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "nid")
+        )
+        matched = top.join(truth, ["qid", "nid"]).agg(
+            F.count("*").cast("bigint").alias("matched")
+        )
+        n_vec = live_corpus.agg(
+            F.count("*").cast("bigint").alias("n_vectors")
+        )
+        n_q = q.agg(F.count("*").cast("bigint").alias("n_queries"))
+        n_cand = cand.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        return (
+            n_vec.crossJoin(n_q)
+            .crossJoin(n_cand)
+            .crossJoin(matched)
+            .select(
+                F.lit(name).alias("state"),
+                "n_vectors",
+                "n_queries",
+                "n_candidates",
+                (
+                    F.col("n_candidates").cast("double")
+                    / F.col("n_queries")
+                ).alias("avg_candidates"),
+                (
+                    F.col("matched").cast("double")
+                    / (F.lit(TOP_K) * F.col("n_queries"))
+                ).alias("mean_recall"),
+            )
+        )
+
+    return state_frame("before", False).unionAll(state_frame("after", True))

@@ -1883,3 +1883,14 @@ def test_deletion_vector_scan_is_broadcast_anti_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert all("o_orderstatus" not in ln for ln in reads), reads
+
+
+def test_ivf_delete_is_broadcast_anti_masking(spark, sf_dir):
+    """sim_search_ivf_delete: tombstones mask the candidate stream and
+    the truth corpus as broadcast LEFT ANTI hash joins (cost ∝
+    candidates, never a rebuild); centroid argmaxes stay broadcast;
+    no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "sim_search_ivf_delete")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -282,3 +282,32 @@ def test_wap_branch_isolates_staging_until_publish(spark, sf_dir):
     # the staged (corrupt) bytes still exist for audit forensics but
     # are unreachable from main — exactly vacuum's orphan case later
     assert os.path.isdir(staged)
+
+
+def test_ivf_delete_masks_tombstones_without_rebuild(spark, sf_dir):
+    """Tombstone laws visible in the report: the query set is frozen
+    (surviving queries only, same across states), the after-corpus
+    shrank by exactly the tombstone count, the candidate stream shrank
+    (tombstones really are masked before ranking), and recall holds > 0
+    on the masked index. A tombstoned id leaking into the after top-k
+    would waste a slot against a tombstone-free truth and shift
+    mean_recall — pinned by the hash oracle at both scales."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.similarity import IVF_DELETE_MOD
+    from dbsuite_spark.tables import t
+
+    rows = {
+        r["state"]: r
+        for r in SPECS["sim_search_ivf_delete"].fn(spark, sf_dir).collect()
+    }
+    before, after = rows["before"], rows["after"]
+    n_dead = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % IVF_DELETE_MOD == 0)
+        .count()
+    )
+    assert before["n_vectors"] - after["n_vectors"] == n_dead
+    assert after["n_queries"] == before["n_queries"] > 0
+    assert after["n_candidates"] < before["n_candidates"]
+    assert before["mean_recall"] > 0 and after["mean_recall"] > 0

@@ -42,4 +42,5 @@ ROUND11_KEYS: list[str] = [
     "etl_manifest_deletion_vectors",
     "etl_manifest_wap_branch",
     "sim_search_ivf_delete",
+    "stream_foreachbatch_merge",
 ]

@@ -1193,3 +1193,180 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
     run_phase()
     return msink_read(spark, table_dir)
+
+
+# --- exactly-once streaming MERGE (round 11) --------------------------------
+
+_FBM_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS last_ts,
+       arg_max(event_type, ts) AS last_type
+FROM events GROUP BY user_id
+"""
+
+
+def fbm_merge_batch(
+    spark: SparkSession, table_dir: str, bdf: DataFrame, batch_id: int
+) -> str:
+    """MERGE one micro-batch into the versioned per-user state table at
+    ``table_dir`` — the ``foreachBatch`` + MERGE pattern Delta documents
+    for streaming upserts (public), on the same atomic commit-log
+    protocol as :func:`msink_commit_batch`: each commit record is
+    published by one ``os.link`` and carries the batch_id, so a
+    replayed batch is skipped and the merge is exactly-once even though
+    MERGE itself is not idempotent.
+
+    The merge is ASSOCIATIVE on purpose (counts add; the (ts, type)
+    argmax keeps the greater timestamp side), so the final state is
+    independent of how files split into micro-batches — which is what
+    makes the full batch-SQL oracle valid for any trigger cadence.
+
+    Unlike the append-only sink, each commit's file group is the FULL
+    new state snapshot (|users| rows — dimension-sized) and the reader
+    materializes only the LATEST commit; a 100 TB deployment would COW
+    key-range groups instead (etl_merge_cow_manifest's mechanics) —
+    the commit/replay protocol is identical either way."""
+    import glob
+    import json as _json
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    commits = sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
+
+    def _load(path: str) -> dict:
+        with open(path) as fh:
+            return _json.load(fh)
+
+    docs = [_load(c) for c in commits]
+    if any(d["batch_id"] == batch_id for d in docs):
+        return "skipped"  # replay of a committed batch
+
+    delta = bdf.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.struct("ts", "event_type")).alias("last"),
+    )
+    if docs:
+        prev = spark.read.parquet(docs[-1]["group"]).select(
+            "user_id",
+            "n_events",
+            F.struct(
+                F.col("last_ts").alias("ts"),
+                F.col("last_type").alias("event_type"),
+            ).alias("last"),
+        )
+        merged = (
+            prev.select("user_id", "n_events", "last")
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.max("last").alias("last"),
+            )
+        )
+    else:
+        merged = delta
+    out_rows = merged.select(
+        "user_id",
+        "n_events",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_type"),
+    )
+    version = len(commits)
+    group = os.path.join(table_dir, f"state-v{version}-b{batch_id}")
+    out_rows.write.mode("overwrite").parquet(group)
+    doc = {"batch_id": batch_id, "group": group}
+    while True:
+        commit_path = os.path.join(table_dir, f"commit-{version:05d}.json")
+        tmp = commit_path + f".b{batch_id}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        try:
+            os.link(tmp, commit_path)  # atomic claim+commit
+            os.remove(tmp)
+            return "committed"
+        except FileExistsError:
+            os.remove(tmp)
+            if _load(commit_path)["batch_id"] == batch_id:
+                return "skipped"
+            version += 1
+
+
+def fbm_read_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Materialize the LATEST committed state snapshot."""
+    import glob
+    import json as _json
+    import os
+
+    commits = sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
+    if not commits:
+        raise RuntimeError(f"empty state-table log at {table_dir}")
+    with open(commits[-1]) as fh:
+        return spark.read.parquet(_json.load(fh)["group"])
+
+
+@query("stream_foreachbatch_merge", oracle=_FBM_ORACLE, category="I")
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING MERGE (upsert) into the manifest
+    substrate — the stateful sibling of ``stream_manifest_sink``'s
+    append-only path and the streaming twin of ``etl_merge_upsert``:
+    each micro-batch folds into a per-user state table (event count +
+    latest (ts, type) argmax) through :func:`fbm_merge_batch`, with the
+    same three failure paths exercised — phase 1 streams 3 files and
+    stops, batch 0 is re-delivered manually (must skip: MERGE applied
+    twice would double the counts — THE reason real streaming MERGE
+    needs txn-id dedup), 3 more files land, phase 2 resumes from the
+    same checkpoint. The final state must hash-equal the batch GROUP BY
+    over all events — any lost or double-merged batch breaks counts.
+
+    Scale: per-batch work is one map-side-combined aggregate of the
+    batch + one |users|-bounded merge; the commit is one atomic link.
+    The associative fold (sum + struct-max) is what lets micro-batch
+    boundaries vary freely on a cluster without changing the result."""
+    import glob
+    import os
+
+    path_all, src = _land_events(spark, sf_dir, "fbm_all", n_files=6)
+    live = artifact_path(sf_dir, "fbm_live")
+    table_dir = artifact_path(sf_dir, "fbm_table")
+    ckpt = artifact_path(sf_dir, "fbm_ckpt")
+    for d in (live, table_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(live)
+    parts = sorted(glob.glob(os.path.join(path_all, "part-*.parquet")))
+    proj = ["user_id", "event_type", "ts"]
+
+    def run_phase() -> None:
+        with _stream_width(spark):
+            q = (
+                _read_stream(spark, live, src.schema)
+                .select(*proj)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: fbm_merge_batch(
+                        spark, table_dir, bdf, bid
+                    )
+                    and None
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    for i, f in enumerate(parts[:3]):
+        shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
+    run_phase()
+
+    # crash-replay: batch 0 re-delivered — a second MERGE of the same
+    # rows would double every count it touches; must skip
+    replay = spark.read.parquet(
+        os.path.join(live, "part-00000.parquet")
+    ).select(*proj)
+    outcome = fbm_merge_batch(spark, table_dir, replay, 0)
+    if outcome != "skipped":
+        raise RuntimeError(f"replayed batch must be skipped, got {outcome}")
+
+    for i, f in enumerate(parts[3:], start=3):
+        shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
+    run_phase()
+    return fbm_read_state(spark, table_dir)

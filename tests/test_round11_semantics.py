@@ -311,3 +311,59 @@ def test_ivf_delete_masks_tombstones_without_rebuild(spark, sf_dir):
     assert after["n_queries"] == before["n_queries"] > 0
     assert after["n_candidates"] < before["n_candidates"]
     assert before["mean_recall"] > 0 and after["mean_recall"] > 0
+
+
+# --- stream_foreachbatch_merge: drive the MERGE protocol directly ----------
+
+
+def _mk_events(spark, n0: int, n1: int):
+    return spark.range(n0, n1).selectExpr(
+        "id % 5 AS user_id",
+        "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+        "timestamp '2024-01-01 00:00:00' + id * INTERVAL 1 MINUTE AS ts",
+    )
+
+
+def test_fbm_merge_is_exactly_once_and_associative(spark, tmp_path):
+    """The two laws that make streaming MERGE correct: (1) a replayed
+    batch is skipped — applying it twice would double the counts it
+    touches; (2) the fold is associative — merging rows as one batch or
+    split across two batches yields the IDENTICAL state, which is why
+    micro-batch boundaries can vary freely on a cluster."""
+    from dbsuite_spark.streaming.streams import (
+        fbm_merge_batch,
+        fbm_read_state,
+    )
+
+    one = str(tmp_path / "one")
+    assert fbm_merge_batch(spark, one, _mk_events(spark, 0, 40), 0) == (
+        "committed"
+    )
+    state_once = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, one).collect()
+    }
+
+    # replay: state byte-identical, outcome 'skipped'
+    assert fbm_merge_batch(spark, one, _mk_events(spark, 0, 40), 0) == (
+        "skipped"
+    )
+    state_replay = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, one).collect()
+    }
+    assert state_replay == state_once
+
+    # associativity: same rows in two batches -> same state
+    two = str(tmp_path / "two")
+    assert fbm_merge_batch(spark, two, _mk_events(spark, 0, 25), 0) == (
+        "committed"
+    )
+    assert fbm_merge_batch(spark, two, _mk_events(spark, 25, 40), 1) == (
+        "committed"
+    )
+    state_split = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, two).collect()
+    }
+    assert state_split == state_once

@@ -43,4 +43,5 @@ ROUND11_KEYS: list[str] = [
     "etl_manifest_wap_branch",
     "sim_search_ivf_delete",
     "stream_foreachbatch_merge",
+    "etl_manifest_incremental_read",
 ]

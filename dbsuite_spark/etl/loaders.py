@@ -2420,3 +2420,107 @@ def etl_manifest_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row_audit_v3)
         .unionAll(row_main_v3)
     )
+
+
+# --- incremental commit-log consumption (round 11) --------------------------
+
+_INCR_ORACLE = f"""
+SELECT CAST(1 AS INT) AS poll, CAST(3 AS BIGINT) AS n_commits,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("value")} AS sum_value
+FROM events WHERE event_id % 6 IN (0, 1, 2)
+UNION ALL
+SELECT CAST(2 AS INT) AS poll, CAST(3 AS BIGINT) AS n_commits,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("value")} AS sum_value
+FROM events WHERE event_id % 6 IN (3, 4, 5)
+UNION ALL
+SELECT CAST(3 AS INT) AS poll, CAST(0 AS BIGINT) AS n_commits,
+       CAST(0 AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS sum_value
+"""
+
+
+@query("etl_manifest_incremental_read", oracle=_INCR_ORACLE, category="K")
+def etl_manifest_incremental_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL CONSUMPTION of the commit log — the table-as-a-queue
+    pattern (Delta incremental reads / Iceberg incremental scan,
+    public): a downstream consumer tracks an OFFSET (the first
+    unconsumed commit version) and each poll reads ONLY the file groups
+    of commits at or past it — change-data movement proportional to new
+    commits, never a rescan of the table.
+
+    A producer lands six commits through the same atomic-link protocol
+    as ``stream_manifest_sink`` (deterministic batches: event_id mod 6
+    classes). Poll 1 runs when three commits exist (consumes versions
+    0-2 and advances the offset), poll 2 after three more (consumes
+    ONLY 3-5 — re-reading 0-2 would double-count, which the hash gate
+    would catch), and poll 3 finds an empty log tail (the no-new-data
+    case every incremental consumer must handle: zero commits, zero
+    rows, NULL sum). Offset advancement is law-tested.
+
+    Scale: each poll is a metadata listing of the log tail plus pruned
+    scans of ONLY the new groups; the offset is O(1) consumer state —
+    exactly how streaming-into-batch handoffs avoid reprocessing at
+    100 TB."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    table_dir = artifact_path(sf_dir, "incr_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    def poll(n: int, offset: int) -> tuple[DataFrame, int]:
+        """Consume commits [offset, end) — returns (report row, new
+        offset)."""
+        import glob
+        import json as _json
+
+        commits = sorted(
+            glob.glob(os.path.join(table_dir, "commit-*.json"))
+        )
+        new = commits[offset:]
+        if not new:
+            row = spark.range(1).select(
+                F.lit(n).cast("int").alias("poll"),
+                F.lit(0).cast("bigint").alias("n_commits"),
+                F.lit(0).cast("bigint").alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_value"),
+            )
+            return row, offset
+        frames = []
+        for c in new:
+            with open(c) as fh:
+                frames.append(
+                    spark.read.parquet(_json.load(fh)["group"])
+                )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        row = out.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        ).select(
+            F.lit(n).cast("int").alias("poll"),
+            F.lit(len(new)).cast("bigint").alias("n_commits"),
+            "n_rows",
+            "sum_value",
+        )
+        return row, offset + len(new)
+
+    # producer: first three commits
+    for i in range(3):
+        msink_commit_batch(
+            table_dir, e.filter(F.col("event_id") % 6 == i), i
+        )
+    row1, offset = poll(1, 0)
+    # producer: three more
+    for i in range(3, 6):
+        msink_commit_batch(
+            table_dir, e.filter(F.col("event_id") % 6 == i), i
+        )
+    row2, offset = poll(2, offset)
+    row3, offset = poll(3, offset)
+    if offset != 6:
+        raise RuntimeError(f"consumer offset must end at 6, got {offset}")
+    return row1.unionAll(row2).unionAll(row3)

@@ -367,3 +367,24 @@ def test_fbm_merge_is_exactly_once_and_associative(spark, tmp_path):
         for r in fbm_read_state(spark, two).collect()
     }
     assert state_split == state_once
+
+
+def test_incremental_read_offset_never_rereads(spark, sf_dir):
+    """The consumer law: polls partition the commit log — each version
+    consumed exactly once (poll1: 0-2, poll2: 3-5, poll3: nothing), so
+    the per-poll row counts sum to the table total with no overlap."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.tables import t
+
+    rows = {
+        r["poll"]: r
+        for r in SPECS["etl_manifest_incremental_read"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    total = t(spark, sf_dir, "events").count()
+    assert rows[1]["n_rows"] + rows[2]["n_rows"] == total
+    assert rows[1]["n_commits"] == rows[2]["n_commits"] == 3
+    assert rows[3]["n_commits"] == 0 and rows[3]["n_rows"] == 0
+    assert rows[3]["sum_value"] is None

@@ -44,4 +44,5 @@ ROUND11_KEYS: list[str] = [
     "sim_search_ivf_delete",
     "stream_foreachbatch_merge",
     "etl_manifest_incremental_read",
+    "rec_next_event_markov",
 ]

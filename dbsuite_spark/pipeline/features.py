@@ -974,3 +974,77 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sse_reduction"),
     )
     return root_row.unionByName(child_rows).unionByName(leaf_rows)
+
+
+# --- Markov next-event transitions (round 11) --------------------------------
+
+NEXT_TOPK = 3  # recommendations kept per current event type
+
+_NEXT_ITEM_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM events),
+tr AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+tot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS tc FROM tr GROUP BY cur)
+SELECT cur AS cur_type, nxt AS next_type, c AS n_pairs,
+       CAST(c AS DOUBLE) / tc AS prob, CAST(rn AS INT) AS rank
+FROM (
+  SELECT tr.cur, tr.nxt, tr.c, tot.tc,
+         row_number() OVER (PARTITION BY tr.cur
+           ORDER BY tr.c DESC, tr.nxt) AS rn
+  FROM tr JOIN tot USING (cur))
+WHERE rn <= {NEXT_TOPK}
+"""
+
+
+@query("rec_next_event_markov", oracle=_NEXT_ITEM_ORACLE, category="L")
+def rec_next_event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV next-item recommendation — the sequential
+    half of the recsys tier next to the co-occurrence keys
+    (``rec_copurchase_topk`` counts *baskets*; this counts *order*):
+    per-user event streams in time order yield (current, next)
+    transitions via one LEAD window, the transition matrix aggregates
+    once, and each current type keeps its top-{NEXT_TOPK} next types by
+    count with the empirical transition probability — the
+    session-based "users who did X do Y next" baseline every
+    sequential recommender is measured against (public method;
+    Markov-chain recommenders, Rendle et al.'s FPMC baseline).
+
+    Exactness: transitions are pure integer counting over the
+    (user_id, ts)-unique stream (fixture law); prob is ONE double
+    division of exact integers — bit-identical both engines; ties
+    break (count DESC, next_type).
+
+    Scale: one shuffle partitions users for the LEAD window (the
+    sequence is derived, never collected), the transition matrix is
+    |types|² — dimension-sized — so aggregation is map-side combined
+    into a tiny frame; with unbounded item vocabularies you'd cap
+    per-user history first (the CF_PART_CAP treatment)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = tr.groupBy("cur").agg(F.sum("c").cast("bigint").alias("tc"))
+    wr = Window.partitionBy("cur").orderBy(
+        F.col("c").desc(), F.col("nxt")
+    )
+    return (
+        tr.join(F.broadcast(tot), "cur")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= NEXT_TOPK)
+        .select(
+            F.col("cur").alias("cur_type"),
+            F.col("nxt").alias("next_type"),
+            F.col("c").alias("n_pairs"),
+            (F.col("c").cast("double") / F.col("tc")).alias("prob"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

@@ -388,3 +388,22 @@ def test_incremental_read_offset_never_rereads(spark, sf_dir):
     assert rows[1]["n_commits"] == rows[2]["n_commits"] == 3
     assert rows[3]["n_commits"] == 0 and rows[3]["n_rows"] == 0
     assert rows[3]["sum_value"] is None
+
+
+def test_next_event_markov_output_laws(spark, sf_dir):
+    """Output laws: ranks are 1..K dense per current type, counts are
+    non-increasing in rank (the tie-break is (count DESC, type)), every
+    probability is in (0, 1], and a type's kept probabilities sum to
+    ≤ 1 (they are top-K of a distribution)."""
+    rows = SPECS["rec_next_event_markov"].fn(spark, sf_dir).collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r["cur_type"], []).append(r)
+    assert by_cur
+    for cur, rs in by_cur.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r["n_pairs"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+        assert all(0 < r["prob"] <= 1 for r in rs)
+        assert sum(r["prob"] for r in rs) <= 1 + 1e-12

@@ -1075,9 +1075,8 @@ def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
     # write-then-publish: overwrite mode makes a half-written group from
     # a crashed attempt harmless — only the commit record makes it live
     bdf.write.mode("overwrite").parquet(group)
-    n_rows = 0  # recorded for audit; the read path trusts only the files
     version = len(commits)
-    doc = {"batch_id": batch_id, "group": group, "n_rows": n_rows}
+    doc = {"batch_id": batch_id, "group": group}
     while True:
         commit_path = os.path.join(table_dir, f"commit-{version:05d}.json")
         tmp = commit_path + f".b{batch_id}.tmp"

@@ -161,7 +161,7 @@ def test_msink_version_race_rebases_to_next_version(spark, tmp_path):
     foreign_group = os.path.join(table, "group-b99")
     _mk_batch(spark, 100, 103).write.mode("overwrite").parquet(foreign_group)
     with open(os.path.join(table, "commit-00001.json"), "w") as fh:
-        json.dump({"batch_id": 99, "group": foreign_group, "n_rows": 0}, fh)
+        json.dump({"batch_id": 99, "group": foreign_group}, fh)
 
     assert msink_commit_batch(table, _mk_batch(spark, 5, 9), 2) == "committed"
     names = [os.path.basename(c) for c in _log(table)]

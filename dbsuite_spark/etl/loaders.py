@@ -1919,8 +1919,12 @@ FROM orders WHERE year(o_orderdate) <= 1997
 UNION ALL
 SELECT CAST(2 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
        {DSUM('o_totalprice')} AS sum_price,
-       CAST(SUM(CASE WHEN year(o_orderdate) > 1997 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_with_priority
+       -- COUNT(expr) skips NULLs exactly like Spark's F.count(col): a
+       -- post-1997 order with NULL o_orderpriority must not count
+       -- (self-review finding, round 11)
+       CAST(COUNT(CASE WHEN year(o_orderdate) > 1997
+                       THEN o_orderpriority END) AS BIGINT)
+         AS n_with_priority
 FROM orders
 """
 
@@ -2275,7 +2279,14 @@ batch AS (
 staged AS (
   SELECT o_orderkey, o_totalprice FROM orders
   UNION ALL SELECT o_orderkey, o_totalprice FROM batch),
-clean AS (SELECT * FROM staged WHERE o_totalprice >= 0)
+-- the audit gates the INGEST BATCH only (base rows are already
+-- published history); gating `staged` instead would silently diverge
+-- from the implementation if a fixture ever carried a negative base
+-- price (self-review finding, round 11)
+clean AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM batch WHERE o_totalprice >= 0)
 SELECT 'main' AS ref, CAST(1 AS INT) AS version,
        {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total,
        CAST(0 AS BIGINT) AS n_violations

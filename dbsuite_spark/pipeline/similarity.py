@@ -293,6 +293,27 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs).select("qid", "neighbor_id", "cos_sim", "rank")
 
 
+
+def _nearest_cells(
+    df: DataFrame, cents: DataFrame, id_col: str, emb_col: str, n: int
+) -> DataFrame:
+    """Top-n cells per row by cosine against the broadcast centroid
+    frame (cell tie-break) — the single IVF assignment kernel shared by
+    every IVF key (build, probe sweep, filtered, append, delete); one
+    copy so a tie-break or broadcast-hint fix can't drift between
+    indexes (self-review finding, round 11)."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_sim").desc(), F.col("cell")
+    )
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", cosine(F.col(emb_col), F.col("ce")))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n)
+        .drop("ce", "cell_sim", "cell_rank")
+    )
+
+
 N_CELLS = 16  # IVF inverted-list count
 N_PROBE = 4  # cells probed per query
 
@@ -365,18 +386,7 @@ def _ivf_scored_pairs(
 
     def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int):
         """Top-n cells per row by cosine (broadcast centroid argmax)."""
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cell_sim").desc(), F.col("cell")
-        )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn(
-                "cell_sim", cosine(F.col(emb_col), F.col("ce"))
-            )
-            .withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= n)
-            .drop("ce", "cell_sim", "cell_rank")
-        )
+        return _nearest_cells(df, cents, id_col, emb_col, n)
 
     corpus = nearest_cells(
         e.select(
@@ -1680,16 +1690,7 @@ def sim_search_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int):
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cell_sim").desc(), F.col("cell")
-        )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("cell_sim", cosine(F.col(emb_col), F.col("ce")))
-            .withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= n)
-            .drop("ce", "cell_sim", "cell_rank")
-        )
+        return _nearest_cells(df, cents, id_col, emb_col, n)
 
     corpus = nearest_cells(
         e.select(
@@ -1890,16 +1891,7 @@ def sim_search_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nearest(df: DataFrame, id_col: str, emb_col: str, n: int):
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cell_sim").desc(), F.col("cell")
-        )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("cell_sim", cosine(F.col(emb_col), F.col("ce")))
-            .withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= n)
-            .drop("ce", "cell_sim", "cell_rank")
-        )
+        return _nearest_cells(df, cents, id_col, emb_col, n)
 
     qc = nearest(q, "qid", "qe", N_PROBE)
 
@@ -2087,16 +2079,7 @@ def sim_search_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
 
     def nearest(df: DataFrame, id_col: str, emb_col: str, n: int):
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cell_sim").desc(), F.col("cell")
-        )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("cell_sim", cosine(F.col(emb_col), F.col("ce")))
-            .withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= n)
-            .drop("ce", "cell_sim", "cell_rank")
-        )
+        return _nearest_cells(df, cents, id_col, emb_col, n)
 
     corpus_r = e.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ne")

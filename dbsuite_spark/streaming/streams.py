@@ -1035,82 +1035,116 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exactly-once manifest sink (round 11) ---------------------------------
 
 
+def _log_commits(table_dir: str) -> list[str]:
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
+
+
+def _load_commit(path: str) -> dict:
+    import json as _json
+
+    with open(path) as fh:
+        return _json.load(fh)
+
+
+def _attempt_path(table_dir: str, kind: str, batch_id: int) -> str:
+    """Per-ATTEMPT unique data path (uuid suffix, like real table
+    formats' uuid file names): two concurrent replays of the same batch
+    must never write the same directory, or the loser's overwrite could
+    tear a group the winner's commit record already references. The
+    path never affects results (only the commit record makes a group
+    live); a losing attempt's directory is exactly the unreferenced
+    orphan ``etl_vacuum_orphan_files`` collects."""
+    import os
+    import uuid
+
+    return os.path.join(
+        table_dir, f"{kind}-b{batch_id}-{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _try_claim_version(
+    table_dir: str, version: int, doc: dict, batch_id: int
+) -> str:
+    """Attempt to publish ``doc`` as commit ``version`` with ONE atomic
+    ``os.link`` (the Delta-log idea, public: link(2) fails with EEXIST
+    if the version is taken and otherwise appears atomically WITH its
+    content — claim and commit are the same operation, so a crash
+    leaves either no commit or a complete one, never a torn state).
+
+    Returns 'committed' (won), 'skipped' (lost to a commit of the SAME
+    batch — a concurrent replay), or 'lost' (lost to a FOREIGN batch —
+    the caller decides how to rebase: the append-only sink just bumps
+    the version, the merge sink must re-merge against the new state)."""
+    import json as _json
+    import os
+
+    commit_path = os.path.join(table_dir, f"commit-{version:05d}.json")
+    tmp = commit_path + f".b{batch_id}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(doc, fh)
+    try:
+        os.link(tmp, commit_path)  # atomic claim+commit in one op
+        os.remove(tmp)
+        return "committed"
+    except FileExistsError:
+        os.remove(tmp)
+        if _load_commit(commit_path)["batch_id"] == batch_id:
+            return "skipped"
+        return "lost"
+
+
 def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
     """Commit one micro-batch into the manifest-log table at
     ``table_dir`` with EXACTLY-ONCE semantics (module-level so the law
     tests can drive crash/replay scenarios directly).
 
-    Protocol (the Delta-log idea, public: one atomic create per
-    version): the batch's rows land in a scratch file group, then the
-    commit record — ``commit-{n:05d}.json`` carrying (batch_id, group
-    path, n_rows) — is published by ``os.link`` of a fully-written temp
-    file onto the commit path. link(2) fails with EEXIST if the version
-    is taken and otherwise appears atomically WITH its content, so the
-    version claim and the commit are one POSIX-atomic operation: a
-    crash at any point leaves either no commit (replay redoes the
-    batch) or a complete one (replay skips it) — never a torn state.
+    Protocol: the batch's rows land in a per-attempt unique file group
+    (see :func:`_attempt_path`), then the commit record —
+    ``commit-{n:05d}.json`` carrying (batch_id, group path) — publishes
+    via :func:`_try_claim_version`'s atomic link.
 
     Idempotence: a replayed batch (Spark re-runs any micro-batch whose
     foreachBatch ran but whose checkpoint commit didn't land) is
     detected by scanning the log for its batch_id BEFORE writing, and
-    on the claim-race path by losing the link — both return 'skipped'
-    and leave the log unchanged.
+    on the claim-race path by losing the link to the same batch — both
+    return 'skipped' and leave the log unchanged. Losing to a FOREIGN
+    batch just bumps the version: the append-only reader folds ALL
+    commits, so no rebase of the data is needed.
 
     Returns 'committed' or 'skipped'."""
-    import glob
-    import json as _json
     import os
 
     os.makedirs(table_dir, exist_ok=True)
-    commits = sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
-
-    def _load(path: str) -> dict:
-        with open(path) as fh:
-            return _json.load(fh)
-
-    if any(_load(c)["batch_id"] == batch_id for c in commits):
+    commits = _log_commits(table_dir)
+    if any(_load_commit(c)["batch_id"] == batch_id for c in commits):
         return "skipped"  # exactly-once: this batch already committed
 
-    group = os.path.join(table_dir, f"group-b{batch_id}")
-    # write-then-publish: overwrite mode makes a half-written group from
-    # a crashed attempt harmless — only the commit record makes it live
+    # write-then-publish: only the commit record makes the group live
+    group = _attempt_path(table_dir, "group", batch_id)
     bdf.write.mode("overwrite").parquet(group)
     version = len(commits)
     doc = {"batch_id": batch_id, "group": group}
     while True:
-        commit_path = os.path.join(table_dir, f"commit-{version:05d}.json")
-        tmp = commit_path + f".b{batch_id}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(doc, fh)
-        try:
-            os.link(tmp, commit_path)  # atomic claim+commit in one op
-            os.remove(tmp)
-            return "committed"
-        except FileExistsError:
-            os.remove(tmp)
-            # lost the version race: someone committed this version —
-            # if it was THIS batch (concurrent replay), skip; else
-            # rebase onto the next version number
-            if _load(commit_path)["batch_id"] == batch_id:
-                return "skipped"
-            version += 1
+        out = _try_claim_version(table_dir, version, doc, batch_id)
+        if out == "lost":
+            version += 1  # append-only: rebase = take the next slot
+            continue
+        return out
 
 
 def msink_read(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the manifest-log table: fold the commit records in version
     order and union their file groups — the snapshot a lakehouse reader
     materializes from the log."""
-    import glob
-    import json as _json
-    import os
-
-    commits = sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
-    frames = []
-    for c in commits:
-        with open(c) as fh:
-            frames.append(spark.read.parquet(_json.load(fh)["group"]))
-    if not frames:
+    commits = _log_commits(table_dir)
+    if not commits:
         raise RuntimeError(f"empty manifest log at {table_dir}")
+    frames = [
+        spark.read.parquet(_load_commit(c)["group"]) for c in commits
+    ]
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
@@ -1206,102 +1240,98 @@ FROM events GROUP BY user_id
 
 
 def fbm_merge_batch(
-    spark: SparkSession, table_dir: str, bdf: DataFrame, batch_id: int
+    spark: SparkSession,
+    table_dir: str,
+    bdf: DataFrame,
+    batch_id: int,
+    _pre_claim_hook=None,
 ) -> str:
     """MERGE one micro-batch into the versioned per-user state table at
     ``table_dir`` — the ``foreachBatch`` + MERGE pattern Delta documents
     for streaming upserts (public), on the same atomic commit-log
     protocol as :func:`msink_commit_batch`: each commit record is
-    published by one ``os.link`` and carries the batch_id, so a
-    replayed batch is skipped and the merge is exactly-once even though
-    MERGE itself is not idempotent.
+    published by :func:`_try_claim_version` and carries the batch_id,
+    so a replayed batch is skipped and the merge is exactly-once even
+    though MERGE itself is not idempotent.
+
+    RACE SEMANTICS differ from the append-only sink: each commit's file
+    group is the FULL new state snapshot and the reader materializes
+    only the LATEST commit, so losing the version claim to a FOREIGN
+    batch means this attempt's snapshot is STALE — the loop re-reads
+    the log and RE-MERGES against the new latest state before retrying
+    (just bumping the version, as the append sink does, would publish a
+    snapshot missing the winner's merge — a lost update; law-tested via
+    the ``_pre_claim_hook`` race-injection point, test-only).
 
     The merge is ASSOCIATIVE on purpose (counts add; the (ts, type)
     argmax keeps the greater timestamp side), so the final state is
     independent of how files split into micro-batches — which is what
     makes the full batch-SQL oracle valid for any trigger cadence.
 
-    Unlike the append-only sink, each commit's file group is the FULL
-    new state snapshot (|users| rows — dimension-sized) and the reader
-    materializes only the LATEST commit; a 100 TB deployment would COW
-    key-range groups instead (etl_merge_cow_manifest's mechanics) —
-    the commit/replay protocol is identical either way."""
-    import glob
-    import json as _json
+    A 100 TB deployment would COW key-range groups instead of full
+    snapshots (etl_merge_cow_manifest's mechanics) — the commit/replay
+    protocol is identical either way."""
     import os
 
     os.makedirs(table_dir, exist_ok=True)
-    commits = sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
-
-    def _load(path: str) -> dict:
-        with open(path) as fh:
-            return _json.load(fh)
-
-    docs = [_load(c) for c in commits]
-    if any(d["batch_id"] == batch_id for d in docs):
-        return "skipped"  # replay of a committed batch
-
     delta = bdf.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.max(F.struct("ts", "event_type")).alias("last"),
     )
-    if docs:
-        prev = spark.read.parquet(docs[-1]["group"]).select(
+    while True:
+        commits = _log_commits(table_dir)
+        docs = [_load_commit(c) for c in commits]
+        if any(d["batch_id"] == batch_id for d in docs):
+            return "skipped"  # replay of a committed batch
+
+        if docs:
+            prev = spark.read.parquet(docs[-1]["group"]).select(
+                "user_id",
+                "n_events",
+                F.struct(
+                    F.col("last_ts").alias("ts"),
+                    F.col("last_type").alias("event_type"),
+                ).alias("last"),
+            )
+            merged = (
+                prev.select("user_id", "n_events", "last")
+                .unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.max("last").alias("last"),
+                )
+            )
+        else:
+            merged = delta
+        out_rows = merged.select(
             "user_id",
             "n_events",
-            F.struct(
-                F.col("last_ts").alias("ts"),
-                F.col("last_type").alias("event_type"),
-            ).alias("last"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
         )
-        merged = (
-            prev.select("user_id", "n_events", "last")
-            .unionByName(delta)
-            .groupBy("user_id")
-            .agg(
-                F.sum("n_events").cast("bigint").alias("n_events"),
-                F.max("last").alias("last"),
-            )
+        group = _attempt_path(table_dir, "state", batch_id)
+        out_rows.write.mode("overwrite").parquet(group)
+        if _pre_claim_hook is not None:
+            hook, _pre_claim_hook = _pre_claim_hook, None
+            hook()  # test-only race injection between write and claim
+        out = _try_claim_version(
+            table_dir,
+            len(commits),
+            {"batch_id": batch_id, "group": group},
+            batch_id,
         )
-    else:
-        merged = delta
-    out_rows = merged.select(
-        "user_id",
-        "n_events",
-        F.col("last.ts").alias("last_ts"),
-        F.col("last.event_type").alias("last_type"),
-    )
-    version = len(commits)
-    group = os.path.join(table_dir, f"state-v{version}-b{batch_id}")
-    out_rows.write.mode("overwrite").parquet(group)
-    doc = {"batch_id": batch_id, "group": group}
-    while True:
-        commit_path = os.path.join(table_dir, f"commit-{version:05d}.json")
-        tmp = commit_path + f".b{batch_id}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(doc, fh)
-        try:
-            os.link(tmp, commit_path)  # atomic claim+commit
-            os.remove(tmp)
-            return "committed"
-        except FileExistsError:
-            os.remove(tmp)
-            if _load(commit_path)["batch_id"] == batch_id:
-                return "skipped"
-            version += 1
+        if out != "lost":
+            return out
+        # lost to a foreign writer: loop — re-read, RE-MERGE, retry
 
 
 def fbm_read_state(spark: SparkSession, table_dir: str) -> DataFrame:
     """Materialize the LATEST committed state snapshot."""
-    import glob
-    import json as _json
-    import os
-
-    commits = sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
+    commits = _log_commits(table_dir)
     if not commits:
         raise RuntimeError(f"empty state-table log at {table_dir}")
-    with open(commits[-1]) as fh:
-        return spark.read.parquet(_json.load(fh)["group"])
+    return spark.read.parquet(_load_commit(commits[-1])["group"])
 
 
 @query("stream_foreachbatch_merge", oracle=_FBM_ORACLE, category="I")

@@ -407,3 +407,52 @@ def test_next_event_markov_output_laws(spark, sf_dir):
         assert counts == sorted(counts, reverse=True)
         assert all(0 < r["prob"] <= 1 for r in rs)
         assert sum(r["prob"] for r in rs) <= 1 + 1e-12
+
+
+def test_fbm_version_race_remerges_against_winner(spark, tmp_path):
+    """The lost-update law (self-review finding): the merge sink's
+    snapshot-per-commit layout means losing the version claim to a
+    FOREIGN batch makes this attempt's snapshot STALE — the retry must
+    RE-MERGE against the winner's state, not just take the next version
+    number, or the winner's merge vanishes from the latest snapshot.
+    Injected via the test-only pre-claim hook: writer B computes its
+    merge against commit-00000, writer A's commit lands before B's
+    claim, and B's final state must contain BOTH batches' rows."""
+    from dbsuite_spark.streaming.streams import (
+        fbm_merge_batch,
+        fbm_read_state,
+    )
+
+    table = str(tmp_path / "tbl")
+    assert fbm_merge_batch(spark, table, _mk_events(spark, 0, 10), 0) == (
+        "committed"
+    )
+
+    def winner_commits():
+        # writer A (batch 7, rows 40-50) commits between B's snapshot
+        # write and B's claim
+        assert fbm_merge_batch(
+            spark, table, _mk_events(spark, 40, 50), 7
+        ) == "committed"
+
+    assert fbm_merge_batch(
+        spark,
+        table,
+        _mk_events(spark, 10, 25),
+        1,
+        _pre_claim_hook=winner_commits,
+    ) == "committed"
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, table).collect()
+    }
+    # reference: all three batches merged in one shot
+    ref_dir = str(tmp_path / "ref")
+    rows = _mk_events(spark, 0, 25).unionByName(_mk_events(spark, 40, 50))
+    fbm_merge_batch(spark, ref_dir, rows, 0)
+    want = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, ref_dir).collect()
+    }
+    assert got == want

@@ -456,3 +456,92 @@ def test_fbm_version_race_remerges_against_winner(spark, tmp_path):
         for r in fbm_read_state(spark, ref_dir).collect()
     }
     assert got == want
+
+
+def test_msink_concurrent_writers_all_commit_exactly_once(spark, tmp_path):
+    """TRUE-CONCURRENCY stress of the append protocol: four threads
+    commit four distinct batches to the same table simultaneously.
+    Whatever interleaving the scheduler produces, the invariants hold:
+    every batch commits exactly once, versions are the dense range
+    0..3 with four distinct batch_ids, and the fold equals the union of
+    all four batches (Spark's driver is thread-safe for job
+    submission, so this is the real multi-writer case, not a
+    simulation)."""
+    import threading
+
+    from dbsuite_spark.streaming.streams import (
+        msink_commit_batch,
+        msink_read,
+    )
+
+    table = str(tmp_path / "tbl")
+    outcomes = {}
+
+    def writer(bid: int, lo: int, hi: int):
+        outcomes[bid] = msink_commit_batch(
+            table, _mk_batch(spark, lo, hi), bid
+        )
+
+    threads = [
+        threading.Thread(target=writer, args=(b, b * 10, b * 10 + 10))
+        for b in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert all(v == "committed" for v in outcomes.values()), outcomes
+    names = [os.path.basename(c) for c in _log(table)]
+    assert names == [f"commit-{v:05d}.json" for v in range(4)]
+    batch_ids = sorted(
+        json.load(open(c))["batch_id"] for c in _log(table)
+    )
+    assert batch_ids == [0, 1, 2, 3]
+    got = sorted(r["event_id"] for r in msink_read(spark, table).collect())
+    assert got == list(range(0, 40))
+
+
+def test_fbm_concurrent_writers_lose_no_update(spark, tmp_path):
+    """TRUE-CONCURRENCY stress of the merge protocol — the lost-update
+    case the re-merge-on-race loop exists for: four threads each merge
+    a distinct batch into the same state table simultaneously. The
+    final snapshot must equal the one-shot merge of all four batches —
+    any interleaving where a loser published its stale snapshot without
+    re-merging would drop a winner's rows from the latest state."""
+    import threading
+
+    from dbsuite_spark.streaming.streams import (
+        fbm_merge_batch,
+        fbm_read_state,
+    )
+
+    table = str(tmp_path / "tbl")
+    outcomes = {}
+
+    def writer(bid: int, lo: int, hi: int):
+        outcomes[bid] = fbm_merge_batch(
+            spark, table, _mk_events(spark, lo, hi), bid
+        )
+
+    threads = [
+        threading.Thread(target=writer, args=(b, b * 10, b * 10 + 10))
+        for b in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert all(v == "committed" for v in outcomes.values()), outcomes
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, table).collect()
+    }
+    ref_dir = str(tmp_path / "ref")
+    fbm_merge_batch(spark, ref_dir, _mk_events(spark, 0, 40), 0)
+    want = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_type"])
+        for r in fbm_read_state(spark, ref_dir).collect()
+    }
+    assert got == want

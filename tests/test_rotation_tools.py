@@ -90,3 +90,19 @@ def test_repo_rotation_is_fresh_at_head():
     files = [f"/root/repo/{p}" for p in out]
     assert files, "no committed CORRECTNESS files found"
     assert rot.check_front(files) == 0
+
+
+def test_round_key_lists_are_registered():
+    """Every key in the canonical per-round lists (dbsuite_spark._rounds)
+    must exist in the registry: rotate_order's PRIORITY silently ignores
+    unknown names, so a typo here would silently drop a new key from the
+    front of the driver's verification budget."""
+    import dbsuite_spark
+    from dbsuite_spark import _rounds
+
+    registered = set(dbsuite_spark.queries())
+    for name in ("ROUND10_LAKEHOUSE", "ROUND10_CONTINUATION", "ROUND11_KEYS"):
+        keys = getattr(_rounds, name)
+        unknown = [k for k in keys if k not in registered]
+        assert not unknown, f"{name} has unregistered keys: {unknown}"
+        assert len(keys) == len(set(keys)), f"{name} has duplicates"

@@ -1865,25 +1865,30 @@ def etl_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.replace(tmp, root)
 
     # --- the vacuum: classify every directory under the table root ---
+    # Classification completes (and is validated) BEFORE any rmtree
+    # runs, so a misclassified live directory aborts the vacuum with
+    # zero deletions instead of being detected post-destruction
+    # (ADVICE r11 #3). Real exceptions, not asserts: they guard a
+    # destructive path and must fire even under `python -O`.
     manifest = _read_manifest(root)
     live_paths = {v["path"] for v in manifest["versions"].values()}
+    orphan_entries = [
+        entry
+        for entry in sorted(os.listdir(vac_dir))
+        if os.path.isdir(os.path.join(vac_dir, entry))  # skip manifest file
+        and os.path.join(vac_dir, entry) not in live_paths
+    ]
+    if orphan_entries != ["orphan_mod11", "orphan_mod7"]:
+        raise RuntimeError(
+            f"vacuum classified unexpected orphan set: {orphan_entries}"
+        )
     rows = []
-    for entry in sorted(os.listdir(vac_dir)):
+    for entry in orphan_entries:
         full = os.path.join(vac_dir, entry)
-        if not os.path.isdir(full):
-            continue  # the manifest file itself
-        if full in live_paths:
-            continue
         # audit before delete: a real vacuum logs what it reclaims
         n = spark.read.parquet(full).count()
         _shutil.rmtree(full)
         rows.append((entry, "vacuumed", n))
-    # real exceptions, not asserts: these guard a destructive rmtree
-    # path and must fire even under `python -O`
-    if sorted(r[0] for r in rows) != ["orphan_mod11", "orphan_mod7"]:
-        raise RuntimeError(
-            f"vacuum classified unexpected orphan set: {sorted(r[0] for r in rows)}"
-        )
     leftover = [
         r[0] for r in rows if os.path.exists(os.path.join(vac_dir, r[0]))
     ]

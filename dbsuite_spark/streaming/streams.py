@@ -1077,20 +1077,33 @@ def _try_claim_version(
     Returns 'committed' (won), 'skipped' (lost to a commit of the SAME
     batch — a concurrent replay), or 'lost' (lost to a FOREIGN batch —
     the caller decides how to rebase: the append-only sink just bumps
-    the version, the merge sink must re-merge against the new state)."""
+    the version, the merge sink must re-merge against the new state).
+
+    The tmp scratch name is unique PER ATTEMPT (uuid suffix, like
+    :func:`_attempt_path`), never merely per (version, batch): two
+    concurrent replays of the same batch racing for the same version
+    must not share a tmp file, or one could link the other's doc and
+    the loser's cleanup would raise FileNotFoundError mid-replay
+    (ADVICE r11 #1). Cleanup is additionally suppress-wrapped — on a
+    scratch file, a missing-file race is never worth crashing a
+    streaming query over."""
+    import contextlib
     import json as _json
     import os
+    import uuid
 
     commit_path = os.path.join(table_dir, f"commit-{version:05d}.json")
-    tmp = commit_path + f".b{batch_id}.tmp"
+    tmp = f"{commit_path}.b{batch_id}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
         _json.dump(doc, fh)
     try:
         os.link(tmp, commit_path)  # atomic claim+commit in one op
-        os.remove(tmp)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)
         return "committed"
     except FileExistsError:
-        os.remove(tmp)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)
         if _load_commit(commit_path)["batch_id"] == batch_id:
             return "skipped"
         return "lost"

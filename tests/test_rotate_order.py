@@ -40,7 +40,7 @@ def test_no_oracle_rows_classify_weak_not_green(tmp_path):
         "a": {"hash_match": True, "spark_rows": 5},
         "b": {"err": "no_oracle", "spark_rows": 5},
     })
-    failed, weak, green, seen = tool.classify([f])
+    failed, weak, green, seen, _ = tool.classify([f])
     assert failed == []
     assert weak == ["b"], "no_oracle must be weak (front-loaded), not green"
     assert green == ["a"]
@@ -55,7 +55,7 @@ def test_weak_upgrades_to_green_on_later_hash_match(tmp_path):
     f2 = _write(tmp_path, "r2.json", {
         "a": {"hash_match": True, "spark_rows": 5},
     })
-    failed, weak, green, _ = tool.classify([f1, f2])
+    failed, weak, green, _, _ = tool.classify([f1, f2])
     assert (failed, weak, green) == ([], [], ["a"])
 
 
@@ -67,7 +67,7 @@ def test_hard_failure_repromotes_even_after_green(tmp_path):
     f2 = _write(tmp_path, "r2.json", {
         "a": {"hash_match": False, "spark_rows": 5, "err": "hash_mismatch"},
     })
-    failed, weak, green, _ = tool.classify([f1, f2])
+    failed, weak, green, _, _ = tool.classify([f1, f2])
     assert failed == ["a"], "a later hard failure must re-promote"
     assert green == []
 
@@ -81,33 +81,63 @@ def test_green_sticks_across_rounds(tmp_path):
     f2 = _write(tmp_path, "r2.json", {
         "b": {"hash_match": True, "spark_rows": 1},
     })
-    failed, weak, green, _ = tool.classify([f1, f2])
+    failed, weak, green, _, _ = tool.classify([f1, f2])
     assert sorted(green) == ["a", "b"]
+
+
+def test_last_green_tracks_highest_round_order_insensitive(tmp_path):
+    """The re-certification wheel's staleness signal (VERDICT r11 #1):
+    ``last_green[key]`` is the HIGHEST round with a hash-green row,
+    regardless of argv order, and a green in a later round refreshes a
+    key's certificate even when an intermediate round skipped it."""
+    tool = _load_tool()
+    f1 = _write(tmp_path, "CORRECTNESS_r1.json", {
+        "a": {"hash_match": True, "spark_rows": 5},
+        "b": {"hash_match": True, "spark_rows": 5},
+    })
+    f3 = _write(tmp_path, "CORRECTNESS_r3.json", {
+        "b": {"hash_match": True, "spark_rows": 5},
+    })
+    for order in ([f1, f3], [f3, f1]):
+        _, _, green, _, last_green = tool.classify(order)
+        assert sorted(green) == ["a", "b"]
+        assert last_green == {"a": 1, "b": 3}, (
+            f"wheel staleness must be max green round, order {order}"
+        )
 
 
 def test_check_mode_detects_staleness(tmp_path, monkeypatch):
     """``rotate_order.py --check`` is the round-START staleness gate: it
     exits non-zero when VERIFY_FIRST contains keys with green driver
-    rows. It is deliberately NOT a pytest-time assertion against the
-    real _order.py — after the round driver lands CORRECTNESS_r{N}.json
-    the committed front block is *expected* to contain newly-green keys
-    until the next round rotates, and a post-round pytest run must stay
-    green."""
+    rows, when a registered never-verified key is unlisted, or when a
+    never-green key sits in VERIFY_LAST (ADVICE r11 #2 — the same drift
+    with worse placement). Driven against a monkeypatched 2-key order so
+    the assertions survive routine rotations of the real _order.py."""
     tool = _load_tool()
-    # Derive the probe key from the committed front block at test time —
-    # hard-coding a specific key breaks the moment a routine rotation
-    # moves it to VERIFY_LAST (ADVICE r04).
+    import dbsuite_spark
     from dbsuite_spark import _order
 
-    probe = _order.VERIFY_FIRST[-1]
-    f = _write(tmp_path, "r1.json", {
-        probe: {"hash_match": True, "spark_rows": 5},
-    })
+    monkeypatch.setattr(
+        dbsuite_spark, "queries", lambda: {"k_front": 1, "k_back": 1}
+    )
+    green = {"hash_match": True, "spark_rows": 5}
+    fail = {"hash_match": False, "spark_rows": 5, "err": "hash_mismatch"}
+
+    # (1) green key in VERIFY_FIRST → stale
+    monkeypatch.setattr(_order, "VERIFY_FIRST", ["k_front"])
+    monkeypatch.setattr(_order, "VERIFY_LAST", ["k_back"])
+    f = _write(tmp_path, "r1.json", {"k_front": green, "k_back": green})
     assert tool.check_front([f]) != 0
-    f2 = _write(tmp_path, "r2.json", {
-        "not_a_registered_key": {"hash_match": True, "spark_rows": 5},
-    })
-    assert tool.check_front([f2]) == 0
+
+    # (2) never-green key parked in VERIFY_LAST → stale (ADVICE r11 #2)
+    monkeypatch.setattr(_order, "VERIFY_FIRST", [])
+    monkeypatch.setattr(_order, "VERIFY_LAST", ["k_front", "k_back"])
+    f2 = _write(tmp_path, "r2.json", {"k_front": green, "k_back": fail})
+    assert tool.check_front([f2]) != 0
+
+    # (3) fresh: all-green VERIFY_LAST, empty VERIFY_FIRST
+    f3 = _write(tmp_path, "r3.json", {"k_front": green, "k_back": green})
+    assert tool.check_front([f3]) == 0
 
 
 def test_classify_is_argv_order_insensitive(tmp_path):
@@ -123,7 +153,7 @@ def test_classify_is_argv_order_insensitive(tmp_path):
         "a": {"hash_match": False, "spark_rows": 5, "err": "hash_mismatch"},
     })
     for order in ([f_old, f_new], [f_new, f_old], sorted([f_old, f_new])):
-        failed, _, green, _ = tool.classify(order)
+        failed, _, green, _, _ = tool.classify(order)
         assert failed == ["a"], f"newer failure must win for input order {order}"
         assert green == []
     # and a newer green clears an older failure, again order-independently
@@ -131,7 +161,7 @@ def test_classify_is_argv_order_insensitive(tmp_path):
         "a": {"hash_match": True, "spark_rows": 5},
     })
     for order in ([f3, f_new, f_old], [f_old, f_new, f3]):
-        failed, _, green, _ = tool.classify(order)
+        failed, _, green, _, _ = tool.classify(order)
         assert (failed, green) == ([], ["a"])
 
 

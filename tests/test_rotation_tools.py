@@ -33,11 +33,14 @@ def test_classify_green_sticks_and_failure_repromotes(tmp_path):
             "a": {"hash_match": False},  # hard failure re-promotes green
         },
     )
-    failed, weak, green, seen = rot.classify([r1, r2])
+    failed, weak, green, seen, last_green = rot.classify([r1, r2])
     assert set(green) == {"b"}
     assert set(failed) == {"a", "c"}
     assert not weak
     assert set(seen) == {"a", "b", "c"}
+    # staleness signal: a's r1 green is recorded even though a later
+    # failure re-promoted it; b's certificate dates to r2
+    assert last_green == {"a": 1, "b": 2}
 
 
 def test_classify_orders_files_by_round_number(tmp_path):
@@ -48,22 +51,28 @@ def test_classify_orders_files_by_round_number(tmp_path):
     r2 = _write(
         tmp_path, "CORRECTNESS_r02.json", {"k": {"hash_match": True}}
     )
-    _, _, green, _ = rot.classify([r2, r1])
+    _, _, green, _, _ = rot.classify([r2, r1])
     assert green == ["k"]
 
 
 def test_check_front_flags_green_key_in_verify_first(tmp_path, monkeypatch):
+    """Driven against a monkeypatched 1-key order: the committed
+    VERIFY_FIRST is empty once every key is driver-certified (round 11),
+    so probing the real front block would IndexError."""
+    import dbsuite_spark
     from dbsuite_spark import _order
 
-    front_key = _order.VERIFY_FIRST[0]
+    monkeypatch.setattr(dbsuite_spark, "queries", lambda: {"front_key": 1})
+    monkeypatch.setattr(_order, "VERIFY_FIRST", ["front_key"])
+    monkeypatch.setattr(_order, "VERIFY_LAST", [])
     stale = _write(
-        tmp_path, "CORRECTNESS_r09.json", {front_key: {"hash_match": True}}
+        tmp_path, "CORRECTNESS_r09.json", {"front_key": {"hash_match": True}}
     )
     assert rot.check_front([stale]) == 1
     fresh = _write(
         tmp_path,
         "CORRECTNESS_r08.json",
-        {front_key: {"hash_match": False, "err": "x"}},
+        {"front_key": {"hash_match": False, "err": "x"}},
     )
     assert rot.check_front([fresh]) == 0
 

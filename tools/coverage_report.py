@@ -50,7 +50,7 @@ def main() -> int:
 
     registered = list(dbsuite_spark.queries())
     files = _default_files()
-    failed, weak, green, seen = classify(files)
+    failed, weak, green, seen, _last_green = classify(files)
     green_set = set(green) & set(registered)
     never = [k for k in registered if k not in set(seen)]
 

@@ -34,7 +34,13 @@ ROUND10_CONTINUATION: list[str] = [
 
 ROUND10_KEYS: list[str] = ROUND10_LAKEHOUSE + ROUND10_CONTINUATION
 
-# Round-11 additions (this round)
+# Round-12 additions (this round)
+ROUND12_KEYS: list[str] = [
+    "etl_manifest_checkpoint",
+    "stream_dv_delete",
+]
+
+# Round-11 additions
 ROUND11_KEYS: list[str] = [
     "etl_manifest_schema_evolution",
     "stream_manifest_sink",

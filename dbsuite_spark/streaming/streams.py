@@ -1412,3 +1412,132 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
     run_phase()
     return fbm_read_state(spark, table_dir)
+
+
+# --- streaming deletes into the DV substrate (round 12) ---------------------
+
+
+def sdv_read_state(
+    spark: SparkSession, base_dir: str, dv_log_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ over a streamed deletion-vector log: scan the
+    immutable base groups, anti-join the union of all committed DV
+    batches (orders keys are unique, so the key-set DV applies
+    table-wide in ONE broadcast anti-join — same read path as
+    ``etl_manifest_deletion_vectors``'s v2). An empty log reads the
+    base verbatim. Module-level so the law tests can interleave reads
+    with commits."""
+    import glob
+    import os
+
+    base = spark.read.parquet(base_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    if glob.glob(os.path.join(dv_log_dir, "commit-*.json")):
+        dvs = msink_read(spark, dv_log_dir).select("o_orderkey")
+        base = base.join(F.broadcast(dvs), "o_orderkey", "left_anti")
+    return base
+
+
+_SDV_ORACLE = (
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 12 > 5"
+)
+
+
+@query("stream_dv_delete", oracle=_SDV_ORACLE, category="I")
+def stream_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DELETES into the deletion-vector substrate (VERDICT
+    r11 ask #5) — the streaming GDPR/right-to-be-forgotten path real
+    pipelines run: delete-request batches (key lists) arrive as a file
+    stream and each micro-batch commits a DELETION VECTOR exactly-once
+    through the same atomic commit-log protocol as
+    ``stream_manifest_sink`` (:func:`msink_commit_batch`); the base
+    table's data files are NEVER rewritten (law-tested: base part-file
+    bytes are identical before and after the whole stream), and readers
+    see merge-on-read state via :func:`sdv_read_state`.
+
+    Composition under test: orders lands once as an immutable
+    key-range-grouped snapshot (the ``etl_manifest_deletion_vectors``
+    layout); six delete batches (disjoint ``o_orderkey % 12 == i``
+    slices, i < 6) stream through ``foreachBatch`` in two phases with a
+    manual re-delivery of batch 0 between them — the kill/resume +
+    crash-replay path. The replay must return 'skipped': a DV applied
+    twice happens to be value-idempotent, but a re-COMMITTED one would
+    double the log and break the exactly-once accounting the metadata
+    layer (incremental readers, checkpointing) depends on. The final
+    read must hash-equal ``WHERE o_orderkey % 12 > 5`` over orders.
+
+    Scale: each delete commit writes |matched keys| rows of DV + one
+    atomic link — cost ∝ the request batch, never the table; the MOR
+    read is pruned base-group scans + one broadcast anti-join of the
+    (small) DV union; compaction (``etl_manifest_deletion_vectors`` v3)
+    composes to rewrite only DV-carrying groups when read-amplification
+    accumulates."""
+    import glob
+    import os
+
+    from dbsuite_spark.etl.loaders import DV_GROUPS
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base_dir = artifact_path(sf_dir, "sdv_base")
+    dv_log = artifact_path(sf_dir, "sdv_dvlog")
+    req_dir = artifact_path(sf_dir, "sdv_requests")
+    live = artifact_path(sf_dir, "sdv_live")
+    ckpt = artifact_path(sf_dir, "sdv_ckpt")
+    for d in (base_dir, dv_log, req_dir, live, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(live)
+
+    # immutable base snapshot in key-range file groups (DV layout)
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    width = max_key // DV_GROUPS + 1
+    orders.withColumn("grp", F.expr(f"o_orderkey div {width}")).write.mode(
+        "overwrite"
+    ).partitionBy("grp").parquet(base_dir)
+
+    # six single-file delete-request batches (GDPR key lists)
+    parts = []
+    req_schema = None
+    for i in range(6):
+        sl = orders.filter(F.col("o_orderkey") % 12 == i).select(
+            "o_orderkey"
+        )
+        req_schema = sl.schema
+        out = os.path.join(req_dir, f"r{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(out)
+        parts.append(glob.glob(os.path.join(out, "part-*.parquet"))[0])
+
+    def run_phase() -> None:
+        with _stream_width(spark):
+            q = (
+                _read_stream(spark, live, req_schema)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: msink_commit_batch(dv_log, bdf, bid)
+                    and None
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    for i, f in enumerate(parts[:3]):
+        shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
+    run_phase()
+
+    # crash-replay: delete batch 0 re-delivered — must skip, or the DV
+    # log double-counts the batch and every log consumer downstream
+    # (incremental reads, checkpoints) sees a phantom commit
+    replay = spark.read.parquet(os.path.join(live, "part-00000.parquet"))
+    outcome = msink_commit_batch(dv_log, replay, 0)
+    if outcome != "skipped":
+        raise RuntimeError(
+            f"replayed delete batch must be skipped, got {outcome}"
+        )
+
+    for i, f in enumerate(parts[3:], start=3):
+        shutil.copy(f, os.path.join(live, f"part-{i:05d}.parquet"))
+    run_phase()
+    return sdv_read_state(spark, base_dir, dv_log)

@@ -261,7 +261,11 @@ KEYS += [
 # folds, (cos, id) windows); the CDC chunker is row-local; the isotonic
 # minimax is bin-bounded — all must be bit-identical however the corpus
 # shuffles.
-from dbsuite_spark._rounds import ROUND10_KEYS, ROUND11_KEYS  # noqa: E402
+from dbsuite_spark._rounds import (  # noqa: E402
+    ROUND10_KEYS,
+    ROUND11_KEYS,
+    ROUND12_KEYS,
+)
 
 KEYS += ROUND10_KEYS
 
@@ -269,6 +273,10 @@ KEYS += ROUND10_KEYS
 # field id and the manifest sink folds commit-ordered groups — both
 # reports must be identical however the scans and summaries partition.
 KEYS += ROUND11_KEYS
+
+# Round-12 additions: the checkpointed fold and the DV merge-on-read
+# anti-join must be identical however the group scans partition.
+KEYS += ROUND12_KEYS
 
 
 def _rows(spark, sf_dir, key, width):

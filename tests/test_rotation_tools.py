@@ -110,7 +110,12 @@ def test_round_key_lists_are_registered():
     from dbsuite_spark import _rounds
 
     registered = set(dbsuite_spark.queries())
-    for name in ("ROUND10_LAKEHOUSE", "ROUND10_CONTINUATION", "ROUND11_KEYS"):
+    for name in (
+        "ROUND10_LAKEHOUSE",
+        "ROUND10_CONTINUATION",
+        "ROUND11_KEYS",
+        "ROUND12_KEYS",
+    ):
         keys = getattr(_rounds, name)
         unknown = [k for k in keys if k not in registered]
         assert not unknown, f"{name} has unregistered keys: {unknown}"

@@ -1,0 +1,359 @@
+"""Semantic invariants of the round-12 keys plus two laws the prior
+suites left unpinned:
+
+- the ADVICE r11 interleaving: two CONCURRENT replays of the SAME batch
+  racing for the same version must resolve to one 'committed' and the
+  rest 'skipped' — never an unhandled exception from shared scratch
+  files;
+- commit-log CHECKPOINTING (etl_manifest_checkpoint): reader
+  equivalence with and without a checkpoint, tail-only folds, atomic +
+  monotonic pointer swings, expiry composition;
+- SNAPSHOT ISOLATION (VERDICT r11 ask #4): a reader pinned to version V
+  sees V byte-stably while a writer advances the manifest past it;
+- the streaming-DV law: delete commits never rewrite base data files.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import threading
+
+import dbsuite_spark
+from dbsuite_spark.etl.io import artifact_path
+
+SPECS = dbsuite_spark.all_specs()
+
+
+def _mk_batch(spark, n0: int, n1: int):
+    return spark.range(n0, n1).selectExpr(
+        "id AS event_id",
+        "id % 7 AS user_id",
+        "CAST(id AS DOUBLE) AS value",
+    )
+
+
+def _log(table_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(table_dir, "commit-*.json")))
+
+
+def _md5s(path: str) -> dict[str, str]:
+    out = {}
+    for f in sorted(glob.glob(os.path.join(path, "**", "part-*.parquet"),
+                              recursive=True)):
+        with open(f, "rb") as fh:
+            out[os.path.relpath(f, path)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+# --- ADVICE r11 #1: same-batch concurrent replays ---------------------------
+
+
+def test_claim_same_batch_concurrent_replays_never_crash(spark, tmp_path):
+    """The exact interleaving ADVICE r11 flagged as untested: N threads
+    attempt to claim the SAME version for the SAME batch_id
+    simultaneously (concurrent replays of one crashed micro-batch).
+    Exactly one wins, every loser resolves to 'skipped' — no
+    FileNotFoundError from a shared tmp file, and the published doc is
+    one of the attempts' docs, intact."""
+    from dbsuite_spark.streaming.streams import _try_claim_version
+
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    docs = [{"batch_id": 7, "group": f"attempt-{i}"} for i in range(8)]
+    outcomes: dict[int, str] = {}
+    errors: list[Exception] = []
+
+    def claim(i: int):
+        try:
+            outcomes[i] = _try_claim_version(table, 0, docs[i], 7)
+        except Exception as exc:  # the bug mode: unhandled cleanup race
+            errors.append(exc)
+
+    threads = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    vals = sorted(outcomes.values())
+    assert vals.count("committed") == 1, outcomes
+    assert vals.count("skipped") == 7, outcomes
+    published = json.load(open(os.path.join(table, "commit-00000.json")))
+    assert published["batch_id"] == 7
+    assert published["group"] in {d["group"] for d in docs}
+    # no scratch litter survives the race
+    assert not glob.glob(os.path.join(table, "*.tmp"))
+
+
+def test_msink_same_batch_concurrent_replays_commit_once(spark, tmp_path):
+    """End-to-end variant through msink_commit_batch: four threads all
+    deliver THE SAME batch (same batch_id, same rows). Whatever the
+    interleaving, the log ends with exactly one commit of that batch
+    and the fold equals the batch exactly once."""
+    from dbsuite_spark.streaming.streams import msink_commit_batch, msink_read
+
+    table = str(tmp_path / "tbl")
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer():
+        out = msink_commit_batch(table, _mk_batch(spark, 0, 20), 5)
+        with lock:
+            outcomes.append(out)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert sorted(outcomes).count("committed") == 1, outcomes
+    assert all(o in ("committed", "skipped") for o in outcomes), outcomes
+    assert len(_log(table)) == 1
+    got = sorted(r["event_id"] for r in msink_read(spark, table).collect())
+    assert got == list(range(20))
+
+
+# --- commit-log checkpointing laws ------------------------------------------
+
+
+def test_mlog_checkpoint_reader_equivalence_and_tail_only(spark, tmp_path):
+    """(a) The checkpointed reader is row-identical to the full-log
+    fold; (b) after a checkpoint at version k it folds k+1 groups from
+    the checkpoint and ONLY the tail from the log; (c) a fresh
+    checkpoint empties the tail."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch, msink_read
+
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    mlog_checkpoint(table)  # k=3
+    for i in range(4, 7):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+
+    df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+    assert (n_cp, n_tail) == (4, 3)
+    got = sorted(r["event_id"] for r in df.collect())
+    want = sorted(r["event_id"] for r in msink_read(spark, table).collect())
+    assert got == want == list(range(70))
+
+    mlog_checkpoint(table)  # k=6: everything folded, empty tail
+    df2, n_cp2, n_tail2 = mlog_read_checkpointed(spark, table)
+    assert (n_cp2, n_tail2) == (7, 0)
+    assert sorted(r["event_id"] for r in df2.collect()) == list(range(70))
+
+
+def test_mlog_checkpoint_is_atomic_and_pointer_monotonic(spark, tmp_path):
+    """The checkpoint publishes atomically: stray *.tmp scratch files
+    are invisible to readers, the pointer never names a missing
+    checkpoint, concurrent checkpointers all succeed, and a STALE
+    checkpointer (one that listed an old log prefix) never rolls the
+    pointer backwards."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+
+    # concurrent checkpointers: same immutable prefix, all must succeed
+    errors: list[Exception] = []
+
+    def ckpt():
+        try:
+            mlog_checkpoint(table)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=ckpt) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    ptr = json.load(open(os.path.join(table, "_last_checkpoint")))
+    assert os.path.exists(
+        os.path.join(table, f"checkpoint-{ptr['version']:05d}.json")
+    ), "pointer must never dangle"
+    assert ptr["version"] == 2
+
+    # crash litter: a torn tmp from a dead checkpointer is ignored
+    open(os.path.join(table, "checkpoint-00099.json.dead.tmp"), "w").write(
+        "{torn"
+    )
+    open(os.path.join(table, "_last_checkpoint.dead.tmp"), "w").write("{torn")
+    df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+    assert (n_cp, n_tail) == (3, 0)
+    assert df.count() == 30
+
+    # stale checkpointer: advance the log + checkpoint (k=4), then
+    # replay a checkpoint over the OLD 3-commit prefix by hiding the
+    # newer commits from its listing — the pointer must stay at 4
+    for i in range(3, 5):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    mlog_checkpoint(table)  # k=4
+    hidden = [c for c in _log(table)[3:]]
+    for c in hidden:
+        os.replace(c, c + ".hidden")
+    try:
+        mlog_checkpoint(table)  # stale view: folds only commits 0-2
+    finally:
+        for c in hidden:
+            os.replace(c + ".hidden", c)
+    ptr2 = json.load(open(os.path.join(table, "_last_checkpoint")))
+    assert ptr2["version"] == 4, "stale checkpointer must not roll back"
+    df3, n_cp3, n_tail3 = mlog_read_checkpointed(spark, table)
+    assert (n_cp3, n_tail3) == (5, 0)
+    assert df3.count() == 50
+
+
+def test_mlog_expire_composes_and_refuses_unfolded(spark, tmp_path):
+    """Expiry deletes ONLY commit records a checkpoint has folded and
+    reads are row-identical before/after; with no checkpoint it refuses
+    outright (expiring an unfolded prefix would lose commits); a second
+    expire is a no-op."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(5):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    with pytest.raises(RuntimeError, match="no checkpoint"):
+        mlog_expire_checkpointed(table)
+
+    mlog_checkpoint(table)  # k=4
+    msink_commit_batch(table, _mk_batch(spark, 50, 60), 5)  # tail
+    before = sorted(
+        r["event_id"]
+        for r in mlog_read_checkpointed(spark, table)[0].collect()
+    )
+    assert mlog_expire_checkpointed(table) == 5
+    assert len(_log(table)) == 1  # only the unfolded tail commit remains
+    after_df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+    assert (n_cp, n_tail) == (5, 1)
+    after = sorted(r["event_id"] for r in after_df.collect())
+    assert after == before == list(range(60))
+    assert mlog_expire_checkpointed(table) == 0  # idempotent
+
+
+# --- snapshot isolation under concurrent commits (VERDICT r11 ask #4) -------
+
+
+def test_snapshot_read_pinned_version_is_stable_under_writes(spark, sf_dir):
+    """SNAPSHOT ISOLATION law: a reader pinned to version V of the
+    time-travel manifest sees V BYTE-STABLY (identical part-file md5s
+    and identical aggregates) while a writer advances the manifest past
+    it with the same atomic-swap protocol; a reader that re-resolves
+    `current` sees the new version. This is the serializable-history
+    half the commit-protocol suite didn't pin: pinned reads never
+    observe a concurrent writer."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    SPECS["etl_time_travel_read"].fn(spark, sf_dir).collect()
+    root = artifact_path(sf_dir, "tt_orders/manifest.json")
+    tt_dir = os.path.dirname(root)
+
+    # READER: pin version 1 (resolve the manifest ONCE — the pin)
+    with open(root) as fh:
+        pinned = _json.load(fh)
+    v_pin = str(pinned["current"])
+    pin_path = pinned["versions"][v_pin]
+    md5_before = _md5s(pin_path)
+    agg_before = (
+        spark.read.parquet(pin_path)
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .first()
+    )
+
+    # WRITER: two more commits advance the manifest past the pin
+    for step in (2, 3):
+        new_dir = os.path.join(tt_dir, f"v{step}")
+        spark.read.parquet(pin_path).filter(
+            F.col("o_orderkey") % step == 0
+        ).write.mode("overwrite").parquet(new_dir)
+        with open(root) as fh:
+            doc = _json.load(fh)
+        doc["versions"][str(step)] = new_dir
+        doc["current"] = step
+        tmp = root + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        os.replace(tmp, root)  # the same atomic pointer swap
+
+    # the pinned read is byte-stable and value-stable
+    assert _md5s(pin_path) == md5_before
+    agg_after = (
+        spark.read.parquet(pin_path)
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .first()
+    )
+    assert (agg_after["n"], agg_after["s"]) == (
+        agg_before["n"],
+        agg_before["s"],
+    )
+
+    # a current-reader re-resolves and sees version 3, not the pin
+    with open(root) as fh:
+        now = _json.load(fh)
+    assert now["current"] == 3
+    n_now = spark.read.parquet(now["versions"]["3"]).count()
+    assert n_now < agg_before["n"]
+
+
+# --- streaming DV laws -------------------------------------------------------
+
+
+def test_sdv_delete_commits_never_rewrite_base_files(spark, sf_dir):
+    """The merge-on-read delete law for the STREAMING path: after the
+    full stream_dv_delete run, committing one more delete batch changes
+    the visible table (rows vanish) while the base data files stay
+    byte-identical — a DELETE writes deletion vectors, never data; and
+    a replay of the extra batch is skipped."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.streaming.streams import (
+        msink_commit_batch,
+        sdv_read_state,
+    )
+
+    final = SPECS["stream_dv_delete"].fn(spark, sf_dir)
+    n_final = final.count()
+    base_dir = artifact_path(sf_dir, "sdv_base")
+    dv_log = artifact_path(sf_dir, "sdv_dvlog")
+    md5_before = _md5s(base_dir)
+    assert md5_before, "base snapshot must exist"
+    assert len(_log(dv_log)) == 6  # one commit per delete batch
+
+    # one more GDPR batch: delete the % 12 == 6 slice
+    extra = (
+        spark.read.parquet(base_dir)
+        .filter(F.col("o_orderkey") % 12 == 6)
+        .select("o_orderkey")
+    )
+    n_extra = extra.count()
+    assert msink_commit_batch(dv_log, extra, 6) == "committed"
+    assert msink_commit_batch(dv_log, extra, 6) == "skipped"  # replay
+    assert len(_log(dv_log)) == 7
+
+    n_after = sdv_read_state(spark, base_dir, dv_log).count()
+    assert n_after == n_final - n_extra
+    assert _md5s(base_dir) == md5_before, "delete must not touch base files"

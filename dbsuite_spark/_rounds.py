@@ -38,6 +38,7 @@ ROUND10_KEYS: list[str] = ROUND10_LAKEHOUSE + ROUND10_CONTINUATION
 ROUND12_KEYS: list[str] = [
     "etl_manifest_checkpoint",
     "stream_dv_delete",
+    "etl_manifest_asof_read",
 ]
 
 # Round-11 additions

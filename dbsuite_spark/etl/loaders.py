@@ -2681,6 +2681,67 @@ def mlog_expire_checkpointed(table_dir: str) -> int:
     return expired
 
 
+def mlog_read_asof(
+    spark: SparkSession, table_dir: str, version: int
+) -> tuple[DataFrame, int, int]:
+    """AS-OF (time-travel) read over the commit log, checkpoint-aware —
+    Delta's documented time-travel resolution (public): pick the
+    NEWEST checkpoint at or below the pinned version, fold it, then
+    fold only the commit tail in ``(checkpoint, version]``. Returns
+    ``(df, n_from_checkpoint, n_tail_commits)``.
+
+    History-expiry contract: if the pinned version predates the oldest
+    surviving log state (its commits were expired past a newer
+    checkpoint and no checkpoint ≤ version exists), raise — the same
+    "version no longer reconstructable after retention" error real
+    formats give, rather than silently returning a partial table.
+
+    Scale: planning cost is one checkpoint JSON + O(tail to the pin);
+    immutable commits/checkpoints make the pinned read stable under
+    concurrent appends (snapshot isolation, law-tested)."""
+    import glob as _glob
+    import re as _re
+
+    from dbsuite_spark.streaming.streams import _load_commit
+
+    # newest checkpoint at or below the pin
+    cp_version = -1
+    for p in _glob.glob(os.path.join(table_dir, "checkpoint-*.json")):
+        v = int(_re.search(r"checkpoint-(\d+)\.json$", p).group(1))
+        if v <= version:
+            cp_version = max(cp_version, v)
+    groups: list[str] = []
+    if cp_version >= 0:
+        cp = _read_manifest(
+            os.path.join(table_dir, f"checkpoint-{cp_version:05d}.json")
+        )
+        groups = [g["group"] for g in cp["groups"]]
+
+    # commit tail in (cp_version, version] — MUST be gap-free: an
+    # expired commit inside the range means the version is gone
+    tail_versions = list(range(cp_version + 1, version + 1))
+    tail_paths = [
+        os.path.join(table_dir, f"commit-{v:05d}.json")
+        for v in tail_versions
+    ]
+    missing = [p for p in tail_paths if not os.path.exists(p)]
+    if missing:
+        raise RuntimeError(
+            f"version {version} is no longer reconstructable at "
+            f"{table_dir}: {len(missing)} commit(s) expired past the "
+            "newest covering checkpoint"
+        )
+    n_cp = len(groups)
+    groups.extend(_load_commit(p)["group"] for p in tail_paths)
+    if not groups:
+        raise RuntimeError(f"empty as-of state at {table_dir}@{version}")
+    frames = [spark.read.parquet(g) for g in groups]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out, n_cp, len(tail_versions)
+
+
 _CKPT_COMMITS = 10  # demo log length: two checkpoints + a 2-commit tail
 
 _CKPT_ORACLE = f"""
@@ -2767,3 +2828,84 @@ def etl_manifest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df2, n_cp2, n_tail2 = mlog_read_checkpointed(spark, table_dir)
     post = report("post_expire", df2, n_cp2, n_tail2)
     return full.unionAll(ckpt).unionAll(post)
+
+
+_ASOF_ORACLE = f"""
+SELECT CAST(2 AS INT) AS asof_version, CAST(0 AS BIGINT) AS n_from_checkpoint,
+       CAST(3 AS BIGINT) AS n_tail_commits,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("value")} AS sum_value
+FROM events WHERE event_id % 10 <= 2
+UNION ALL
+SELECT CAST(5 AS INT) AS asof_version, CAST(4 AS BIGINT) AS n_from_checkpoint,
+       CAST(2 AS BIGINT) AS n_tail_commits,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("value")} AS sum_value
+FROM events WHERE event_id % 10 <= 5
+UNION ALL
+SELECT CAST(9 AS INT) AS asof_version, CAST(8 AS BIGINT) AS n_from_checkpoint,
+       CAST(2 AS BIGINT) AS n_tail_commits,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("value")} AS sum_value
+FROM events
+"""
+
+
+@query("etl_manifest_asof_read", oracle=_ASOF_ORACLE, category="K")
+def etl_manifest_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-AWARE TIME TRAVEL on the commit log — the read-side
+    completion of ``etl_manifest_checkpoint``: an AS-OF read pinned to
+    version V resolves the newest checkpoint ≤ V plus ONLY the commit
+    tail in (checkpoint, V] (Delta's documented time-travel resolution,
+    public), so reconstructing ANY historical version costs O(1)
+    checkpoint + O(tail), never a fold of the whole log.
+
+    Same 10-commit mod-10 log as the checkpoint key (checkpoints at
+    versions 3 and 7); three pins prove the resolution picks the right
+    checkpoint each time:
+
+    - V=2 (PREDATES the first checkpoint): no covering checkpoint,
+      pure 3-commit tail fold → slices 0-2.
+    - V=5 (between checkpoints): checkpoint@3 (4 groups) + tail {4,5}
+      → slices 0-5.
+    - V=9 (log head): checkpoint@7 (8 groups) + tail {8,9} → the full
+      events table, identical to the live read.
+
+    Exactness: mod-slices are disjoint and exhaustive, so each pin's
+    (n_rows, decimal-exact sum) is a closed-form predicate over events;
+    the (n_from_checkpoint, n_tail) split is deterministic from the
+    interval. History-expiry semantics (pins below an expired prefix
+    raise, pins at/after the covering checkpoint survive expiry) are
+    law-tested in tests/test_round12_semantics.py.
+
+    Scale: version pins are how 100 TB deployments reproduce training
+    snapshots and audits; checkpoint-aware resolution keeps that read
+    O(tail) at a commit cadence of thousands, and immutable
+    commits/checkpoints give pinned reads snapshot isolation under
+    concurrent appends for free."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    table_dir = artifact_path(sf_dir, "asof_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    for i in range(_CKPT_COMMITS):
+        msink_commit_batch(
+            table_dir, e.filter(F.col("event_id") % _CKPT_COMMITS == i), i
+        )
+        if (i + 1) % CHECKPOINT_INTERVAL == 0:
+            mlog_checkpoint(table_dir)  # at versions 3 and 7
+
+    def report(v: int) -> DataFrame:
+        df, n_cp, n_tail = mlog_read_asof(spark, table_dir, v)
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        ).select(
+            F.lit(v).cast("int").alias("asof_version"),
+            F.lit(n_cp).cast("bigint").alias("n_from_checkpoint"),
+            F.lit(n_tail).cast("bigint").alias("n_tail_commits"),
+            "n_rows",
+            "sum_value",
+        )
+
+    return report(2).unionAll(report(5)).unionAll(report(9))

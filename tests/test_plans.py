@@ -1922,3 +1922,16 @@ def test_stream_dv_read_is_single_broadcast_anti_join(spark, sf_dir):
     assert n_nodes(plan, "Union") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_reads_fold_prefix_scans_only(spark, sf_dir):
+    """etl_manifest_asof_read: the three version pins plan as Unions of
+    exactly their prefix group scans (3 + 6 + 10 = 19) — resolution
+    picks checkpoint + tail driver-side; the data plan is pruned scans
+    with one exchange per 1-row aggregate; zero Python, zero
+    cartesian."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_asof_read")
+    assert n_nodes(plan, "Scan parquet") == 19
+    assert n_nodes(plan, "Exchange") == 3
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

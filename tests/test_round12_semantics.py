@@ -357,3 +357,90 @@ def test_sdv_delete_commits_never_rewrite_base_files(spark, sf_dir):
     n_after = sdv_read_state(spark, base_dir, dv_log).count()
     assert n_after == n_final - n_extra
     assert _md5s(base_dir) == md5_before, "delete must not touch base files"
+
+
+# --- checkpoint-aware as-of read laws ----------------------------------------
+
+
+def test_mlog_asof_equals_naive_prefix_fold(spark, tmp_path):
+    """For EVERY version V, the checkpoint-aware as-of read equals the
+    naive fold of commits 0..V — the checkpoint shortcut never changes
+    the reconstructed table, only the planning cost; and the
+    (checkpoint, tail) split picks the newest covering checkpoint."""
+    from dbsuite_spark.etl.loaders import mlog_checkpoint, mlog_read_asof
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(7):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+        if (i + 1) % 3 == 0:
+            mlog_checkpoint(table)  # checkpoints at versions 2 and 5
+
+    want_split = {
+        0: (0, 1), 1: (0, 2), 2: (3, 0), 3: (3, 1),
+        4: (3, 2), 5: (6, 0), 6: (6, 1),
+    }
+    for v in range(7):
+        df, n_cp, n_tail = mlog_read_asof(spark, table, v)
+        assert (n_cp, n_tail) == want_split[v], f"V={v}"
+        got = sorted(r["event_id"] for r in df.collect())
+        assert got == list(range((v + 1) * 10)), f"V={v}"
+
+
+def test_mlog_asof_history_expiry_semantics(spark, tmp_path):
+    """After expiry past the newest checkpoint, as-of pins AT or AFTER
+    a surviving checkpoint still reconstruct exactly; pins whose commit
+    tail was expired RAISE (history gone) rather than silently return a
+    partial table."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_read_asof,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(10):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+        if (i + 1) % 4 == 0:
+            mlog_checkpoint(table)  # checkpoints at versions 3 and 7
+    assert mlog_expire_checkpointed(table) == 8  # commits 0-7 deleted
+
+    # pins covered by a surviving checkpoint + surviving tail: exact
+    for v, want in ((3, (4, 0)), (7, (8, 0)), (9, (8, 2))):
+        df, n_cp, n_tail = mlog_read_asof(spark, table, v)
+        assert (n_cp, n_tail) == want, f"V={v}"
+        assert df.count() == (v + 1) * 10
+
+    # pins needing expired commits raise a clear history-expired error
+    for v in (2, 5, 6):
+        with pytest.raises(RuntimeError, match="no longer reconstructable"):
+            mlog_read_asof(spark, table, v)
+
+
+def test_mlog_asof_pin_is_stable_under_appends(spark, tmp_path):
+    """Snapshot isolation for version pins: an as-of read at V returns
+    identical rows before and after a writer appends more commits and
+    checkpoints — immutable commits/checkpoints make the pin stable
+    with no locking."""
+    from dbsuite_spark.etl.loaders import mlog_checkpoint, mlog_read_asof
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    mlog_checkpoint(table)
+    before = sorted(
+        r["event_id"] for r in mlog_read_asof(spark, table, 3)[0].collect()
+    )
+
+    for i in range(4, 8):  # concurrent writer advances the log
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    mlog_checkpoint(table)
+
+    after_df, n_cp, n_tail = mlog_read_asof(spark, table, 3)
+    after = sorted(r["event_id"] for r in after_df.collect())
+    assert after == before == list(range(40))
+    assert (n_cp, n_tail) == (4, 0)

@@ -2548,13 +2548,22 @@ CHECKPOINT_INTERVAL = 4  # commits between checkpoints in the demo key
 
 
 def mlog_checkpoint(table_dir: str) -> str:
-    """Fold the CURRENT commit log into ``checkpoint-{k:05d}.json`` (k =
-    last folded version) and swing the ``_last_checkpoint`` pointer —
-    the Delta-log checkpointing idea (public: parquet checkpoint every
-    N commits + a `_last_checkpoint` file), the behavior VERDICT r11
-    named as the last lakehouse piece this environment can express:
-    without it every reader folds the FULL log, O(length) per read at a
-    real commit cadence; with it a reader folds checkpoint + tail.
+    """Fold the commit log into ``checkpoint-{k:05d}.json`` (k = newest
+    folded version) — the Delta-log checkpointing idea (public: parquet
+    checkpoint every N commits + a `_last_checkpoint` file), the
+    behavior VERDICT r11 named as the last lakehouse piece this
+    environment can express: without it every reader folds the FULL
+    log, O(length) per read at a real commit cadence; with it a reader
+    folds checkpoint + tail.
+
+    The fold is INCREMENTAL (round-12 review findings #2/#6): it reuses
+    the newest existing checkpoint's groups and folds only the commit
+    tail past it — O(tail) JSON reads per checkpoint, not a rescan of
+    the whole log, and therefore correct after expiry has deleted the
+    folded prefix (versions come from commit FILENAMES, never list
+    positions). A gap in the tail aborts: checkpointing over missing
+    commits would bake a hole into history. If no new commits exist the
+    call is a no-op returning the existing checkpoint path.
 
     Atomicity (law-tested in tests/test_round12_semantics.py):
 
@@ -2562,33 +2571,54 @@ def mlog_checkpoint(table_dir: str) -> str:
       the same claim-and-commit-in-one-op protocol as
       :func:`~dbsuite_spark.streaming.streams._try_claim_version`. Two
       concurrent checkpointers at the same k fold the same immutable
-      prefix, so losing the link is a no-op, not an error.
+      commit set, so losing the link is a no-op, not an error.
     - ``_last_checkpoint`` swings via write-tmp + ``os.replace``
-      (POSIX-atomic), and only AFTER the checkpoint file exists, so the
-      pointer can never name a missing checkpoint. The swing is
-      MONOTONIC: an older checkpointer racing a newer one never moves
-      the pointer backwards.
+      (POSIX-atomic), only AFTER the checkpoint file exists, so the
+      pointer never names a missing checkpoint. The swing is a
+      best-effort monotonic HINT (Delta's `_last_checkpoint` semantics):
+      readers resolve checkpoints from the authoritative directory
+      listing (:func:`~dbsuite_spark.streaming.streams._checkpoint_state`),
+      so even an adversarial interleaving that regressed the pointer
+      could not affect what any reader returns.
     - A crash anywhere leaves either no visible change or a complete
       one; stray ``*.tmp`` scratch files are invisible to readers.
 
-    Scale: the fold is driver-side metadata (one JSON per commit read
-    once), amortized O(1) per commit at a fixed interval; no data file
-    is read or written."""
+    Scale: amortized O(1) metadata per commit at a fixed interval; no
+    data file is read or written — groups carry by reference."""
     import contextlib
     import json as _json
     import uuid
 
-    from dbsuite_spark.streaming.streams import _load_commit, _log_commits
+    from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
+        _commit_version,
+        _load_commit,
+        _log_commits,
+    )
 
-    commits = _log_commits(table_dir)
-    if not commits:
-        raise RuntimeError(f"nothing to checkpoint at {table_dir}")
-    k = len(commits) - 1
+    prev_k, prev_groups = _checkpoint_state(table_dir)
+    tail = [
+        c
+        for c in _log_commits(table_dir)
+        if _commit_version(c) > prev_k
+    ]
+    if not tail:
+        if prev_k < 0:
+            raise RuntimeError(f"nothing to checkpoint at {table_dir}")
+        return os.path.join(table_dir, f"checkpoint-{prev_k:05d}.json")
+    tail_versions = [_commit_version(c) for c in tail]
+    k = tail_versions[-1]
+    if tail_versions != list(range(prev_k + 1, k + 1)):
+        raise RuntimeError(
+            f"refusing to checkpoint {table_dir}: commit tail past "
+            f"version {prev_k} has gaps ({tail_versions})"
+        )
     doc = {
         "version": k,
-        "groups": [
+        "groups": prev_groups
+        + [
             {"version": v, **_load_commit(c)}
-            for v, c in enumerate(commits)
+            for v, c in zip(tail_versions, tail)
         ],
     }
     cp_path = os.path.join(table_dir, f"checkpoint-{k:05d}.json")
@@ -2602,7 +2632,7 @@ def mlog_checkpoint(table_dir: str) -> str:
 
     ptr = os.path.join(table_dir, "_last_checkpoint")
     current = _read_manifest(ptr)["version"] if os.path.exists(ptr) else -1
-    if k > current:  # monotonic: a stale checkpointer never rolls back
+    if k > current:  # best-effort monotonic hint (readers use the listing)
         ptmp = f"{ptr}.{uuid.uuid4().hex[:8]}.tmp"
         with open(ptmp, "w") as fh:
             _json.dump({"version": k}, fh)
@@ -2613,69 +2643,82 @@ def mlog_checkpoint(table_dir: str) -> str:
 def mlog_read_checkpointed(
     spark: SparkSession, table_dir: str
 ) -> tuple[DataFrame, int, int]:
-    """Read the manifest-log table through its latest checkpoint:
-    resolve ``_last_checkpoint`` → fold the checkpoint's group list +
-    ONLY the log tail past it. Returns ``(df, n_from_checkpoint,
-    n_tail_commits)`` so callers (and the law tests) can assert the
-    reader touched checkpoint + tail, not the whole log. Equivalent to
+    """Read the manifest-log table through its latest checkpoint: fold
+    the newest checkpoint's group list + ONLY the log tail past it.
+    Returns ``(df, n_from_checkpoint, n_tail_commits)`` so callers (and
+    the law tests) can assert the reader touched checkpoint + tail, not
+    the whole log. Equivalent to
     :func:`~dbsuite_spark.streaming.streams.msink_read` by law.
+
+    The checkpoint resolves from the authoritative directory listing
+    (the ``_last_checkpoint`` pointer is a hint only), and the tail is
+    GAP-CHECKED with one re-resolve retry: a concurrent
+    checkpoint+expire between resolution and listing must surface as a
+    newer checkpoint or an error, never as a silently partial table
+    (round-12 review finding #3).
 
     Scale: read planning is one checkpoint JSON + O(tail) commit JSONs
     instead of O(total commits) — the entire point of checkpointing a
     commit log that grows by thousands of versions between compactions."""
-    import re as _re
+    from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
+        _commit_version,
+        _load_commit,
+        _log_commits,
+        fold_groups,
+    )
 
-    from dbsuite_spark.streaming.streams import _load_commit, _log_commits
-
-    ptr = os.path.join(table_dir, "_last_checkpoint")
-    groups: list[str] = []
-    k = -1
-    if os.path.exists(ptr):
-        k = _read_manifest(ptr)["version"]
-        cp = _read_manifest(
-            os.path.join(table_dir, f"checkpoint-{k:05d}.json")
-        )
-        groups = [g["group"] for g in cp["groups"]]
-    tail = [
-        c
-        for c in _log_commits(table_dir)
-        if int(_re.search(r"commit-(\d+)\.json$", c).group(1)) > k
-    ]
+    for attempt in (0, 1):
+        k, cp_groups = _checkpoint_state(table_dir)
+        tail = [
+            c for c in _log_commits(table_dir) if _commit_version(c) > k
+        ]
+        tail_versions = [_commit_version(c) for c in tail]
+        head = tail_versions[-1] if tail_versions else k
+        if tail_versions == list(range(k + 1, head + 1)):
+            break  # dense tail: the snapshot is complete
+        if attempt:  # re-resolution didn't heal it: real corruption
+            raise RuntimeError(
+                f"commit tail past checkpoint {k} at {table_dir} has "
+                f"gaps ({tail_versions}) — log expired without a "
+                "covering checkpoint?"
+            )
+        # else: a checkpoint+expire raced us; re-resolve once
+    groups = [g["group"] for g in cp_groups]
     n_cp = len(groups)
     groups.extend(_load_commit(c)["group"] for c in tail)
-    if not groups:
-        raise RuntimeError(f"empty manifest log at {table_dir}")
-    frames = [spark.read.parquet(g) for g in groups]
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out, n_cp, len(tail)
+    return fold_groups(spark, groups), n_cp, len(tail)
 
 
 def mlog_expire_checkpointed(table_dir: str) -> int:
     """EXPIRE the commit-log prefix a checkpoint has folded: delete
-    every ``commit-*.json`` at or below the checkpointed version (their
-    file GROUPS stay — the checkpoint references them) and return the
-    count removed. This is what bounds log length in real formats
-    (Delta log retention works exactly this way: json entries before a
-    checkpoint become deletable). Composes with the checkpointed
-    reader by law — reads are byte-identical before and after.
+    every ``commit-*.json`` at or below the NEWEST checkpoint's version
+    (their file GROUPS stay — the checkpoint references them) and
+    return the count removed. This is what bounds log length in real
+    formats (Delta log retention works exactly this way: json entries
+    before a checkpoint become deletable). Composes with the
+    checkpointed reader by law — reads are byte-identical before and
+    after; appends, replays, and new checkpoints all stay correct after
+    expiry because every consumer derives versions from filenames and
+    batch dedup consults the checkpoint (round-12 review finding #1).
 
-    Refuses to run without a checkpoint: expiring an unfolded prefix
-    would lose commits."""
-    import re as _re
+    Refuses to run without a checkpoint file (the authoritative
+    listing, not the pointer hint): expiring an unfolded prefix would
+    lose commits."""
+    from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
+        _commit_version,
+        _log_commits,
+    )
 
-    from dbsuite_spark.streaming.streams import _log_commits
-
-    ptr = os.path.join(table_dir, "_last_checkpoint")
-    if not os.path.exists(ptr):
+    k, _ = _checkpoint_state(table_dir)
+    if k < 0:
         raise RuntimeError(
             f"refusing to expire {table_dir}: no checkpoint exists"
         )
-    k = _read_manifest(ptr)["version"]
     expired = 0
     for c in _log_commits(table_dir):
-        if int(_re.search(r"commit-(\d+)\.json$", c).group(1)) <= k:
+        if _commit_version(c) <= k:
             os.remove(c)
             expired += 1
     return expired
@@ -2702,7 +2745,24 @@ def mlog_read_asof(
     import glob as _glob
     import re as _re
 
-    from dbsuite_spark.streaming.streams import _load_commit
+    from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
+        _commit_version,
+        _load_commit,
+        _log_commits,
+        fold_groups,
+    )
+
+    # a pin past the log head never existed — distinguish that from
+    # expired history (round-12 review finding #5)
+    head_ck, _ = _checkpoint_state(table_dir)
+    commit_heads = [_commit_version(c) for c in _log_commits(table_dir)]
+    head = max(commit_heads + [head_ck])
+    if version > head:
+        raise RuntimeError(
+            f"version {version} does not exist at {table_dir} "
+            f"(log head is {head})"
+        )
 
     # newest checkpoint at or below the pin
     cp_version = -1
@@ -2733,16 +2793,33 @@ def mlog_read_asof(
         )
     n_cp = len(groups)
     groups.extend(_load_commit(p)["group"] for p in tail_paths)
-    if not groups:
-        raise RuntimeError(f"empty as-of state at {table_dir}@{version}")
-    frames = [spark.read.parquet(g) for g in groups]
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out, n_cp, len(tail_versions)
+    return fold_groups(spark, groups), n_cp, len(tail_versions)
 
 
 _CKPT_COMMITS = 10  # demo log length: two checkpoints + a 2-commit tail
+
+
+def _build_mod10_log(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared demo producer for the checkpointing keys: land the events
+    table as 10 disjoint ``event_id % 10`` slices through the
+    exactly-once append protocol, checkpointing every
+    ``CHECKPOINT_INTERVAL`` commits (versions 3 and 7). Returns the
+    table dir (recreated — idempotent re-run)."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    table_dir = artifact_path(sf_dir, name)
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    for i in range(_CKPT_COMMITS):
+        msink_commit_batch(
+            table_dir, e.filter(F.col("event_id") % _CKPT_COMMITS == i), i
+        )
+        if (i + 1) % CHECKPOINT_INTERVAL == 0:
+            mlog_checkpoint(table_dir)
+    return table_dir
+
 
 _CKPT_ORACLE = f"""
 SELECT 'full_log' AS reader, CAST(0 AS BIGINT) AS n_from_checkpoint,
@@ -2792,20 +2869,9 @@ def etl_manifest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     records instead of O(log length); expiry keeps the log bounded.
     Data files are never copied — the checkpoint carries groups by
     reference."""
-    import shutil as _shutil
+    from dbsuite_spark.streaming.streams import msink_read
 
-    from dbsuite_spark.streaming.streams import msink_commit_batch, msink_read
-
-    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    table_dir = artifact_path(sf_dir, "ckpt_table")
-    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
-
-    for i in range(_CKPT_COMMITS):
-        msink_commit_batch(
-            table_dir, e.filter(F.col("event_id") % _CKPT_COMMITS == i), i
-        )
-        if (i + 1) % CHECKPOINT_INTERVAL == 0:
-            mlog_checkpoint(table_dir)  # at versions 3 and 7
+    table_dir = _build_mod10_log(spark, sf_dir, "ckpt_table")
 
     def report(reader: str, df: DataFrame, n_cp: int, n_tail: int) -> DataFrame:
         return df.agg(
@@ -2880,20 +2946,7 @@ def etl_manifest_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tail) at a commit cadence of thousands, and immutable
     commits/checkpoints give pinned reads snapshot isolation under
     concurrent appends for free."""
-    import shutil as _shutil
-
-    from dbsuite_spark.streaming.streams import msink_commit_batch
-
-    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    table_dir = artifact_path(sf_dir, "asof_table")
-    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
-
-    for i in range(_CKPT_COMMITS):
-        msink_commit_batch(
-            table_dir, e.filter(F.col("event_id") % _CKPT_COMMITS == i), i
-        )
-        if (i + 1) % CHECKPOINT_INTERVAL == 0:
-            mlog_checkpoint(table_dir)  # at versions 3 and 7
+    table_dir = _build_mod10_log(spark, sf_dir, "asof_table")
 
     def report(v: int) -> DataFrame:
         df, n_cp, n_tail = mlog_read_asof(spark, table_dir, v)

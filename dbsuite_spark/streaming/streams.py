@@ -1049,6 +1049,55 @@ def _load_commit(path: str) -> dict:
         return _json.load(fh)
 
 
+def _commit_version(path: str) -> int:
+    """Version number of a commit record, from its FILENAME — never from
+    its position in a listing: after log expiry the surviving commits
+    are not a dense 0-based prefix, so list indexes and ``len()`` stop
+    meaning versions (round-12 review finding #1)."""
+    import re as _re
+
+    return int(_re.search(r"commit-(\d+)\.json$", path).group(1))
+
+
+def _checkpoint_state(table_dir: str) -> tuple[int, list[dict]]:
+    """Newest checkpoint's (version, groups) from an AUTHORITATIVE
+    directory listing — ``(-1, [])`` when none exists. The
+    ``_last_checkpoint`` pointer is deliberately NOT consulted: it is a
+    best-effort hint (Delta's `_last_checkpoint` semantics, public),
+    and a racing stale checkpointer can swing it backwards harmlessly
+    precisely because nothing correctness-bearing reads it (round-12
+    review finding #4). Group entries carry (version, batch_id, group)
+    for every commit the checkpoint folded."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    cps = _glob.glob(os.path.join(table_dir, "checkpoint-*.json"))
+    if not cps:
+        return -1, []
+    newest = max(
+        cps,
+        key=lambda p: int(
+            _re.search(r"checkpoint-(\d+)\.json$", p).group(1)
+        ),
+    )
+    doc = _load_commit(newest)
+    return doc["version"], doc["groups"]
+
+
+def fold_groups(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Union the parquet file groups at ``paths`` in order — the ONE
+    fold every commit-log reader (live, checkpointed, as-of) shares, so
+    a reader-semantics fix lands once (round-12 review finding #7)."""
+    if not paths:
+        raise RuntimeError("nothing to fold: empty group list")
+    frames = [spark.read.parquet(p) for p in paths]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def _attempt_path(table_dir: str, kind: str, batch_id: int) -> str:
     """Per-ATTEMPT unique data path (uuid suffix, like real table
     formats' uuid file names): two concurrent replays of the same batch
@@ -1121,24 +1170,38 @@ def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
 
     Idempotence: a replayed batch (Spark re-runs any micro-batch whose
     foreachBatch ran but whose checkpoint commit didn't land) is
-    detected by scanning the log for its batch_id BEFORE writing, and
-    on the claim-race path by losing the link to the same batch — both
-    return 'skipped' and leave the log unchanged. Losing to a FOREIGN
+    detected by scanning for its batch_id BEFORE writing — in the
+    surviving log AND in the newest checkpoint's folded groups, so a
+    replay of a batch whose commit record was EXPIRED past a checkpoint
+    still skips (round-12 review finding #1) — and on the claim-race
+    path by losing the link to the same batch. Losing to a FOREIGN
     batch just bumps the version: the append-only reader folds ALL
     commits, so no rebase of the data is needed.
+
+    Version allocation is ``max(surviving versions, checkpoint
+    version) + 1`` from FILENAMES, never ``len(log)``: after expiry the
+    log is not a dense prefix, and a ``len``-derived version would
+    reclaim a slot BELOW the checkpoint — invisible to the checkpointed
+    reader's tail filter.
 
     Returns 'committed' or 'skipped'."""
     import os
 
     os.makedirs(table_dir, exist_ok=True)
     commits = _log_commits(table_dir)
-    if any(_load_commit(c)["batch_id"] == batch_id for c in commits):
+    ck_version, ck_groups = _checkpoint_state(table_dir)
+    committed_ids = {_load_commit(c)["batch_id"] for c in commits} | {
+        g["batch_id"] for g in ck_groups
+    }
+    if batch_id in committed_ids:
         return "skipped"  # exactly-once: this batch already committed
 
     # write-then-publish: only the commit record makes the group live
     group = _attempt_path(table_dir, "group", batch_id)
     bdf.write.mode("overwrite").parquet(group)
-    version = len(commits)
+    version = (
+        max([_commit_version(c) for c in commits] + [ck_version]) + 1
+    )
     doc = {"batch_id": batch_id, "group": group}
     while True:
         out = _try_claim_version(table_dir, version, doc, batch_id)
@@ -1151,17 +1214,22 @@ def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
 def msink_read(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the manifest-log table: fold the commit records in version
     order and union their file groups — the snapshot a lakehouse reader
-    materializes from the log."""
+    materializes from the log.
+
+    This is the FULL-LOG reader: it requires a dense 0-based log and
+    REFUSES an expired one (silently folding the surviving suffix would
+    return a partial table — round-12 review finding #1); after
+    ``mlog_expire_checkpointed`` use the checkpointed reader instead."""
     commits = _log_commits(table_dir)
     if not commits:
         raise RuntimeError(f"empty manifest log at {table_dir}")
-    frames = [
-        spark.read.parquet(_load_commit(c)["group"]) for c in commits
-    ]
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+    versions = [_commit_version(c) for c in commits]
+    if versions != list(range(len(versions))):
+        raise RuntimeError(
+            f"commit log at {table_dir} is not a dense 0-based prefix "
+            "(expired past a checkpoint?) — use mlog_read_checkpointed"
+        )
+    return fold_groups(spark, [_load_commit(c)["group"] for c in commits])
 
 
 @query(
@@ -1328,9 +1396,14 @@ def fbm_merge_batch(
         if _pre_claim_hook is not None:
             hook, _pre_claim_hook = _pre_claim_hook, None
             hook()  # test-only race injection between write and claim
+        # filename-derived next version (not len()): robust if a state
+        # log ever composes with expiry the way the append log does
+        next_version = (
+            _commit_version(commits[-1]) + 1 if commits else 0
+        )
         out = _try_claim_version(
             table_dir,
-            len(commits),
+            next_version,
             {"batch_id": batch_id, "group": group},
             batch_id,
         )

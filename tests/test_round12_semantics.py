@@ -444,3 +444,143 @@ def test_mlog_asof_pin_is_stable_under_appends(spark, tmp_path):
     after = sorted(r["event_id"] for r in after_df.collect())
     assert after == before == list(range(40))
     assert (n_cp, n_tail) == (4, 0)
+
+
+# --- post-expiry protocol correctness (round-12 review findings) -------------
+
+
+def test_msink_protocol_stays_correct_after_expiry(spark, tmp_path):
+    """Review findings #1/#2: expiry must not void the commit protocol.
+    After checkpoint+expire: (a) a replay of an EXPIRED batch skips via
+    the checkpoint's folded batch ids — never re-commits; (b) a new
+    append allocates the version PAST the checkpoint (filename-derived,
+    never len()) so it can't land in a reclaimed slot below the
+    checkpointed reader's tail filter; (c) the full-log reader REFUSES
+    the non-dense log instead of silently folding a partial table;
+    (d) a post-expiry checkpoint folds incrementally with correct
+    numbering and content."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch, msink_read
+
+    table = str(tmp_path / "tbl")
+    for i in range(6):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    mlog_checkpoint(table)  # k=5
+    assert mlog_expire_checkpointed(table) == 6  # log now empty
+
+    # (a) replay of an expired batch: checkpoint-carried dedup
+    assert msink_commit_batch(table, _mk_batch(spark, 30, 40), 3) == "skipped"
+
+    # (b) new append lands at version 6, never a reclaimed slot
+    assert msink_commit_batch(table, _mk_batch(spark, 60, 70), 6) == (
+        "committed"
+    )
+    assert os.path.exists(os.path.join(table, "commit-00006.json"))
+    assert not os.path.exists(os.path.join(table, "commit-00000.json"))
+
+    # the checkpointed reader sees checkpoint(6 groups) + 1-commit tail
+    df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+    assert (n_cp, n_tail) == (6, 1)
+    assert sorted(r["event_id"] for r in df.collect()) == list(range(70))
+
+    # (c) the full-log reader refuses the expired (non-dense) log
+    with pytest.raises(RuntimeError, match="dense 0-based"):
+        msink_read(spark, table)
+
+    # (d) post-expiry checkpoint: incremental, filename-numbered
+    path = mlog_checkpoint(table)
+    assert path.endswith("checkpoint-00006.json")
+    doc = json.load(open(path))
+    assert doc["version"] == 6
+    assert [g["version"] for g in doc["groups"]] == list(range(7))
+    assert [g["batch_id"] for g in doc["groups"]] == list(range(7))
+    # and the wedge mode is gone: a further append + read is exact
+    assert msink_commit_batch(table, _mk_batch(spark, 70, 80), 7) == (
+        "committed"
+    )
+    df2, n_cp2, n_tail2 = mlog_read_checkpointed(spark, table)
+    assert (n_cp2, n_tail2) == (7, 1)
+    assert df2.count() == 80
+
+    # as-of after expiry: pins at surviving checkpoints reconstruct,
+    # expired pins raise history-expired, future pins raise not-exists
+    df5, n_cp5, n_tail5 = mlog_read_asof(spark, table, 5)
+    assert (n_cp5, n_tail5) == (6, 0)
+    assert df5.count() == 60
+    with pytest.raises(RuntimeError, match="no longer reconstructable"):
+        mlog_read_asof(spark, table, 2)
+    with pytest.raises(RuntimeError, match="does not exist"):
+        mlog_read_asof(spark, table, 99)
+
+
+def test_mlog_asof_distinguishes_future_from_expired(spark, tmp_path):
+    """Review finding #5: a pin past the log head is 'does not exist
+    (log head is N)' — never the history-expired misdiagnosis — on a
+    fresh, never-expired log."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import mlog_read_asof
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    with pytest.raises(RuntimeError, match=r"does not exist.*log head is 2"):
+        mlog_read_asof(spark, table, 99)
+
+
+def test_mlog_read_checkpointed_refuses_uncovered_gap(spark, tmp_path):
+    """Review finding #3: a gap in the tail that re-resolution cannot
+    heal (a commit deleted with NO covering checkpoint — real
+    corruption, not a racing checkpoint+expire) raises instead of
+    silently returning a partial table."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(5):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    mlog_checkpoint(table)  # k=4
+    for i in range(5, 8):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    os.remove(os.path.join(table, "commit-00006.json"))  # corruption
+    with pytest.raises(RuntimeError, match="gaps"):
+        mlog_read_checkpointed(spark, table)
+
+
+def test_mlog_checkpoint_refuses_gapped_tail_and_is_noop_when_fresh(
+    spark, tmp_path
+):
+    """Review finding #2 (corollary laws): checkpointing over a gapped
+    tail aborts (it would bake a hole into history), and a checkpoint
+    with no new commits is a no-op returning the existing path."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import mlog_checkpoint
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    p1 = mlog_checkpoint(table)
+    p2 = mlog_checkpoint(table)  # nothing new: no-op
+    assert p1 == p2
+    assert len(glob.glob(os.path.join(table, "checkpoint-*.json"))) == 1
+
+    for i in range(4, 7):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    os.remove(os.path.join(table, "commit-00005.json"))  # gap in tail
+    with pytest.raises(RuntimeError, match="gaps"):
+        mlog_checkpoint(table)

@@ -2440,6 +2440,50 @@ def etl_manifest_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental commit-log consumption (round 11) --------------------------
 
+
+def mlog_poll(
+    spark: SparkSession, table_dir: str, offset: int
+) -> tuple[DataFrame | None, int, int]:
+    """One incremental-consumer poll: fold commits with VERSION >=
+    ``offset`` and return ``(df_or_None, n_new_commits, new_offset)``
+    (None when the log tail is empty). The offset is a VERSION cursor,
+    never a list position — list slicing stops meaning versions the
+    moment expiry removes a prefix (the round-12 review's dense-log
+    finding, applied to the consumer path).
+
+    Expiry contract: if any commit in ``[offset, head]`` is gone, the
+    consumer's unread range was expired out from under it — raise the
+    offset-out-of-range error (Kafka's semantics for a consumer older
+    than retention, public) rather than silently skipping data. A
+    checkpoint does NOT substitute: it folds away the per-commit
+    granularity an incremental consumer exists to preserve.
+
+    Scale: each poll lists the log tail and scans only new groups —
+    change-data movement ∝ new commits, never a table rescan; the
+    cursor is O(1) consumer state."""
+    from dbsuite_spark.streaming.streams import (
+        _commit_version,
+        _load_commit,
+        _log_commits,
+        fold_groups,
+    )
+
+    new = [
+        c for c in _log_commits(table_dir) if _commit_version(c) >= offset
+    ]
+    if not new:
+        return None, 0, offset
+    versions = [_commit_version(c) for c in new]
+    if versions != list(range(offset, versions[-1] + 1)):
+        raise RuntimeError(
+            f"consumer offset {offset} out of range at {table_dir}: "
+            f"commits {versions} survive — the unread range was "
+            "expired past a checkpoint"
+        )
+    df = fold_groups(spark, [_load_commit(c)["group"] for c in new])
+    return df, len(new), versions[-1] + 1
+
+
 _INCR_ORACLE = f"""
 SELECT CAST(1 AS INT) AS poll, CAST(3 AS BIGINT) AS n_commits,
        {BIGCOUNT("*")} AS n_rows, {DSUM("value")} AS sum_value
@@ -2487,16 +2531,10 @@ def etl_manifest_incremental_read(
     _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
 
     def poll(n: int, offset: int) -> tuple[DataFrame, int]:
-        """Consume commits [offset, end) — returns (report row, new
-        offset)."""
-        import glob
-        import json as _json
-
-        commits = sorted(
-            glob.glob(os.path.join(table_dir, "commit-*.json"))
-        )
-        new = commits[offset:]
-        if not new:
+        """Consume commits with version >= offset — returns (report
+        row, new offset)."""
+        out, n_new, offset = mlog_poll(spark, table_dir, offset)
+        if out is None:
             row = spark.range(1).select(
                 F.lit(n).cast("int").alias("poll"),
                 F.lit(0).cast("bigint").alias("n_commits"),
@@ -2504,25 +2542,16 @@ def etl_manifest_incremental_read(
                 F.lit(None).cast("double").alias("sum_value"),
             )
             return row, offset
-        frames = []
-        for c in new:
-            with open(c) as fh:
-                frames.append(
-                    spark.read.parquet(_json.load(fh)["group"])
-                )
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
         row = out.agg(
             F.count("*").cast("bigint").alias("n_rows"),
             dsum(F.col("value")).alias("sum_value"),
         ).select(
             F.lit(n).cast("int").alias("poll"),
-            F.lit(len(new)).cast("bigint").alias("n_commits"),
+            F.lit(n_new).cast("bigint").alias("n_commits"),
             "n_rows",
             "sum_value",
         )
-        return row, offset + len(new)
+        return row, offset
 
     # producer: first three commits
     for i in range(3):

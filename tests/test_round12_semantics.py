@@ -584,3 +584,44 @@ def test_mlog_checkpoint_refuses_gapped_tail_and_is_noop_when_fresh(
     os.remove(os.path.join(table, "commit-00005.json"))  # gap in tail
     with pytest.raises(RuntimeError, match="gaps"):
         mlog_checkpoint(table)
+
+
+def test_mlog_poll_offset_is_version_cursor_with_expiry_contract(
+    spark, tmp_path
+):
+    """The incremental consumer's offset is a VERSION cursor: polls
+    fold exactly the commits >= offset (correct across expiry of the
+    consumed prefix), and a consumer whose UNREAD range was expired
+    gets the offset-out-of-range error — never silently skipped data."""
+    import pytest
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_poll,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    df, n_new, offset = mlog_poll(spark, table, 0)
+    assert (n_new, offset) == (4, 4)
+    assert df.count() == 40
+
+    # consumed prefix expires: a CURRENT consumer is unaffected
+    mlog_checkpoint(table)  # k=3
+    assert mlog_expire_checkpointed(table) == 4
+    none_df, n_none, offset = mlog_poll(spark, table, offset)
+    assert (none_df, n_none, offset) == (None, 0, 4)
+    for i in range(4, 6):
+        msink_commit_batch(table, _mk_batch(spark, i * 10, i * 10 + 10), i)
+    df2, n_new2, offset = mlog_poll(spark, table, offset)
+    assert (n_new2, offset) == (2, 6)
+    assert sorted(r["event_id"] for r in df2.collect()) == list(
+        range(40, 60)
+    )
+
+    # a LAGGING consumer whose unread range was expired must error
+    with pytest.raises(RuntimeError, match="out of range"):
+        mlog_poll(spark, table, 2)

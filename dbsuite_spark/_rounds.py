@@ -39,6 +39,7 @@ ROUND12_KEYS: list[str] = [
     "etl_manifest_checkpoint",
     "stream_dv_delete",
     "etl_manifest_asof_read",
+    "etl_manifest_ckpt_stats_skip",
 ]
 
 # Round-11 additions

@@ -2991,3 +2991,148 @@ def etl_manifest_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return report(2).unionAll(report(5)).unionAll(report(9))
+
+
+# --- checkpoint-carried stats pruning (round 12) -----------------------------
+
+CKPT_STATS_GROUPS = 8  # key-range commits in the stats-skipping demo
+
+_CKPT_SKIP_ORACLE = f"""
+WITH w AS (
+  SELECT CAST(MAX(o_orderkey) // {CKPT_STATS_GROUPS} + 1 AS BIGINT) AS width
+  FROM orders)
+SELECT 'full' AS predicate,
+       CAST({CKPT_STATS_GROUPS} AS BIGINT) AS n_groups_scanned,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+UNION ALL
+SELECT 'mid' AS predicate, CAST(3 AS BIGINT) AS n_groups_scanned,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+WHERE o_orderkey BETWEEN (SELECT width + width // 2 FROM w)
+                     AND (SELECT 3 * width + width // 2 FROM w)
+UNION ALL
+SELECT 'narrow' AS predicate, CAST(1 AS BIGINT) AS n_groups_scanned,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+WHERE o_orderkey BETWEEN (SELECT 5 * width FROM w)
+                     AND (SELECT 5 * width + width // 3 FROM w)
+"""
+
+
+def mlog_read_pruned(
+    spark: SparkSession, table_dir: str, lo: int, hi: int
+) -> tuple[DataFrame, int]:
+    """Stats-pruned read over the (checkpointed) commit log: resolve
+    checkpoint + tail exactly like :func:`mlog_read_checkpointed`, but
+    DROP every group whose carried (min_key, max_key) interval misses
+    ``[lo, hi]`` BEFORE any scan is planned — the Delta/Iceberg
+    data-skipping decision made from checkpoint metadata alone, no
+    parquet footer opened for a pruned group. Returns
+    ``(filtered_df, n_groups_scanned)``."""
+    from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
+        _commit_version,
+        _load_commit,
+        _log_commits,
+        fold_groups,
+    )
+
+    k, cp_groups = _checkpoint_state(table_dir)
+    docs = list(cp_groups) + [
+        _load_commit(c)
+        for c in _log_commits(table_dir)
+        if _commit_version(c) > k
+    ]
+    live = [
+        d
+        for d in docs
+        if d["stats"]["min_key"] <= hi and d["stats"]["max_key"] >= lo
+    ]
+    if not live:  # everything pruned: a valid empty scan, not an error
+        if not docs:
+            raise RuntimeError(f"empty manifest log at {table_dir}")
+        empty = spark.read.parquet(docs[0]["group"]).filter(F.lit(False))
+        return empty, 0
+    df = fold_groups(spark, [d["group"] for d in live]).filter(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    return df, len(live)
+
+
+@query("etl_manifest_ckpt_stats_skip", oracle=_CKPT_SKIP_ORACLE, category="K")
+def etl_manifest_ckpt_stats_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCAN PLANNING FROM THE CHECKPOINT — per-group column stats ride
+    in each commit doc (``msink_commit_batch(stats=...)``), fold
+    verbatim into checkpoints, and drive data skipping at read time:
+    the composition that makes a 100 TB commit log PLANNABLE (Delta
+    checkpoints carry per-file stats for exactly this, public; the
+    file-skipping decision itself mirrors `etl_manifest_file_skipping`,
+    one level up — prune from metadata BEFORE any task or footer read).
+
+    Eight key-range commits of orders (width = max_key//8+1) land with
+    their actual per-group (min_key, max_key); a checkpoint folds them;
+    the log prefix is EXPIRED — so the stats available to the reader
+    are provably the checkpoint's copy, not the commit records'. Three
+    reads: 'full' (all 8 groups), 'mid' (a 2-width span straddling
+    groups 1-3), 'narrow' (a third-width span inside group 5). Each
+    row reports groups-scanned + (n_rows, decimal-exact sum) of the
+    predicate — the oracle recomputes the same ranges from the same
+    width formula, and the hash gate fails if pruning dropped a group
+    it needed or scanned one it didn't.
+
+    Exactness: key-range slices put every group's true min/max within a
+    few keys of its slice edges while the probe bounds sit mid-slice,
+    so the overlap set is deterministic at every fixture scale.
+
+    Scale: the pruning decision is O(groups) metadata driver-side —
+    zero I/O for pruned groups; scanned groups get ordinary pushed-
+    filter parquet scans (plan-pinned: 'narrow' plans exactly one group
+    scan). Stats cost one aggregate per commit at write time —
+    manifest-grade metadata, amortized into the batch write."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = artifact_path(sf_dir, "ckpt_stats_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    width = max_key // CKPT_STATS_GROUPS + 1
+    for i in range(CKPT_STATS_GROUPS):
+        sl = base.filter(
+            F.col("o_orderkey").between(i * width, (i + 1) * width - 1)
+        )
+        mn, mx = sl.agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).first()
+        msink_commit_batch(
+            table_dir, sl, i, stats={"min_key": mn, "max_key": mx}
+        )
+    mlog_checkpoint(table_dir)
+    # expire the log: the reader's stats now come from the checkpoint
+    if mlog_expire_checkpointed(table_dir) != CKPT_STATS_GROUPS:
+        raise RuntimeError("expected the full log prefix to expire")
+
+    def report(label: str, lo: int, hi: int) -> DataFrame:
+        df, n_groups = mlog_read_pruned(spark, table_dir, lo, hi)
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(label).alias("predicate"),
+            F.lit(n_groups).cast("bigint").alias("n_groups_scanned"),
+            "n_rows",
+            "sum_total",
+        )
+
+    return (
+        report("full", 0, max_key)
+        .unionAll(
+            report("mid", width + width // 2, 3 * width + width // 2)
+        )
+        .unionAll(report("narrow", 5 * width, 5 * width + width // 3))
+    )

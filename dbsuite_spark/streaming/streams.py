@@ -1158,7 +1158,12 @@ def _try_claim_version(
         return "lost"
 
 
-def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
+def msink_commit_batch(
+    table_dir: str,
+    bdf: DataFrame,
+    batch_id: int,
+    stats: dict | None = None,
+) -> str:
     """Commit one micro-batch into the manifest-log table at
     ``table_dir`` with EXACTLY-ONCE semantics (module-level so the law
     tests can drive crash/replay scenarios directly).
@@ -1167,6 +1172,12 @@ def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
     (see :func:`_attempt_path`), then the commit record —
     ``commit-{n:05d}.json`` carrying (batch_id, group path) — publishes
     via :func:`_try_claim_version`'s atomic link.
+
+    Optional ``stats`` (e.g. per-group column min/max) ride in the
+    commit doc and are folded VERBATIM into checkpoints by
+    ``mlog_checkpoint``, which is how real formats get scan planning
+    from the checkpoint alone (Delta checkpoints carry per-file stats,
+    public) — see ``etl_manifest_ckpt_stats_skip``.
 
     Idempotence: a replayed batch (Spark re-runs any micro-batch whose
     foreachBatch ran but whose checkpoint commit didn't land) is
@@ -1203,6 +1214,8 @@ def msink_commit_batch(table_dir: str, bdf: DataFrame, batch_id: int) -> str:
         max([_commit_version(c) for c in commits] + [ck_version]) + 1
     )
     doc = {"batch_id": batch_id, "group": group}
+    if stats is not None:
+        doc["stats"] = stats
     while True:
         out = _try_claim_version(table_dir, version, doc, batch_id)
         if out == "lost":

@@ -1935,3 +1935,17 @@ def test_asof_reads_fold_prefix_scans_only(spark, sf_dir):
     assert n_nodes(plan, "Exchange") == 3
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ckpt_stats_narrow_read_scans_one_group(spark, sf_dir):
+    """etl_manifest_ckpt_stats_skip: stats pruning happens driver-side
+    from checkpoint metadata, so the plan contains ONLY the surviving
+    group scans — full(8) + mid(3) + narrow(1) = 12 — each with the
+    key predicate pushed to the scan; zero shuffle beyond the three
+    1-row aggregates, zero Python, zero cartesian."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_ckpt_stats_skip")
+    assert n_nodes(plan, "Scan parquet") == 12
+    assert n_nodes(plan, "Exchange") == 3
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

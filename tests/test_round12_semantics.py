@@ -625,3 +625,41 @@ def test_mlog_poll_offset_is_version_cursor_with_expiry_contract(
     # a LAGGING consumer whose unread range was expired must error
     with pytest.raises(RuntimeError, match="out of range"):
         mlog_poll(spark, table, 2)
+
+
+def test_mlog_read_pruned_equals_unpruned_filter(spark, sf_dir):
+    """Stats pruning is an OPTIMIZATION, never a semantics change: for
+    several probe ranges the pruned read is row-identical to filtering
+    the full checkpointed fold, and the pruned group count never
+    exceeds the total."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.etl.loaders import (
+        etl_manifest_ckpt_stats_skip,
+        mlog_read_checkpointed,
+        mlog_read_pruned,
+    )
+
+    SPECS["etl_manifest_ckpt_stats_skip"].fn(spark, sf_dir).collect()
+    table = artifact_path(sf_dir, "ckpt_stats_table")
+    full, _, _ = mlog_read_checkpointed(spark, table)
+    max_key = full.agg(F.max("o_orderkey")).first()[0]
+    for lo, hi in (
+        (0, max_key),
+        (max_key // 3, max_key // 2),
+        (1, 2),  # likely-empty probe: pruning must not invent rows
+        (max_key, max_key),
+        (max_key * 2, max_key * 3),  # above all stats: all-pruned
+    ):
+        pruned, n_groups = mlog_read_pruned(spark, table, lo, hi)
+        want = sorted(
+            r["o_orderkey"]
+            for r in full.filter(
+                F.col("o_orderkey").between(lo, hi)
+            ).collect()
+        )
+        got = sorted(r["o_orderkey"] for r in pruned.collect())
+        assert got == want, f"range [{lo},{hi}]"
+        assert 0 <= n_groups <= 8
+        if lo > max_key:
+            assert n_groups == 0 and got == []

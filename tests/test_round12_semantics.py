@@ -663,3 +663,88 @@ def test_mlog_read_pruned_equals_unpruned_filter(spark, sf_dir):
         assert 0 <= n_groups <= 8
         if lo > max_key:
             assert n_groups == 0 and got == []
+
+
+def test_commit_log_state_machine_random_walk(spark, tmp_path):
+    """Seeded random-walk over the WHOLE protocol surface — commit /
+    replay / checkpoint / expire interleaved arbitrarily — checked
+    after every step against a pure-Python model. Catches composition
+    bugs no hand-written scenario pins: every reachable state must
+    satisfy (a) checkpointed read ≡ model's union of committed batches,
+    (b) replays of ANY previously-committed batch (expired or not)
+    skip, (c) as-of pins at the current head reconstruct the model,
+    (d) the consumer cursor at the head sees exactly the commits the
+    model added since the last poll."""
+    import random
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_poll,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"walk{seed}")
+        model: dict[int, range] = {}  # batch_id -> row range
+        next_id = 0
+        has_checkpoint = False
+        cursor = 0  # consumer offset (version cursor)
+        consumed_rows: set[int] = set()
+
+        def expected() -> list[int]:
+            return sorted(x for r in model.values() for x in r)
+
+        for step in range(14):
+            op = rng.choice(
+                ["commit", "commit", "replay", "checkpoint", "expire"]
+            )
+            if op == "commit" or (op == "replay" and not model):
+                lo = next_id * 10
+                assert msink_commit_batch(
+                    table, _mk_batch(spark, lo, lo + 10), next_id
+                ) == "committed", f"seed {seed} step {step}"
+                model[next_id] = range(lo, lo + 10)
+                next_id += 1
+            elif op == "replay":
+                bid = rng.choice(list(model))
+                out = msink_commit_batch(
+                    table, _mk_batch(spark, bid * 10, bid * 10 + 10), bid
+                )
+                assert out == "skipped", (
+                    f"seed {seed} step {step}: replay of {bid} -> {out}"
+                )
+            elif op == "checkpoint":
+                if model:
+                    mlog_checkpoint(table)
+                    has_checkpoint = True
+            elif op == "expire":
+                if has_checkpoint:
+                    mlog_expire_checkpointed(table)
+
+            if not model:
+                continue
+            # (a) checkpointed read equals the model after EVERY step
+            df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+            got = sorted(r["event_id"] for r in df.collect())
+            assert got == expected(), f"seed {seed} step {step} ({op})"
+            assert n_cp + n_tail >= 1
+            # (d) consumer cursor never re-reads and never skips
+            pdf, n_new, cursor = mlog_poll(spark, table, cursor)
+            if pdf is not None:
+                new_rows = {r["event_id"] for r in pdf.collect()}
+                assert not (new_rows & consumed_rows), (
+                    f"seed {seed} step {step}: consumer re-read rows"
+                )
+                consumed_rows |= new_rows
+            assert consumed_rows == set(expected()), (
+                f"seed {seed} step {step}: consumer missed rows"
+            )
+
+        # (c) final as-of at the head reconstructs the model exactly
+        head = next_id - 1
+        adf, _, _ = mlog_read_asof(spark, table, head)
+        assert sorted(r["event_id"] for r in adf.collect()) == expected()

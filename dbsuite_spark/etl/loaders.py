@@ -2468,20 +2468,34 @@ def mlog_poll(
         fold_groups,
     )
 
-    new = [
-        c for c in _log_commits(table_dir) if _commit_version(c) >= offset
-    ]
-    if not new:
-        return None, 0, offset
-    versions = [_commit_version(c) for c in new]
-    if versions != list(range(offset, versions[-1] + 1)):
-        raise RuntimeError(
-            f"consumer offset {offset} out of range at {table_dir}: "
-            f"commits {versions} survive — the unread range was "
-            "expired past a checkpoint"
-        )
-    df = fold_groups(spark, [_load_commit(c)["group"] for c in new])
-    return df, len(new), versions[-1] + 1
+    for attempt in (0, 1):
+        new = [
+            c
+            for c in _log_commits(table_dir)
+            if _commit_version(c) >= offset
+        ]
+        if not new:
+            return None, 0, offset
+        versions = [_commit_version(c) for c in new]
+        if versions != list(range(offset, versions[-1] + 1)):
+            raise RuntimeError(
+                f"consumer offset {offset} out of range at {table_dir}: "
+                f"commits {versions} survive — the unread range was "
+                "expired past a checkpoint"
+            )
+        try:
+            docs = [_load_commit(c) for c in new]
+            break
+        except FileNotFoundError:
+            if attempt:  # unread records expired mid-poll: honest error
+                raise RuntimeError(
+                    f"consumer offset {offset} out of range at "
+                    f"{table_dir}: the unread range was expired while "
+                    "being read"
+                ) from None
+            continue  # re-list; the dense check will diagnose
+    df = fold_groups(spark, [d["group"] for d in docs])
+    return df, len(docs), versions[-1] + 1
 
 
 _INCR_ORACLE = f"""
@@ -2625,31 +2639,40 @@ def mlog_checkpoint(table_dir: str) -> str:
         _log_commits,
     )
 
-    prev_k, prev_groups = _checkpoint_state(table_dir)
-    tail = [
-        c
-        for c in _log_commits(table_dir)
-        if _commit_version(c) > prev_k
-    ]
-    if not tail:
-        if prev_k < 0:
-            raise RuntimeError(f"nothing to checkpoint at {table_dir}")
-        return os.path.join(table_dir, f"checkpoint-{prev_k:05d}.json")
-    tail_versions = [_commit_version(c) for c in tail]
-    k = tail_versions[-1]
-    if tail_versions != list(range(prev_k + 1, k + 1)):
-        raise RuntimeError(
-            f"refusing to checkpoint {table_dir}: commit tail past "
-            f"version {prev_k} has gaps ({tail_versions})"
-        )
-    doc = {
-        "version": k,
-        "groups": prev_groups
-        + [
-            {"version": v, **_load_commit(c)}
-            for v, c in zip(tail_versions, tail)
-        ],
-    }
+    for attempt in (0, 1):
+        prev_k, prev_groups = _checkpoint_state(table_dir)
+        tail = [
+            c
+            for c in _log_commits(table_dir)
+            if _commit_version(c) > prev_k
+        ]
+        if not tail:
+            if prev_k < 0:
+                raise RuntimeError(f"nothing to checkpoint at {table_dir}")
+            return os.path.join(table_dir, f"checkpoint-{prev_k:05d}.json")
+        tail_versions = [_commit_version(c) for c in tail]
+        k = tail_versions[-1]
+        if tail_versions != list(range(prev_k + 1, k + 1)):
+            if attempt:  # re-resolution didn't heal it: corruption
+                raise RuntimeError(
+                    f"refusing to checkpoint {table_dir}: commit tail "
+                    f"past version {prev_k} has gaps ({tail_versions})"
+                )
+            continue  # a newer checkpoint+expire raced our listing
+        try:
+            tail_docs = [
+                {"version": v, **_load_commit(c)}
+                for v, c in zip(tail_versions, tail)
+            ]
+            break
+        except FileNotFoundError:
+            if attempt:
+                raise RuntimeError(
+                    f"commit log at {table_dir} kept changing under "
+                    "the checkpoint fold (2 attempts)"
+                ) from None
+            continue  # a record expired mid-fold: re-resolve
+    doc = {"version": k, "groups": prev_groups + tail_docs}
     cp_path = os.path.join(table_dir, f"checkpoint-{k:05d}.json")
     tmp = f"{cp_path}.{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
@@ -2697,26 +2720,35 @@ def mlog_read_checkpointed(
         fold_groups,
     )
 
-    for attempt in (0, 1):
+    for attempt in (0, 1, 2):
         k, cp_groups = _checkpoint_state(table_dir)
         tail = [
             c for c in _log_commits(table_dir) if _commit_version(c) > k
         ]
         tail_versions = [_commit_version(c) for c in tail]
         head = tail_versions[-1] if tail_versions else k
-        if tail_versions == list(range(k + 1, head + 1)):
-            break  # dense tail: the snapshot is complete
-        if attempt:  # re-resolution didn't heal it: real corruption
-            raise RuntimeError(
-                f"commit tail past checkpoint {k} at {table_dir} has "
-                f"gaps ({tail_versions}) — log expired without a "
-                "covering checkpoint?"
-            )
-        # else: a checkpoint+expire raced us; re-resolve once
+        if tail_versions != list(range(k + 1, head + 1)):
+            if attempt == 2:  # re-resolution didn't heal it: corruption
+                raise RuntimeError(
+                    f"commit tail past checkpoint {k} at {table_dir} "
+                    f"has gaps ({tail_versions}) — log expired without "
+                    "a covering checkpoint?"
+                )
+            continue  # a checkpoint+expire raced us; re-resolve
+        try:
+            tail_docs = [_load_commit(c) for c in tail]
+        except FileNotFoundError:
+            if attempt == 2:
+                raise RuntimeError(
+                    f"commit log at {table_dir} kept changing under "
+                    "the read (3 attempts)"
+                ) from None
+            continue  # a record expired mid-load: it is now folded
+        break
     groups = [g["group"] for g in cp_groups]
     n_cp = len(groups)
-    groups.extend(_load_commit(c)["group"] for c in tail)
-    return fold_groups(spark, groups), n_cp, len(tail)
+    groups.extend(d["group"] for d in tail_docs)
+    return fold_groups(spark, groups), n_cp, len(tail_docs)
 
 
 def mlog_expire_checkpointed(table_dir: str) -> int:
@@ -2821,7 +2853,13 @@ def mlog_read_asof(
             "newest covering checkpoint"
         )
     n_cp = len(groups)
-    groups.extend(_load_commit(p)["group"] for p in tail_paths)
+    try:
+        groups.extend(_load_commit(p)["group"] for p in tail_paths)
+    except FileNotFoundError:  # expired between the check and the load
+        raise RuntimeError(
+            f"version {version} is no longer reconstructable at "
+            f"{table_dir}: its commit tail was expired mid-read"
+        ) from None
     return fold_groups(spark, groups), n_cp, len(tail_versions)
 
 

@@ -1199,11 +1199,22 @@ def msink_commit_batch(
     import os
 
     os.makedirs(table_dir, exist_ok=True)
-    commits = _log_commits(table_dir)
-    ck_version, ck_groups = _checkpoint_state(table_dir)
-    committed_ids = {_load_commit(c)["batch_id"] for c in commits} | {
-        g["batch_id"] for g in ck_groups
-    }
+    for _ in range(3):
+        commits = _log_commits(table_dir)
+        ck_version, ck_groups = _checkpoint_state(table_dir)
+        try:
+            committed_ids = {
+                _load_commit(c)["batch_id"] for c in commits
+            } | {g["batch_id"] for g in ck_groups}
+            break
+        except FileNotFoundError:
+            continue  # a concurrent expiry claimed a record mid-scan:
+            # the id now lives in a newer checkpoint — re-list
+    else:
+        raise RuntimeError(
+            f"commit log at {table_dir} kept changing under the dedup "
+            "scan (3 attempts)"
+        )
     if batch_id in committed_ids:
         return "skipped"  # exactly-once: this batch already committed
 
@@ -1221,6 +1232,44 @@ def msink_commit_batch(
         if out == "lost":
             version += 1  # append-only: rebase = take the next slot
             continue
+        if out == "committed":
+            # POST-LINK VALIDATION (round-12 concurrency stress): if a
+            # concurrent checkpoint+expire raced our stale state
+            # snapshot, our link can have landed in a slot expiry
+            # VACATED below the new checkpoint boundary — at or below
+            # the newest checkpoint version yet absent from its fold.
+            # Such a record is invisible to every checkpointed reader
+            # (tail filters > k) and can never be folded later (every
+            # future checkpoint's tail also starts past k), so the
+            # batch would be silently lost. Relocate: unlink the
+            # invisible record and re-claim above the fresh boundary.
+            # No double-count is possible — "absent from the newest
+            # checkpoint's groups" proves no checkpoint ever folded it
+            # (incremental folds carry all prior groups forward).
+            import contextlib
+
+            ck2, ck_groups2 = _checkpoint_state(table_dir)
+            folded = {g["batch_id"] for g in ck_groups2}
+            if version <= ck2 and batch_id not in folded:
+                with contextlib.suppress(FileNotFoundError):
+                    # a racing expirer may already have removed it —
+                    # equally invisible, equally fine to vacate
+                    os.remove(
+                        os.path.join(
+                            table_dir, f"commit-{version:05d}.json"
+                        )
+                    )
+                version = (
+                    max(
+                        [
+                            _commit_version(c)
+                            for c in _log_commits(table_dir)
+                        ]
+                        + [ck2]
+                    )
+                    + 1
+                )
+                continue
         return out
 
 

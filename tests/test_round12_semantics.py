@@ -748,3 +748,96 @@ def test_commit_log_state_machine_random_walk(spark, tmp_path):
         head = next_id - 1
         adf, _, _ = mlog_read_asof(spark, table, head)
         assert sorted(r["event_id"] for r in adf.collect()) == expected()
+
+
+def test_commit_checkpoint_expire_read_true_concurrency(spark, tmp_path):
+    """TRUE-CONCURRENCY smoke over the metadata layer: 3 committer
+    threads (12 distinct batches), a checkpointer loop, an expirer
+    loop, and a reader loop all race on one table. Invariants: nothing
+    raises (the reader's re-resolve retry absorbs checkpoint+expire
+    races), every mid-flight read returns a PREFIX-CONSISTENT result
+    (all rows of some subset of committed batches, each batch complete
+    — the atomic link means a batch is all-or-nothing), and the final
+    fold equals the union of all 12 batches exactly once."""
+    import threading
+    import time
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_read_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    # seed one batch so readers always have something to fold
+    msink_commit_batch(table, _mk_batch(spark, 0, 10), 0)
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def committer(ids):
+        try:
+            for b in ids:
+                msink_commit_batch(
+                    table, _mk_batch(spark, b * 10, b * 10 + 10), b
+                )
+        except Exception as exc:
+            errors.append(exc)
+
+    def checkpointer():
+        try:
+            while not done.is_set():
+                mlog_checkpoint(table)
+                time.sleep(0.05)
+        except Exception as exc:
+            errors.append(exc)
+
+    def expirer():
+        try:
+            while not done.is_set():
+                try:
+                    mlog_expire_checkpointed(table)
+                except RuntimeError:
+                    pass  # no checkpoint yet: the documented refusal
+                time.sleep(0.07)
+        except Exception as exc:
+            errors.append(exc)
+
+    def reader():
+        try:
+            while not done.is_set():
+                df, _, _ = mlog_read_checkpointed(spark, table)
+                got = sorted(r["event_id"] for r in df.collect())
+                # prefix-consistency: complete batches only
+                assert len(got) % 10 == 0 and len(set(got)) == len(got)
+                for i in range(0, len(got), 10):
+                    lo = got[i]
+                    assert got[i : i + 10] == list(range(lo, lo + 10)), (
+                        f"torn batch in mid-flight read: {got[i:i+10]}"
+                    )
+        except Exception as exc:
+            errors.append(exc)
+
+    commit_threads = [
+        threading.Thread(target=committer, args=(range(lo, lo + 4),))
+        for lo in (1, 5, 9)
+    ]
+    aux = [
+        threading.Thread(target=checkpointer),
+        threading.Thread(target=expirer),
+        threading.Thread(target=reader),
+        threading.Thread(target=reader),
+    ]
+    for th in aux + commit_threads:
+        th.start()
+    for th in commit_threads:
+        th.join()
+    done.set()
+    for th in aux:
+        th.join()
+
+    assert not errors, errors
+    mlog_checkpoint(table)
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    got = sorted(r["event_id"] for r in df.collect())
+    assert got == list(range(130)), "lost or doubled a batch under race"

@@ -2462,6 +2462,7 @@ def mlog_poll(
     change-data movement ∝ new commits, never a table rescan; the
     cursor is O(1) consumer state."""
     from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
         _commit_version,
         _load_commit,
         _log_commits,
@@ -2475,6 +2476,19 @@ def mlog_poll(
             if _commit_version(c) >= offset
         ]
         if not new:
+            # an empty tail is only "caught up" if nothing the consumer
+            # hasn't read was ever committed: a checkpoint at version
+            # k >= offset proves commits in [offset, k] existed and
+            # were expired — a lagging consumer must get the
+            # offset-out-of-range error, not a silent caught-up
+            # (ADVICE r12 #3)
+            k, _ = _checkpoint_state(table_dir)
+            if k >= offset:
+                raise RuntimeError(
+                    f"consumer offset {offset} out of range at "
+                    f"{table_dir}: commits through {k} were "
+                    "checkpointed and expired"
+                )
             return None, 0, offset
         versions = [_commit_version(c) for c in new]
         if versions != list(range(offset, versions[-1] + 1)):
@@ -2780,7 +2794,14 @@ def mlog_expire_checkpointed(table_dir: str) -> int:
     expired = 0
     for c in _log_commits(table_dir):
         if _commit_version(c) <= k:
-            os.remove(c)
+            try:
+                # a concurrent expirer — or msink_commit_batch's
+                # relocation path vacating its own invisible record —
+                # may have removed it between the listing and here
+                # (ADVICE r12 #2); count only records WE removed
+                os.remove(c)
+            except FileNotFoundError:
+                continue
             expired += 1
     return expired
 
@@ -3067,7 +3088,14 @@ def mlog_read_pruned(
     ``[lo, hi]`` BEFORE any scan is planned — the Delta/Iceberg
     data-skipping decision made from checkpoint metadata alone, no
     parquet footer opened for a pruned group. Returns
-    ``(filtered_df, n_groups_scanned)``."""
+    ``(filtered_df, n_groups_scanned)``.
+
+    Resolution uses the SAME gap-checked retry loop as its sibling
+    readers (ADVICE r12 #4): a concurrent checkpoint+expire between
+    checkpoint resolution and the tail load must surface as a newer
+    checkpoint on retry or an honest error — never a silently partial
+    table. A commit doc WITHOUT stats is unprunable (always scanned):
+    absent metadata can never justify skipping data."""
     from dbsuite_spark.streaming.streams import (
         _checkpoint_state,
         _commit_version,
@@ -3076,16 +3104,37 @@ def mlog_read_pruned(
         fold_groups,
     )
 
-    k, cp_groups = _checkpoint_state(table_dir)
-    docs = list(cp_groups) + [
-        _load_commit(c)
-        for c in _log_commits(table_dir)
-        if _commit_version(c) > k
-    ]
+    for attempt in (0, 1, 2):
+        k, cp_groups = _checkpoint_state(table_dir)
+        tail = [
+            c for c in _log_commits(table_dir) if _commit_version(c) > k
+        ]
+        tail_versions = [_commit_version(c) for c in tail]
+        head = tail_versions[-1] if tail_versions else k
+        if tail_versions != list(range(k + 1, head + 1)):
+            if attempt == 2:
+                raise RuntimeError(
+                    f"commit tail past checkpoint {k} at {table_dir} "
+                    f"has gaps ({tail_versions}) — log expired without "
+                    "a covering checkpoint?"
+                )
+            continue  # a checkpoint+expire raced us; re-resolve
+        try:
+            tail_docs = [_load_commit(c) for c in tail]
+        except FileNotFoundError:
+            if attempt == 2:
+                raise RuntimeError(
+                    f"commit log at {table_dir} kept changing under "
+                    "the pruned read (3 attempts)"
+                ) from None
+            continue  # a record expired mid-load: it is now folded
+        break
+    docs = list(cp_groups) + tail_docs
     live = [
         d
         for d in docs
-        if d["stats"]["min_key"] <= hi and d["stats"]["max_key"] >= lo
+        if "stats" not in d
+        or (d["stats"]["min_key"] <= hi and d["stats"]["max_key"] >= lo)
     ]
     if not live:  # everything pruned: a valid empty scan, not an error
         if not docs:

@@ -1086,16 +1086,20 @@ def _checkpoint_state(table_dir: str) -> tuple[int, list[dict]]:
 
 
 def fold_groups(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Union the parquet file groups at ``paths`` in order — the ONE
-    fold every commit-log reader (live, checkpointed, as-of) shares, so
-    a reader-semantics fix lands once (round-12 review finding #7)."""
+    """Union the parquet file groups at ``paths`` — the ONE fold every
+    commit-log reader (live, checkpointed, as-of) shares, so a
+    reader-semantics fix lands once (round-12 review finding #7).
+
+    The fold is ONE multi-path parquet scan, not an N-way ``unionByName``
+    chain (VERDICT r12 ask #5): a chain costs O(N) plan nodes PER READ
+    at a real commit cadence (thousands of groups between compactions),
+    while a single FileScan over N directories is O(1) plan nodes with
+    the same bag-union semantics — all groups of one table are written
+    by the same sink with one schema, which the plan pin and every
+    reader law verify."""
     if not paths:
         raise RuntimeError("nothing to fold: empty group list")
-    frames = [spark.read.parquet(p) for p in paths]
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+    return spark.read.parquet(*paths)
 
 
 def _attempt_path(table_dir: str, kind: str, batch_id: int) -> str:
@@ -1135,7 +1139,19 @@ def _try_claim_version(
     the loser's cleanup would raise FileNotFoundError mid-replay
     (ADVICE r11 #1). Cleanup is additionally suppress-wrapped — on a
     scratch file, a missing-file race is never worth crashing a
-    streaming query over."""
+    streaming query over.
+
+    The loser's look-at-the-winner load is ALSO race-guarded (ADVICE
+    r12 #1): between the failed link and ``_load_commit``, a concurrent
+    ``mlog_expire_checkpointed`` (or the winner's own relocation path
+    in ``msink_commit_batch``) can delete the winning record. Expiry
+    only ever removes a record a checkpoint has FOLDED, and relocation
+    re-publishes the same batch at a higher version — so on
+    FileNotFoundError the dedup re-resolves against the newest
+    checkpoint's folded groups plus the surviving log: 'skipped' if
+    OUR batch is already in there, else 'lost' (the caller re-claims a
+    higher slot, where its own pre-write dedup already ruled out a
+    double commit)."""
     import contextlib
     import json as _json
     import os
@@ -1153,7 +1169,21 @@ def _try_claim_version(
     except FileExistsError:
         with contextlib.suppress(FileNotFoundError):
             os.remove(tmp)
-        if _load_commit(commit_path)["batch_id"] == batch_id:
+        try:
+            winner = _load_commit(commit_path)["batch_id"]
+        except FileNotFoundError:
+            # the winning record vanished between the failed link and
+            # the load — expired past a checkpoint or relocated by its
+            # own committer. Re-resolve the dedup from durable state.
+            _, ck_groups = _checkpoint_state(table_dir)
+            if batch_id in {g["batch_id"] for g in ck_groups}:
+                return "skipped"
+            for c in _log_commits(table_dir):
+                with contextlib.suppress(FileNotFoundError):
+                    if _load_commit(c)["batch_id"] == batch_id:
+                        return "skipped"
+            return "lost"
+        if winner == batch_id:
             return "skipped"
         return "lost"
 
@@ -1561,16 +1591,32 @@ def sdv_read_state(
     table-wide in ONE broadcast anti-join — same read path as
     ``etl_manifest_deletion_vectors``'s v2). An empty log reads the
     base verbatim. Module-level so the law tests can interleave reads
-    with commits."""
+    with commits.
+
+    The DV log resolves through the CHECKPOINTED reader (VERDICT r12
+    ask #3): a long-running delete stream's log can be checkpointed and
+    its prefix expired without unbounding reads — the dense-log
+    ``msink_read`` would refuse the expired log outright, and the old
+    commit-glob liveness test would silently read the base VERBATIM
+    (resurrecting every deleted row) once expiry emptied the commit
+    listing while the deletes live on in the checkpoint. Law: the MOR
+    read is byte-identical before and after DV-log checkpoint+expire."""
     import glob
     import os
 
     base = spark.read.parquet(base_dir).select(
         "o_orderkey", "o_totalprice"
     )
-    if glob.glob(os.path.join(dv_log_dir, "commit-*.json")):
-        dvs = msink_read(spark, dv_log_dir).select("o_orderkey")
-        base = base.join(F.broadcast(dvs), "o_orderkey", "left_anti")
+    has_log = glob.glob(
+        os.path.join(dv_log_dir, "commit-*.json")
+    ) or glob.glob(os.path.join(dv_log_dir, "checkpoint-*.json"))
+    if has_log:
+        from dbsuite_spark.etl.loaders import mlog_read_checkpointed
+
+        dvs, _, _ = mlog_read_checkpointed(spark, dv_log_dir)
+        base = base.join(
+            F.broadcast(dvs.select("o_orderkey")), "o_orderkey", "left_anti"
+        )
     return base
 
 

@@ -1925,13 +1925,14 @@ def test_stream_dv_read_is_single_broadcast_anti_join(spark, sf_dir):
 
 
 def test_asof_reads_fold_prefix_scans_only(spark, sf_dir):
-    """etl_manifest_asof_read: the three version pins plan as Unions of
-    exactly their prefix group scans (3 + 6 + 10 = 19) — resolution
-    picks checkpoint + tail driver-side; the data plan is pruned scans
-    with one exchange per 1-row aggregate; zero Python, zero
-    cartesian."""
+    """etl_manifest_asof_read: each version pin folds its prefix groups
+    in ONE multi-path parquet scan (VERDICT r12 ask #5 — previously an
+    N-way union chain: 3 + 6 + 10 = 19 scan nodes, now exactly 3, one
+    per pin) — resolution picks checkpoint + tail driver-side; the data
+    plan is pruned scans with one exchange per 1-row aggregate; zero
+    Python, zero cartesian."""
     plan = plan_of(spark, sf_dir, "etl_manifest_asof_read")
-    assert n_nodes(plan, "Scan parquet") == 19
+    assert n_nodes(plan, "Scan parquet") == 3
     assert n_nodes(plan, "Exchange") == 3
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -1940,12 +1941,40 @@ def test_asof_reads_fold_prefix_scans_only(spark, sf_dir):
 def test_ckpt_stats_narrow_read_scans_one_group(spark, sf_dir):
     """etl_manifest_ckpt_stats_skip: stats pruning happens driver-side
     from checkpoint metadata, so the plan contains ONLY the surviving
-    group scans — full(8) + mid(3) + narrow(1) = 12 — each with the
-    key predicate pushed to the scan; zero shuffle beyond the three
-    1-row aggregates, zero Python, zero cartesian."""
+    groups — one multi-path scan per probe (full, mid, narrow; the
+    pruned groups' paths simply never enter the scan) — with the key
+    predicate pushed to the scan; zero shuffle beyond the three 1-row
+    aggregates, zero Python, zero cartesian."""
     plan = plan_of(spark, sf_dir, "etl_manifest_ckpt_stats_skip")
-    assert n_nodes(plan, "Scan parquet") == 12
+    assert n_nodes(plan, "Scan parquet") == 3
     assert n_nodes(plan, "Exchange") == 3
     assert "PushedFilters: [" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_checkpointed_reader_folds_in_one_scan(spark, tmp_path):
+    """The commit-log fold is O(1) plan nodes regardless of group count
+    (VERDICT r12 ask #5): a 6-group checkpointed read plans exactly ONE
+    multi-path FileScan — no per-group scan nodes, no Union chain."""
+    from dbsuite_spark.etl.loaders import mlog_checkpoint, mlog_read_checkpointed
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(6):
+        msink_commit_batch(
+            table,
+            spark.range(i * 10, i * 10 + 10).selectExpr("id AS event_id"),
+            i,
+        )
+    mlog_checkpoint(table)
+    df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+    assert (n_cp, n_tail) == (6, 0)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "Union") == 0
+    assert df.count() == 60

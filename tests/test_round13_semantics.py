@@ -1,0 +1,329 @@
+"""Regression laws for the four ADVICE r12 findings — all members of
+the same expiry-TOCTOU class round 12 hardened elsewhere:
+
+1. a claim LOSER whose winner's commit record vanishes (expired or
+   relocated) between the failed link and the look-at-the-winner load
+   must re-resolve against checkpoint + surviving log, never crash;
+2. ``mlog_expire_checkpointed`` racing another expirer (or a
+   committer's relocation) over the same record must suppress the
+   missing-file and count only its own removals;
+3. an incremental consumer whose UNREAD range was checkpointed and
+   expired must get the offset-out-of-range error even when the
+   surviving log tail is EMPTY — never a silent "caught up";
+4. ``mlog_read_pruned`` treats a commit doc without stats as
+   unprunable (always scanned) and shares the siblings' gap-checked
+   resolution, instead of KeyError / silently partial tables.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from dbsuite_spark.streaming import streams
+
+
+def _mk_batch(spark, n0: int, n1: int):
+    return spark.range(n0, n1).selectExpr(
+        "id AS event_id",
+        "id % 7 AS user_id",
+        "CAST(id AS DOUBLE) AS value",
+    )
+
+
+def _mk_orders(spark, lo: int, hi: int):
+    return spark.range(lo, hi).selectExpr(
+        "id AS o_orderkey", "CAST(id AS DOUBLE) AS o_totalprice"
+    )
+
+
+# --- ADVICE r12 #1: loser's look-at-the-winner load races expiry ------------
+
+
+def _vanishing_load(monkeypatch, victim_suffix: str):
+    """Patch streams._load_commit so the FIRST load of the record whose
+    path ends with ``victim_suffix`` deletes it out-of-band first — the
+    deterministic re-creation of a concurrent expirer (or the winner's
+    own relocation) claiming the record between the loser's failed
+    os.link and its _load_commit."""
+    real = streams._load_commit
+    state = {"fired": False}
+
+    def load(path):
+        if path.endswith(victim_suffix) and not state["fired"]:
+            state["fired"] = True
+            os.remove(path)
+        return real(path)
+
+    monkeypatch.setattr(streams, "_load_commit", load)
+    return state
+
+
+def test_claim_loser_skips_when_vanished_winner_was_its_own_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Same-batch replay loses the link race, the winning record is
+    expired before the loser can read it: the batch IS folded in the
+    newest checkpoint, so the loser must resolve to 'skipped' — a
+    'lost' here would double-commit the batch at the next version."""
+    from dbsuite_spark.etl.loaders import mlog_checkpoint
+
+    table = str(tmp_path / "tbl")
+    assert (
+        streams.msink_commit_batch(table, _mk_batch(spark, 0, 10), 7)
+        == "committed"
+    )
+    mlog_checkpoint(table)  # batch 7 now folded — expiry-eligible
+
+    state = _vanishing_load(monkeypatch, "commit-00000.json")
+    out = streams._try_claim_version(
+        table, 0, {"batch_id": 7, "group": "unused"}, 7
+    )
+    assert state["fired"], "the race window was never exercised"
+    assert out == "skipped"
+    # the vanish consumed the record; the checkpoint still covers it
+    assert glob.glob(os.path.join(table, "commit-*.json")) == []
+
+
+def test_claim_loser_loses_when_vanished_winner_was_foreign(
+    spark, tmp_path, monkeypatch
+):
+    """Foreign-batch variant: the vanished winner belonged to batch 7,
+    the claimant is batch 99 (nowhere in checkpoint or log) — the claim
+    resolves to 'lost' so the caller re-claims a higher slot."""
+    from dbsuite_spark.etl.loaders import mlog_checkpoint
+
+    table = str(tmp_path / "tbl")
+    streams.msink_commit_batch(table, _mk_batch(spark, 0, 10), 7)
+    mlog_checkpoint(table)
+
+    state = _vanishing_load(monkeypatch, "commit-00000.json")
+    out = streams._try_claim_version(
+        table, 0, {"batch_id": 99, "group": "unused"}, 99
+    )
+    assert state["fired"]
+    assert out == "lost"
+
+
+def test_claim_loser_skips_when_vanished_winner_relocated(
+    spark, tmp_path, monkeypatch
+):
+    """Relocation variant: the winner's record vanished but the SAME
+    batch survives at a HIGHER version in the log (what
+    msink_commit_batch's post-link relocation produces) — the loser
+    must find it in the surviving-log scan and skip."""
+    table = str(tmp_path / "tbl")
+    streams.msink_commit_batch(table, _mk_batch(spark, 0, 10), 7)
+    streams.msink_commit_batch(table, _mk_batch(spark, 10, 20), 8)
+    # hand-relocate batch 7's record from version 0 to version 2
+    os.rename(
+        os.path.join(table, "commit-00000.json"),
+        os.path.join(table, "commit-00002.json"),
+    )
+    # recreate a stale version-0 record so the claimant's link fails,
+    # then let it vanish under the load (the relocator's own unlink)
+    import json
+
+    with open(os.path.join(table, "commit-00000.json"), "w") as fh:
+        json.dump({"batch_id": 7, "group": "stale"}, fh)
+    state = _vanishing_load(monkeypatch, "commit-00000.json")
+    out = streams._try_claim_version(
+        table, 0, {"batch_id": 7, "group": "unused"}, 7
+    )
+    assert state["fired"]
+    assert out == "skipped"
+
+
+# --- ADVICE r12 #2: concurrent expirers over the same record ----------------
+
+
+def test_expire_suppresses_concurrently_vanished_records(
+    spark, tmp_path, monkeypatch
+):
+    """An expirer whose listing includes a record another expirer (or a
+    relocating committer) removes first must skip it and count only its
+    own removals — previously an unguarded os.remove crashed with
+    FileNotFoundError, a window the true-concurrency stress's expirer
+    (which catches only RuntimeError) would have failed on."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_read_checkpointed,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    mlog_checkpoint(table)  # k=2: all three records expiry-eligible
+
+    real_list = streams._log_commits
+    state = {"raced": False}
+
+    def list_then_racer_steals_one(table_dir):
+        out = real_list(table_dir)
+        if out and not state["raced"]:
+            state["raced"] = True
+            os.remove(out[0])  # the concurrent expirer wins record 0
+        return out
+
+    monkeypatch.setattr(streams, "_log_commits", list_then_racer_steals_one)
+    assert mlog_expire_checkpointed(table) == 2  # ours, not the stolen one
+    assert state["raced"]
+    monkeypatch.undo()
+    assert streams._log_commits(table) == []
+    df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+    assert (n_cp, n_tail) == (3, 0)
+    assert df.count() == 30
+
+
+# --- ADVICE r12 #3: lagging consumer with an EMPTY surviving tail -----------
+
+
+def test_poll_lagging_consumer_errors_even_on_empty_tail(spark, tmp_path):
+    """After checkpoint+expire leaves the log empty, a poll at an
+    offset BELOW the checkpoint must raise offset-out-of-range (its
+    unread commits were folded away) — not return the caught-up None.
+    A consumer exactly at checkpoint+1 is genuinely caught up."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_poll,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    mlog_checkpoint(table)  # k=2
+    assert mlog_expire_checkpointed(table) == 3
+
+    for lagging in (0, 1, 2):
+        with pytest.raises(RuntimeError, match="out of range"):
+            mlog_poll(spark, table, lagging)
+    assert mlog_poll(spark, table, 3) == (None, 0, 3)
+
+    # the log coming back to life changes nothing for the laggard
+    streams.msink_commit_batch(table, _mk_batch(spark, 30, 40), 3)
+    with pytest.raises(RuntimeError, match="out of range"):
+        mlog_poll(spark, table, 1)
+    df, n_new, offset = mlog_poll(spark, table, 3)
+    assert (n_new, offset) == (1, 4)
+    assert df.count() == 10
+
+
+# --- ADVICE r12 #4: pruned read — stats-less docs + shared resolution -------
+
+
+def test_pruned_read_treats_missing_stats_as_unprunable(spark, tmp_path):
+    """A commit without stats can never be pruned — it is scanned for
+    EVERY probe range (absent metadata can't justify skipping data),
+    and it must not KeyError the planner. Verified live, after a
+    checkpoint (stats-less docs fold verbatim), and after expiry."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+        mlog_read_pruned,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i, stats in ((0, True), (1, True), (2, False)):
+        streams.msink_commit_batch(
+            table,
+            _mk_orders(spark, i * 10, i * 10 + 10),
+            i,
+            stats=(
+                {"min_key": i * 10, "max_key": i * 10 + 9} if stats else None
+            ),
+        )
+
+    def probe():
+        # [0,5] overlaps group 0's stats; group 1 prunes; group 2 has
+        # no stats → scanned unconditionally
+        df, n = mlog_read_pruned(spark, table, 0, 5)
+        assert n == 2
+        assert sorted(r["o_orderkey"] for r in df.collect()) == list(
+            range(6)
+        )
+        # a probe above every stats range still scans the blind group
+        df_hi, n_hi = mlog_read_pruned(spark, table, 100, 200)
+        assert n_hi == 1
+        assert df_hi.count() == 0
+
+    probe()
+    mlog_checkpoint(table)
+    probe()
+    assert mlog_expire_checkpointed(table) == 3
+    probe()
+
+
+# --- VERDICT r12 ask #3: the DV log is checkpointable + expirable -----------
+
+
+def test_sdv_read_identical_across_dv_log_checkpoint_and_expiry(
+    spark, tmp_path
+):
+    """A long-running delete stream's DV log must stay BOUNDED: the MOR
+    read is row-identical before a DV-log checkpoint, after it, and
+    after the folded commit prefix is expired — and deletes committed
+    AFTER expiry keep composing. The old dense-log read path refused an
+    expired log; the old commit-glob liveness test was worse — with the
+    commit listing empty it read the base VERBATIM, resurrecting every
+    deleted row."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import sdv_read_state
+
+    base_dir = str(tmp_path / "base")
+    dv_log = str(tmp_path / "dvlog")
+    _mk_orders(spark, 0, 100).write.parquet(base_dir)
+    for i in range(3):  # delete keys % 10 == i, one DV commit each
+        dv = spark.range(i, 100, 10).selectExpr("id AS o_orderkey")
+        assert (
+            streams.msink_commit_batch(dv_log, dv, i) == "committed"
+        )
+
+    def keys():
+        return sorted(
+            r["o_orderkey"]
+            for r in sdv_read_state(spark, base_dir, dv_log).collect()
+        )
+
+    want = [k for k in range(100) if k % 10 > 2]
+    assert keys() == want
+    mlog_checkpoint(dv_log)
+    assert keys() == want
+    assert mlog_expire_checkpointed(dv_log) == 3
+    assert glob.glob(os.path.join(dv_log, "commit-*.json")) == []
+    assert keys() == want, "expiry resurrected deleted rows"
+
+    # post-expiry deletes keep composing through the checkpointed read
+    dv = spark.range(3, 100, 10).selectExpr("id AS o_orderkey")
+    assert streams.msink_commit_batch(dv_log, dv, 3) == "committed"
+    assert streams.msink_commit_batch(dv_log, dv, 3) == "skipped"
+    assert keys() == [k for k in range(100) if k % 10 > 3]
+
+
+def test_pruned_read_refuses_uncovered_gap(spark, tmp_path):
+    """The pruned read shares its siblings' gap-checked resolution: an
+    expired commit with no covering checkpoint is an honest error,
+    never a silently partial (and silently mis-pruned) table."""
+    from dbsuite_spark.etl.loaders import mlog_read_pruned
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        streams.msink_commit_batch(
+            table,
+            _mk_orders(spark, i * 10, i * 10 + 10),
+            i,
+            stats={"min_key": i * 10, "max_key": i * 10 + 9},
+        )
+    os.remove(os.path.join(table, "commit-00001.json"))  # uncovered gap
+    with pytest.raises(RuntimeError, match="gaps"):
+        mlog_read_pruned(spark, table, 0, 100)

@@ -261,6 +261,163 @@ def test_pruned_read_treats_missing_stats_as_unprunable(spark, tmp_path):
     probe()
 
 
+# --- VERDICT r12 ask #4: multi-column stats pruning laws --------------------
+
+
+def test_pruned_cols_equals_unpruned_filter_two_columns(spark, sf_dir):
+    """Conjunctive multi-column pruning is an OPTIMIZATION, never a
+    semantics change: for a battery of (key, date) predicate specs —
+    including one-column specs, empty probes, and ranges straddling the
+    date-class split — the pruned read is row-identical to filtering
+    the full checkpointed fold, and groups-scanned never exceeds the
+    total."""
+    from pyspark.sql import functions as F
+
+    import dbsuite_spark
+    from dbsuite_spark.etl.loaders import (
+        mlog_read_checkpointed,
+        mlog_read_pruned_cols,
+    )
+    from dbsuite_spark.etl.io import artifact_path
+
+    specs = dbsuite_spark.all_specs()
+    specs["etl_manifest_ckpt_stats_multi"].fn(spark, sf_dir).collect()
+    table = artifact_path(sf_dir, "ckpt_stats_multi_table")
+    full, _, _ = mlog_read_checkpointed(spark, table)
+    max_key = full.agg(F.max("o_orderkey")).first()[0]
+    w = max_key // 4 + 1
+    for pred in (
+        {"o_orderkey": (0, max_key)},
+        {"o_orderkey": (w // 2, 2 * w + w // 2)},  # straddles slices
+        {"o_orderdate": ("1996-01-01 00:00:00", "1999-01-01 00:00:00")},
+        {
+            "o_orderkey": (w, 3 * w - 1),
+            "o_orderdate": ("1995-01-01 00:00:00", "1996-06-01 00:00:00"),
+        },
+        {
+            "o_orderkey": (0, w - 1),
+            "o_orderdate": ("2050-01-01 00:00:00", "2060-01-01 00:00:00"),
+        },  # date range above all stats: all-pruned
+        {"o_orderkey": (max_key + 10, max_key + 20)},  # key all-pruned
+    ):
+        pruned, n_groups = mlog_read_pruned_cols(spark, table, pred)
+        want = full
+        for col, (lo, hi) in pred.items():
+            dt = full.schema[col].dataType
+            want = want.filter(
+                F.col(col).between(F.lit(lo).cast(dt), F.lit(hi).cast(dt))
+            )
+        want_keys = sorted(r["o_orderkey"] for r in want.collect())
+        got_keys = sorted(r["o_orderkey"] for r in pruned.collect())
+        assert got_keys == want_keys, f"spec {pred}"
+        assert 0 <= n_groups <= 8
+        if not want_keys:
+            assert n_groups == 0, f"spec {pred} scanned groups for nothing"
+
+
+# --- VERDICT r12 ask #2: change-feed tail laws -------------------------------
+
+
+def test_tail_fresh_consumer_behind_retention_errors(spark, tmp_path):
+    """A NEW tail consumer starting at offset 0 after the upstream
+    prefix was checkpointed and expired must get the honest
+    offset-out-of-range error — never silently start from a partial
+    view; a consumer whose cursor is past the checkpoint keeps tailing."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_expire_checkpointed,
+    )
+    from dbsuite_spark.streaming.streams import (
+        _tail_cursor,
+        mlog_tail_once,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cur = str(tmp_path / "consumer")
+    for i in range(3):
+        streams.msink_commit_batch(
+            src, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    assert mlog_tail_once(spark, src, dst, cur) == 3
+    mlog_checkpoint(src)
+    assert mlog_expire_checkpointed(src) == 3
+
+    fresh = str(tmp_path / "fresh_consumer")
+    with pytest.raises(RuntimeError, match="out of range"):
+        mlog_tail_once(spark, src, dst, fresh)
+
+    # the caught-up consumer tails on across the expiry
+    assert mlog_tail_once(spark, src, dst, cur) == 0
+    streams.msink_commit_batch(src, _mk_batch(spark, 30, 40), 3)
+    assert mlog_tail_once(spark, src, dst, cur) == 1
+    assert _tail_cursor(cur) == 4
+
+
+def test_tail_outrun_by_retention_mid_walk_is_honest_error(
+    spark, tmp_path, monkeypatch
+):
+    """A version the poll listed but expiry removed before its
+    per-version read is a retention error (the Kafka consumer-outrun
+    contract) — never a silently skipped version — and the cursor does
+    not advance past the loss."""
+    from dbsuite_spark.streaming.streams import (
+        _tail_cursor,
+        mlog_tail_once,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cur = str(tmp_path / "consumer")
+    for i in range(2):
+        streams.msink_commit_batch(
+            src, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+
+    real = streams._load_commit
+    state = {"n": 0}
+
+    def second_access_vanishes(path):
+        if path.endswith(os.path.join(src, "commit-00000.json")):
+            state["n"] += 1
+            if state["n"] == 2:  # poll saw it; the walk finds it gone
+                os.remove(path)
+        return real(path)
+
+    monkeypatch.setattr(streams, "_load_commit", second_access_vanishes)
+    with pytest.raises(RuntimeError, match="outrun by retention"):
+        mlog_tail_once(spark, src, dst, cur)
+    assert state["n"] == 2
+    assert _tail_cursor(cur) == 0, "cursor advanced past a lost version"
+
+
+def test_tail_redundant_consumers_stay_exactly_once(spark, tmp_path):
+    """Two redundant tail consumers (the failover pattern: separate
+    cursors, same downstream) each walk every upstream version, but the
+    downstream's per-version dedup keeps delivery exactly-once — the
+    final fold equals the upstream content with no doubled version."""
+    from dbsuite_spark.streaming.streams import mlog_tail_once
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    for i in range(4):
+        streams.msink_commit_batch(
+            src, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    assert (
+        mlog_tail_once(spark, src, dst, str(tmp_path / "consumer_a")) == 4
+    )
+    assert (
+        mlog_tail_once(spark, src, dst, str(tmp_path / "consumer_b")) == 4
+    )
+    assert len(glob.glob(os.path.join(dst, "commit-*.json"))) == 4
+    got = sorted(
+        r["event_id"]
+        for r in streams.msink_read(spark, dst).collect()
+    )
+    assert got == list(range(40))
+
+
 # --- VERDICT r12 ask #3: the DV log is checkpointable + expirable -----------
 
 

@@ -34,7 +34,15 @@ ROUND10_CONTINUATION: list[str] = [
 
 ROUND10_KEYS: list[str] = ROUND10_LAKEHOUSE + ROUND10_CONTINUATION
 
-# Round-12 additions (this round)
+# Round-13 additions (this round)
+ROUND13_KEYS: list[str] = [
+    "etl_manifest_ckpt_stats_multi",
+    "stream_log_tail",
+    "etl_manifest_compact_optimize",
+    "etl_manifest_vacuum",
+]
+
+# Round-12 additions
 ROUND12_KEYS: list[str] = [
     "etl_manifest_checkpoint",
     "stream_dv_delete",

@@ -2445,10 +2445,12 @@ def mlog_poll(
     spark: SparkSession, table_dir: str, offset: int
 ) -> tuple[DataFrame | None, int, int]:
     """One incremental-consumer poll: fold commits with VERSION >=
-    ``offset`` and return ``(df_or_None, n_new_commits, new_offset)``
-    (None when the log tail is empty). The offset is a VERSION cursor,
-    never a list position — list slicing stops meaning versions the
-    moment expiry removes a prefix (the round-12 review's dense-log
+    ``offset`` and return ``(df_or_None, n_data_commits, new_offset)``
+    (None when the log tail is empty OR holds only data_change=false
+    rewrites — ``new_offset`` still advances past those, so compaction
+    never strands a consumer behind retention). The offset is a VERSION
+    cursor, never a list position — list slicing stops meaning versions
+    the moment expiry removes a prefix (the round-12 review's dense-log
     finding, applied to the consumer path).
 
     Expiry contract: if any commit in ``[offset, head]`` is gone, the
@@ -2508,8 +2510,16 @@ def mlog_poll(
                     "being read"
                 ) from None
             continue  # re-list; the dense check will diagnose
-    df = fold_groups(spark, [d["group"] for d in docs])
-    return df, len(docs), versions[-1] + 1
+    # a data_change=false commit (compaction) rewrites data this feed
+    # already delivered — the cursor advances past it but its group is
+    # never re-delivered (Delta streaming sources skip dataChange=false
+    # files, public)
+    data_docs = [d for d in docs if d.get("data_change", True)]
+    new_offset = versions[-1] + 1
+    if not data_docs:
+        return None, 0, new_offset
+    df = fold_groups(spark, [d["group"] for d in data_docs])
+    return df, len(data_docs), new_offset
 
 
 _INCR_ORACLE = f"""
@@ -2750,7 +2760,10 @@ def mlog_read_checkpointed(
                 )
             continue  # a checkpoint+expire raced us; re-resolve
         try:
-            tail_docs = [_load_commit(c) for c in tail]
+            tail_docs = [
+                {"version": v, **_load_commit(c)}
+                for v, c in zip(tail_versions, tail)
+            ]
         except FileNotFoundError:
             if attempt == 2:
                 raise RuntimeError(
@@ -2759,10 +2772,16 @@ def mlog_read_checkpointed(
                 ) from None
             continue  # a record expired mid-load: it is now folded
         break
-    groups = [g["group"] for g in cp_groups]
-    n_cp = len(groups)
-    groups.extend(d["group"] for d in tail_docs)
-    return fold_groups(spark, groups), n_cp, len(tail_docs)
+    from dbsuite_spark.streaming.streams import _live_docs
+
+    # counts report RESOLVED docs (planning cost); the fold drops
+    # compaction-replaced groups (read amplification), see _live_docs
+    live = _live_docs(list(cp_groups) + tail_docs)
+    return (
+        fold_groups(spark, [d["group"] for d in live]),
+        len(cp_groups),
+        len(tail_docs),
+    )
 
 
 def mlog_expire_checkpointed(table_dir: str) -> int:
@@ -2804,6 +2823,268 @@ def mlog_expire_checkpointed(table_dir: str) -> int:
                 continue
             expired += 1
     return expired
+
+
+def _merged_stats(stats_list: list[dict | None]) -> dict | None:
+    """Fold per-group stats into the compacted group's stats: the
+    interval union per column, kept only for columns EVERY target
+    carries (a column any target lacks stats for has unknown extent —
+    claiming one would let pruning skip real data). Understands both
+    the per-column-map shape and the legacy scalar min_key/max_key."""
+    if any(not s for s in stats_list):
+        return None
+    out: dict = {}
+    for col in set.intersection(*(set(s) for s in stats_list)):
+        vals = [s[col] for s in stats_list]
+        if all(
+            isinstance(v, dict) and v.get("min") is not None for v in vals
+        ):
+            out[col] = {
+                "min": min(v["min"] for v in vals),
+                "max": max(v["max"] for v in vals),
+            }
+        elif col in ("min_key", "max_key") and all(
+            not isinstance(v, dict) and v is not None for v in vals
+        ):
+            out[col] = (min if col == "min_key" else max)(vals)
+    return out or None
+
+
+def mlog_compact(spark: SparkSession, table_dir: str) -> int:
+    """OPTIMIZE the manifest-log table (round 13): rewrite every
+    currently-live group into ONE compacted group and publish it
+    through the SAME atomic commit protocol as any batch — the new
+    commit carries ``replaces: [versions...]`` + ``data_change: false``
+    and supersedes its targets the instant the link lands, so every
+    reader sees either the old groups or the compacted one, never both
+    (snapshot isolation; the readers' ``_live_docs`` resolution).
+    Returns the number of groups compacted (0 = no-op, fewer than two
+    live groups).
+
+    Concurrency, all resolved WITHOUT write-side coordination:
+
+    - a concurrent APPEND's version is above our target set — never
+      replaced, still folded: appends and compaction don't conflict;
+    - two RACING compactions both commit; read-time resolution voids
+      the higher version deterministically (its group duplicates data
+      the earlier one superseded) — the loser's group is vacuum fodder,
+      correctness never depends on who wins;
+    - EXPIRY only removes commit records a checkpoint folded; target
+      groups' parquet dirs persist, so the rewrite scan is stable.
+
+    Time travel: as-of pins BEFORE the compaction version still fold
+    the original groups (resolution runs over the pinned prefix).
+    Change feeds: ``data_change: false`` means pollers/tails advance
+    past the commit without re-delivering rewritten rows (Delta marks
+    OPTIMIZE files dataChange=false for exactly this, public).
+
+    Stats: the compacted doc carries the interval-union of its targets'
+    per-column stats (when all targets carry them), so data skipping
+    keeps working across compaction.
+
+    Scale: this is the read-amplification lever — a commit cadence of
+    thousands of small groups folds back to O(1) scan units; the
+    rewrite is one distributed scan+write of live data, metadata cost
+    is one commit record."""
+    import uuid
+
+    from dbsuite_spark.streaming.streams import (
+        _live_docs,
+        fold_groups,
+        msink_commit_batch,
+    )
+
+    targets = _live_docs(_resolve_log_docs(table_dir))
+    if len(targets) < 2:
+        return 0
+    folded = fold_groups(spark, [d["group"] for d in targets])
+    out = msink_commit_batch(
+        table_dir,
+        folded,
+        f"compact-{uuid.uuid4().hex[:12]}",
+        stats=_merged_stats([d.get("stats") for d in targets]),
+        extra_doc={
+            "replaces": sorted(d["version"] for d in targets),
+            "data_change": False,
+        },
+    )
+    if out != "committed":
+        raise RuntimeError(f"compaction commit failed: {out}")
+    return len(targets)
+
+
+def mlog_vacuum(table_dir: str, min_age_s: float = 0.0) -> tuple[int, int]:
+    """VACUUM the manifest-log table: delete every group directory NO
+    reconstructable pin can reach (Delta VACUUM, public), returning
+    ``(n_deleted, n_kept)``. Three garbage classes fall out:
+
+    - losing-attempt orphans (written, never committed — the aborted
+      writers :func:`_attempt_path` isolates);
+    - VOID racing-compaction groups (committed but resolved away at
+      EVERY pin — see ``_live_docs``: a replacer whose targets an
+      earlier replacer claimed is void from birth);
+    - REPLACED groups whose own commit records have been expired — a
+      replaced group is pinnable only at versions below its replacer,
+      and those pins need the record; once ``mlog_expire_checkpointed``
+      removes it, no surviving pin folds the group (checkpoints carry
+      the doc for resolution metadata, but resolution drops it at every
+      checkpoint-era pin).
+
+    The needed set is conservative: every SURVIVING record's group that
+    is live at its own version-pin (a replaced-but-unexpired doc IS the
+    table at that pin), plus every surviving checkpoint's live fold.
+    Prefix resolution here sees only surviving records, so a claim made
+    by an expired replacer is invisible — which can only KEEP a group
+    longer, never delete a needed one.
+
+    ``min_age_s`` is the retention guard (Delta VACUUM's retention
+    threshold, public): a writer's in-flight group — written but not
+    yet linked — is indistinguishable from an aborted one, so only
+    dirs older than the threshold are deleted. Pass 0 only when no
+    writer is active (maintenance window), as the demo key does.
+
+    Scale: pure driver-side metadata (O(records²) worst-case on the
+    per-pin resolution — records, not files; bounded by expiry) plus
+    one rmtree per dead group; no data is read."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+
+    from dbsuite_spark.streaming.streams import (
+        _commit_version,
+        _live_docs,
+        _load_commit,
+        _log_commits,
+    )
+
+    record_docs = [
+        {"version": _commit_version(c), **_load_commit(c)}
+        for c in _log_commits(table_dir)
+    ]
+    needed: set[str] = set()
+    for d in record_docs:
+        prefix = [x for x in record_docs if x["version"] <= d["version"]]
+        if any(x["version"] == d["version"] for x in _live_docs(prefix)):
+            needed.add(d["group"])
+    for cp in _glob.glob(os.path.join(table_dir, "checkpoint-*.json")):
+        doc = _read_manifest(cp)
+        needed.update(g["group"] for g in _live_docs(doc["groups"]))
+
+    deleted = kept = 0
+    now = _time.time()
+    for g in sorted(_glob.glob(os.path.join(table_dir, "group-*"))):
+        if not os.path.isdir(g):
+            continue
+        if g in needed or now - os.path.getmtime(g) < min_age_s:
+            kept += 1
+            continue
+        _shutil.rmtree(g, ignore_errors=True)
+        deleted += 1
+    return deleted, kept
+
+
+_VACUUM_ORACLE = f"""
+SELECT 'vacuum' AS phase, CAST(8 AS BIGINT) AS n_deleted,
+       CAST(3 AS BIGINT) AS n_kept,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+UNION ALL
+SELECT 'revacuum' AS phase, CAST(0 AS BIGINT) AS n_deleted,
+       CAST(3 AS BIGINT) AS n_kept,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+"""
+
+
+@query("etl_manifest_vacuum", oracle=_VACUUM_ORACLE, category="K")
+def etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM over the commit-log substrate end-to-end (round 13) — the
+    storage-reclamation step that completes the OPTIMIZE story: after
+    compaction + checkpoint + expiry, the replaced groups are dead
+    weight no reconstructable pin can reach, and :func:`mlog_vacuum`
+    reclaims them together with aborted-writer orphans and the void
+    loser of a racing compaction.
+
+    The run builds the full garbage taxonomy deterministically: six
+    ``o_orderkey % 8`` slices commit (6 groups); an ABORTED writer
+    leaves an uncommitted orphan dir; OPTIMIZE compacts the six
+    (version 6); a RACING duplicate compaction lands at version 7
+    (void by resolution — double-fold never happens); a checkpoint
+    folds through v7 and the record prefix EXPIRES (pre-compaction
+    pins now unreconstructable); slices 6-7 append (versions 8-9).
+    Vacuum must delete exactly 8 dirs (6 replaced + 1 orphan + 1 void)
+    and keep 3 (compacted + 2 appends); a second vacuum deletes 0 —
+    idempotence. Both rows also report the post-vacuum read's (n_rows,
+    decimal-exact sum), which must equal the FULL orders table: vacuum
+    moved no live data (reads byte-stable — law-tested, including that
+    pre-expiry vacuum preserves pinnable history).
+
+    Scale: the needed-set computation is driver-side metadata over
+    surviving records + checkpoints (bounded by expiry); deletion is
+    one rmtree per dead group with a retention-age guard for in-flight
+    writers (Delta VACUUM's threshold, public). Storage stays
+    proportional to LIVE data + unexpired history, not to write
+    amplification."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import (
+        _attempt_path,
+        msink_commit_batch,
+    )
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = artifact_path(sf_dir, "mlog_vacuum_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    for i in range(6):
+        msink_commit_batch(
+            table_dir, base.filter(F.col("o_orderkey") % 8 == i), i
+        )
+    # aborted writer: a group lands, its commit never does
+    orphan = _attempt_path(table_dir, "group", 99)
+    base.limit(5).write.mode("overwrite").parquet(orphan)
+
+    if mlog_compact(spark, table_dir) != 6:
+        raise RuntimeError("compaction must rewrite all 6 live groups")
+    # racing duplicate compaction: same targets, lands second → void
+    snapshot_groups = base.filter(F.col("o_orderkey") % 8 < 6)
+    if (
+        msink_commit_batch(
+            table_dir,
+            snapshot_groups,
+            "compact-racing-loser",
+            extra_doc={"replaces": list(range(6)), "data_change": False},
+        )
+        != "committed"
+    ):
+        raise RuntimeError("the racing compaction must still commit")
+
+    mlog_checkpoint(table_dir)
+    if mlog_expire_checkpointed(table_dir) != 8:
+        raise RuntimeError("expected records 0-7 to expire")
+    for i in (6, 7):
+        msink_commit_batch(
+            table_dir, base.filter(F.col("o_orderkey") % 8 == i), i
+        )
+
+    def report(phase: str) -> DataFrame:
+        n_deleted, n_kept = mlog_vacuum(table_dir)
+        df, _, _ = mlog_read_checkpointed(spark, table_dir)
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+            F.lit(n_kept).cast("bigint").alias("n_kept"),
+            "n_rows",
+            "sum_total",
+        )
+
+    first = report("vacuum")
+    first.collect()  # force the first vacuum before the second runs
+    return first.unionAll(report("revacuum"))
 
 
 def mlog_read_asof(
@@ -2852,12 +3133,12 @@ def mlog_read_asof(
         v = int(_re.search(r"checkpoint-(\d+)\.json$", p).group(1))
         if v <= version:
             cp_version = max(cp_version, v)
-    groups: list[str] = []
+    docs: list[dict] = []
     if cp_version >= 0:
         cp = _read_manifest(
             os.path.join(table_dir, f"checkpoint-{cp_version:05d}.json")
         )
-        groups = [g["group"] for g in cp["groups"]]
+        docs = list(cp["groups"])
 
     # commit tail in (cp_version, version] — MUST be gap-free: an
     # expired commit inside the range means the version is gone
@@ -2873,15 +3154,27 @@ def mlog_read_asof(
             f"{table_dir}: {len(missing)} commit(s) expired past the "
             "newest covering checkpoint"
         )
-    n_cp = len(groups)
+    n_cp = len(docs)
     try:
-        groups.extend(_load_commit(p)["group"] for p in tail_paths)
+        docs.extend(
+            {"version": v, **_load_commit(p)}
+            for v, p in zip(tail_versions, tail_paths)
+        )
     except FileNotFoundError:  # expired between the check and the load
         raise RuntimeError(
             f"version {version} is no longer reconstructable at "
             f"{table_dir}: its commit tail was expired mid-read"
         ) from None
-    return fold_groups(spark, groups), n_cp, len(tail_versions)
+    from dbsuite_spark.streaming.streams import _live_docs
+
+    # replaces-resolution runs over the PREFIX only: a pin BEFORE a
+    # compaction still folds the original groups — time travel sees
+    # history as it was, which is the whole point of snapshot reads
+    return (
+        fold_groups(spark, [d["group"] for d in _live_docs(docs)]),
+        n_cp,
+        len(tail_versions),
+    )
 
 
 _CKPT_COMMITS = 10  # demo log length: two checkpoints + a 2-commit tail
@@ -3110,7 +3403,10 @@ def _resolve_log_docs(table_dir: str) -> list[dict]:
                 )
             continue  # a checkpoint+expire raced us; re-resolve
         try:
-            tail_docs = [_load_commit(c) for c in tail]
+            tail_docs = [
+                {"version": v, **_load_commit(c)}
+                for v, c in zip(tail_versions, tail)
+            ]
         except FileNotFoundError:
             if attempt == 2:
                 raise RuntimeError(
@@ -3161,7 +3457,9 @@ def mlog_read_pruned_cols(
     metadata with zero I/O for pruned groups — the Delta/Iceberg
     data-skipping model generalized to the same per-column stats maps
     those formats' checkpoints carry."""
-    docs = _resolve_log_docs(table_dir)
+    from dbsuite_spark.streaming.streams import _live_docs
+
+    docs = _live_docs(_resolve_log_docs(table_dir))
 
     def survives(doc: dict) -> bool:
         stats = doc.get("stats")
@@ -3431,3 +3729,110 @@ def etl_manifest_ckpt_stats_multi(
             )
         )
     )
+
+
+_COMPACT_ORACLE = f"""
+SELECT 'before' AS phase, CAST(6 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders WHERE o_orderkey % 8 < 6
+UNION ALL
+SELECT 'after_compact' AS phase, CAST(1 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders WHERE o_orderkey % 8 < 6
+UNION ALL
+SELECT 'asof_pre' AS phase, CAST(6 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders WHERE o_orderkey % 8 < 6
+UNION ALL
+SELECT 'final' AS phase, CAST(3 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+"""
+
+
+@query(
+    "etl_manifest_compact_optimize", oracle=_COMPACT_ORACLE, category="K"
+)
+def etl_manifest_compact_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSACTIONAL COMPACTION of the commit log — OPTIMIZE with
+    snapshot isolation (round 13; Delta OPTIMIZE / Iceberg rewrite_data_files,
+    public): :func:`mlog_compact` rewrites the live groups into ONE and
+    publishes the replacement through the same atomic link as any
+    commit, carrying ``replaces`` + ``data_change: false`` — readers
+    see old groups or the compacted one, never both; time travel to a
+    pre-compaction pin still folds the originals; change feeds skip the
+    rewrite.
+
+    Six ``o_orderkey % 8`` slices (0-5) of orders land as separate
+    commits; the probes report the LIVE group count (via the stats
+    reader's group accounting on an unbounded predicate — pruning
+    disabled, so n = live groups) + (n_rows, decimal-exact sum):
+
+    - 'before': 6 live groups;
+    - 'after_compact': ONE live group, identical rows/sum — compaction
+      moved data, not semantics (the hash gate sees both);
+    - 'asof_pre': an as-of read pinned at the pre-compaction head
+      version (5) folds the 6 ORIGINAL groups (n = the as-of reader's
+      commit-tail count) — history is immutable;
+    - 'final': two more slices (6, 7) append AFTER compaction — 3 live
+      groups (compacted + 2 appends), totals now the full orders table:
+      appends compose with compaction without rewrites.
+
+    Scale: this is the read-amplification lever at a real commit
+    cadence — thousands of small groups fold back to O(1) scan units in
+    one distributed rewrite + one commit record; nothing rewrites on
+    the append path. Laws (equivalence across every reader, racing
+    compactions resolving deterministically, feed-skip, post-expiry
+    behavior) in tests/test_round13_semantics.py."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = artifact_path(sf_dir, "compact_optimize_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    for i in range(6):
+        msink_commit_batch(
+            table_dir, base.filter(F.col("o_orderkey") % 8 == i), i
+        )
+
+    def report(phase: str, n_groups: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(n_groups).cast("bigint").alias("n_live_groups"),
+            "n_rows",
+            "sum_total",
+        )
+
+    def live_read(phase: str) -> DataFrame:
+        # an unbounded predicate disables pruning, so the stats
+        # reader's group count IS the live-group count
+        df, n = mlog_read_pruned_cols(
+            spark, table_dir, {"o_orderkey": (0, 1 << 62)}
+        )
+        return report(phase, n, df)
+
+    before = live_read("before")
+    before.collect()  # pin the BEFORE snapshot before mutating the log
+
+    if mlog_compact(spark, table_dir) != 6:
+        raise RuntimeError("compaction must rewrite all 6 live groups")
+    after = live_read("after_compact")
+
+    asof_df, _, n_tail = mlog_read_asof(spark, table_dir, 5)
+    asof = report("asof_pre", n_tail, asof_df)
+
+    for i in (6, 7):
+        msink_commit_batch(
+            table_dir, base.filter(F.col("o_orderkey") % 8 == i), i
+        )
+    final = live_read("final")
+
+    return before.unionAll(after).unionAll(asof).unionAll(final)
+

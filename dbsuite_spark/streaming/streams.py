@@ -1085,6 +1085,36 @@ def _checkpoint_state(table_dir: str) -> tuple[int, list[dict]]:
     return doc["version"], doc["groups"]
 
 
+def _live_docs(docs: list[dict]) -> list[dict]:
+    """Resolve ``replaces`` semantics over version-carrying commit docs
+    (round-13 OPTIMIZE support): a compaction commit supersedes the
+    versions it names, so those versions' groups leave the fold. Racing
+    compactions resolve DETERMINISTICALLY at read time, no write-side
+    coordination: replacers apply in version order, and a replacer any
+    of whose targets were already claimed by an earlier replacer is
+    VOID in its entirety (its group duplicates data an earlier
+    compaction already superseded — folding it would double-count).
+    The void commit's group becomes an unreferenced-orphan candidate
+    for vacuum; its record stays in the log (history is immutable).
+    Docs without ``replaces`` pass through untouched, so every
+    pre-compaction log folds exactly as before."""
+    ordered = sorted(docs, key=lambda d: d["version"])
+    claimed: set[int] = set()
+    void: set[int] = set()
+    for d in ordered:
+        reps = d.get("replaces") or []
+        if reps:
+            if any(r in claimed for r in reps):
+                void.add(d["version"])
+            else:
+                claimed.update(reps)
+    return [
+        d
+        for d in ordered
+        if d["version"] not in claimed and d["version"] not in void
+    ]
+
+
 def fold_groups(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Union the parquet file groups at ``paths`` — the ONE fold every
     commit-log reader (live, checkpointed, as-of) shares, so a
@@ -1193,6 +1223,7 @@ def msink_commit_batch(
     bdf: DataFrame,
     batch_id: int,
     stats: dict | None = None,
+    extra_doc: dict | None = None,
 ) -> str:
     """Commit one micro-batch into the manifest-log table at
     ``table_dir`` with EXACTLY-ONCE semantics (module-level so the law
@@ -1257,6 +1288,11 @@ def msink_commit_batch(
     doc = {"batch_id": batch_id, "group": group}
     if stats is not None:
         doc["stats"] = stats
+    if extra_doc:
+        # compaction metadata (``replaces``, ``data_change``) rides the
+        # same atomic claim — see mlog_compact; the protocol below is
+        # oblivious to it
+        doc.update(extra_doc)
     while True:
         out = _try_claim_version(table_dir, version, doc, batch_id)
         if out == "lost":
@@ -1321,7 +1357,11 @@ def msink_read(spark: SparkSession, table_dir: str) -> DataFrame:
             f"commit log at {table_dir} is not a dense 0-based prefix "
             "(expired past a checkpoint?) — use mlog_read_checkpointed"
         )
-    return fold_groups(spark, [_load_commit(c)["group"] for c in commits])
+    docs = [
+        {"version": v, **_load_commit(c)}
+        for v, c in zip(versions, commits)
+    ]
+    return fold_groups(spark, [d["group"] for d in _live_docs(docs)])
 
 
 @query(
@@ -1767,7 +1807,9 @@ def mlog_tail_once(
     semantics incl. the offset-out-of-range error when the unread range
     was expired), then re-publish each unread upstream version as ONE
     exactly-once downstream commit keyed by that version. Returns the
-    number of upstream versions consumed (0 = caught up).
+    number of DATA versions delivered (0 = caught up, or the unread
+    range held only data_change=false rewrites — the cursor still
+    advances past those).
 
     Per-VERSION downstream batches (not one batch per poll) are what
     make replay safe: a crash between a downstream commit and the
@@ -1796,8 +1838,12 @@ def mlog_tail_once(
 
     offset = _tail_cursor(consumer_dir)
     df, n_new, new_offset = mlog_poll(spark, src_dir, offset)
-    if df is None:
-        return 0
+    if new_offset == offset:
+        return 0  # genuinely caught up
+    # new_offset may advance past a df-less range (all compaction
+    # commits): the walk below still advances the cursor through them,
+    # or a later expiry of the compacted prefix would strand this
+    # consumer behind retention for data it never needed
     for v in range(offset, new_offset):
         path = os.path.join(src_dir, f"commit-{v:05d}.json")
         try:
@@ -1808,8 +1854,12 @@ def mlog_tail_once(
                 f"{src_dir}: the version was expired between the poll "
                 "and its read"
             ) from None
-        delta = spark.read.parquet(doc["group"])
-        msink_commit_batch(dst_dir, delta, v)  # keyed by src version
+        if doc.get("data_change", True):
+            delta = spark.read.parquet(doc["group"])
+            msink_commit_batch(dst_dir, delta, v)  # keyed by src version
+        # a data_change=false commit (compaction) rewrites data the
+        # feed already delivered — skip it, advance past it (Delta's
+        # streaming sources skip dataChange=false files, public)
         _persist_cursor(consumer_dir, v + 1)
     return n_new
 

@@ -265,6 +265,7 @@ from dbsuite_spark._rounds import (  # noqa: E402
     ROUND10_KEYS,
     ROUND11_KEYS,
     ROUND12_KEYS,
+    ROUND13_KEYS,
 )
 
 KEYS += ROUND10_KEYS
@@ -277,6 +278,12 @@ KEYS += ROUND11_KEYS
 # Round-12 additions: the checkpointed fold and the DV merge-on-read
 # anti-join must be identical however the group scans partition.
 KEYS += ROUND12_KEYS
+
+# Round-13 additions: multi-column pruning, the change-feed tail's
+# per-version re-publication, OPTIMIZE's rewrite fold, and the
+# post-vacuum reads all fold multi-path scans whose results must be
+# identical however the scans partition.
+KEYS += ROUND13_KEYS
 
 
 def _rows(spark, sf_dir, key, width):

@@ -1849,13 +1849,14 @@ def test_schema_evolution_reads_prune_under_physical_names(spark, sf_dir):
 
 
 def test_manifest_sink_fold_is_pure_scan_union(spark, sf_dir):
-    """stream_manifest_sink: the log fold reads back as a plain Union
-    of pruned parquet group scans — zero exchanges, zero Python; the
-    exactly-once machinery is all O(1) driver-side metadata, invisible
-    to the data plan."""
+    """stream_manifest_sink: the log fold reads back as ONE multi-path
+    parquet scan over the 6 batch groups (the flattened fold, VERDICT
+    r12 ask #5 — previously a 6-scan Union) — zero exchanges, zero
+    Python; the exactly-once machinery is all O(1) driver-side
+    metadata, invisible to the data plan."""
     plan = plan_of(spark, sf_dir, "stream_manifest_sink")
-    assert n_nodes(plan, "Scan parquet") == 6  # one group per batch
-    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "Union") == 0
     assert n_nodes(plan, "Exchange") == 0
     assert "BatchEvalPython" not in plan
 
@@ -1964,6 +1965,31 @@ def test_ckpt_stats_multi_conj_scans_one_group(spark, sf_dir):
     assert n_nodes(plan, "Scan parquet") == 3  # key_only, date_only, conj
     assert n_nodes(plan, "Exchange") == 3  # one per 1-row aggregate
     assert plan.count("PushedFilters: [") >= 3
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compact_optimize_plans_multipath_scans_only(spark, sf_dir):
+    """etl_manifest_compact_optimize: every probe (before, after,
+    as-of, final) folds its live groups in ONE multi-path scan — 4 scan
+    nodes total, one exchange per 1-row aggregate; zero Python, zero
+    cartesian. Replaces-resolution is driver-side metadata, invisible
+    to the plan."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_compact_optimize")
+    assert n_nodes(plan, "Scan parquet") == 4
+    assert n_nodes(plan, "Exchange") == 4
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vacuum_key_plans_multipath_scans_only(spark, sf_dir):
+    """etl_manifest_vacuum: the needed-set computation and the deletes
+    are pure driver-side metadata — the plan shows only the two
+    post-vacuum reads (one multi-path scan each over the 3 kept
+    groups) + their 1-row aggregates; zero Python, zero cartesian."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_vacuum")
+    assert n_nodes(plan, "Scan parquet") == 2
+    assert n_nodes(plan, "Exchange") == 2
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

@@ -484,3 +484,287 @@ def test_pruned_read_refuses_uncovered_gap(spark, tmp_path):
     os.remove(os.path.join(table, "commit-00001.json"))  # uncovered gap
     with pytest.raises(RuntimeError, match="gaps"):
         mlog_read_pruned(spark, table, 0, 100)
+
+
+# --- round-13 OPTIMIZE: transactional compaction laws -----------------------
+
+
+def _fold_keys(spark, df):
+    return sorted(r["event_id"] for r in df.collect())
+
+
+def test_compact_preserves_every_reader_and_history(spark, tmp_path):
+    """Compaction moves data, never semantics: after OPTIMIZE every
+    reader (dense, checkpointed, stats-pruned) returns the identical
+    rows from ONE live group; an as-of pin BEFORE the compaction still
+    folds the originals; appends compose afterward without rewrites;
+    and a second compaction folds (compacted + appends) again."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_compact,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+        mlog_read_pruned_cols,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    want = list(range(40))
+    assert mlog_compact(spark, table) == 4
+
+    assert _fold_keys(spark, streams.msink_read(spark, table)) == want
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    assert _fold_keys(spark, df) == want
+    pruned, n_live = mlog_read_pruned_cols(
+        spark, table, {"event_id": (0, 1 << 62)}
+    )
+    assert n_live == 1, "compaction must leave ONE live group"
+    assert _fold_keys(spark, pruned) == want
+
+    # history: the pre-compaction pin folds the 4 ORIGINAL groups
+    asof_df, _, n_tail = mlog_read_asof(spark, table, 3)
+    assert n_tail == 4
+    assert _fold_keys(spark, asof_df) == want
+    # the compaction version itself reads identically (the swap point)
+    asof_df2, _, _ = mlog_read_asof(spark, table, 4)
+    assert _fold_keys(spark, asof_df2) == want
+
+    # appends compose; a second OPTIMIZE folds compacted + appends
+    streams.msink_commit_batch(table, _mk_batch(spark, 40, 50), 4)
+    _, n_live = mlog_read_pruned_cols(
+        spark, table, {"event_id": (0, 1 << 62)}
+    )
+    assert n_live == 2
+    assert mlog_compact(spark, table) == 2
+    pruned, n_live = mlog_read_pruned_cols(
+        spark, table, {"event_id": (0, 1 << 62)}
+    )
+    assert n_live == 1
+    assert _fold_keys(spark, pruned) == list(range(50))
+
+
+def test_racing_compactions_resolve_deterministically(spark, tmp_path):
+    """Two compactions racing over the same targets both commit, but
+    read-time resolution voids the HIGHER version (its group duplicates
+    data the earlier one superseded) — the fold never double-counts,
+    with no write-side coordination."""
+    from dbsuite_spark.etl.loaders import mlog_compact
+    from dbsuite_spark.streaming.streams import _live_docs
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    snapshot = streams.msink_read(spark, table)  # both racers fold this
+    assert mlog_compact(spark, table) == 3  # winner at version 3
+    # the losing racer, which resolved the SAME targets before the
+    # winner landed, now publishes its own duplicate rewrite
+    assert (
+        streams.msink_commit_batch(
+            table,
+            snapshot,
+            "compact-loser",
+            extra_doc={"replaces": [0, 1, 2], "data_change": False},
+        )
+        == "committed"
+    )
+    assert _fold_keys(spark, streams.msink_read(spark, table)) == list(
+        range(30)
+    ), "racing compactions double-counted the fold"
+    docs = [
+        {"version": streams._commit_version(c), **streams._load_commit(c)}
+        for c in streams._log_commits(table)
+    ]
+    live = _live_docs(docs)
+    assert [d["version"] for d in live] == [3], "loser must be void"
+
+
+def test_change_feed_skips_compaction_rewrites(spark, tmp_path):
+    """A data_change=false commit is never re-delivered: a caught-up
+    tail advances its cursor past the compaction without a downstream
+    commit, a poll reports it as zero new data, and a post-compaction
+    append flows through normally — downstream stays exactly-once."""
+    from dbsuite_spark.etl.loaders import mlog_compact, mlog_poll
+    from dbsuite_spark.streaming.streams import (
+        _tail_cursor,
+        mlog_tail_once,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cur = str(tmp_path / "consumer")
+    for i in range(3):
+        streams.msink_commit_batch(
+            src, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    assert mlog_tail_once(spark, src, dst, cur) == 3
+    assert mlog_compact(spark, src) == 3  # version 3, dataChange=false
+
+    df, n_new, new_offset = mlog_poll(spark, src, 3)
+    assert (df, n_new, new_offset) == (None, 0, 4)
+    assert mlog_tail_once(spark, src, dst, cur) == 0
+    assert _tail_cursor(cur) == 4, "cursor must advance past OPTIMIZE"
+    assert len(glob.glob(os.path.join(dst, "commit-*.json"))) == 3
+
+    streams.msink_commit_batch(src, _mk_batch(spark, 30, 40), 3)
+    assert mlog_tail_once(spark, src, dst, cur) == 1
+    got = _fold_keys(spark, streams.msink_read(spark, dst))
+    assert got == list(range(40)), "feed lost or doubled rows"
+
+
+def test_compact_then_checkpoint_expire_reads_identical(spark, tmp_path):
+    """OPTIMIZE composes with checkpoint+expiry: after the compacted
+    log's prefix expires, the checkpointed read is row-identical (the
+    checkpoint carries the replaces-resolution inputs verbatim), while
+    pins into the expired pre-compaction history raise the honest
+    reconstruction error."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    assert mlog_compact(spark, table) == 4
+    mlog_checkpoint(table)  # k=4: folds originals + the compaction doc
+    assert mlog_expire_checkpointed(table) == 5
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    assert _fold_keys(spark, df) == list(range(40))
+    with pytest.raises(RuntimeError, match="no longer reconstructable"):
+        mlog_read_asof(spark, table, 2)
+    # the checkpoint-covered head still time-travels
+    asof_df, _, _ = mlog_read_asof(spark, table, 4)
+    assert _fold_keys(spark, asof_df) == list(range(40))
+
+
+def test_compaction_merges_stats_and_keeps_pruning(spark, tmp_path):
+    """The compacted group's stats are the interval-union of its
+    targets' per-column stats, so data skipping keeps working across
+    OPTIMIZE: a probe beyond the compacted interval scans only the
+    post-compaction append; a target WITHOUT stats poisons the merge
+    (the compacted doc carries none — unprunable, never mis-pruned)."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_compact,
+        mlog_read_pruned_cols,
+    )
+
+    def orders_slice(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS o_orderkey", "CAST(id AS DOUBLE) AS o_totalprice"
+        )
+
+    table = str(tmp_path / "tbl")
+    for i in range(2):
+        streams.msink_commit_batch(
+            table,
+            orders_slice(i * 10, i * 10 + 10),
+            i,
+            stats={"o_orderkey": {"min": i * 10, "max": i * 10 + 9}},
+        )
+    assert mlog_compact(spark, table) == 2
+    streams.msink_commit_batch(
+        table,
+        orders_slice(100, 110),
+        2,
+        stats={"o_orderkey": {"min": 100, "max": 109}},
+    )
+    # probe inside the appended range: the compacted group (merged
+    # interval [0,19]) must PRUNE
+    df, n = mlog_read_pruned_cols(spark, table, {"o_orderkey": (100, 105)})
+    assert n == 1
+    assert sorted(r["o_orderkey"] for r in df.collect()) == list(
+        range(100, 106)
+    )
+    # probe inside the compacted interval: scans the compacted group
+    df, n = mlog_read_pruned_cols(spark, table, {"o_orderkey": (5, 15)})
+    assert n == 1
+    assert sorted(r["o_orderkey"] for r in df.collect()) == list(
+        range(5, 16)
+    )
+
+    # stats-less target → merge yields no stats → unprunable compacted
+    table2 = str(tmp_path / "tbl2")
+    streams.msink_commit_batch(
+        table2,
+        orders_slice(0, 10),
+        0,
+        stats={"o_orderkey": {"min": 0, "max": 9}},
+    )
+    streams.msink_commit_batch(table2, orders_slice(10, 20), 1)  # no stats
+    assert mlog_compact(spark, table2) == 2
+    df, n = mlog_read_pruned_cols(
+        spark, table2, {"o_orderkey": (1000, 2000)}
+    )
+    assert n == 1, "a stats-less merge must stay scanned, never pruned"
+    assert df.count() == 0
+
+
+# --- round-13 VACUUM laws ----------------------------------------------------
+
+
+def test_vacuum_never_deletes_pinnable_history(spark, tmp_path):
+    """Before expiry, replaced groups are PINNABLE history (their
+    records survive, so pre-compaction pins fold them) — vacuum must
+    keep every one; after checkpoint+expire removes the records, the
+    same groups are unreachable and vacuum reclaims them, with the head
+    read byte-stable throughout."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+        mlog_vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    assert mlog_compact(spark, table) == 3
+    assert mlog_vacuum(table) == (0, 4), (
+        "pre-expiry vacuum must keep replaced-but-pinnable groups"
+    )
+    asof_df, _, _ = mlog_read_asof(spark, table, 1)
+    assert _fold_keys(spark, asof_df) == list(range(20))
+
+    mlog_checkpoint(table)
+    assert mlog_expire_checkpointed(table) == 4
+    assert mlog_vacuum(table) == (3, 1)
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    assert _fold_keys(spark, df) == list(range(30))
+    with pytest.raises(RuntimeError, match="no longer reconstructable"):
+        mlog_read_asof(spark, table, 1)
+    assert mlog_vacuum(table) == (0, 1)  # idempotent
+
+
+def test_vacuum_retention_guard_keeps_young_dirs(spark, tmp_path):
+    """The retention threshold protects in-flight writers: an
+    uncommitted group younger than min_age_s survives the vacuum (it is
+    indistinguishable from a write racing toward its commit link); with
+    the guard at 0 — an explicit maintenance window — it is reclaimed."""
+    from dbsuite_spark.etl.loaders import mlog_vacuum
+    from dbsuite_spark.streaming.streams import _attempt_path
+
+    table = str(tmp_path / "tbl")
+    streams.msink_commit_batch(table, _mk_batch(spark, 0, 10), 0)
+    orphan = _attempt_path(table, "group", 42)
+    _mk_batch(spark, 90, 95).write.parquet(orphan)
+
+    assert mlog_vacuum(table, min_age_s=3600) == (0, 2)
+    assert os.path.isdir(orphan)
+    assert mlog_vacuum(table, min_age_s=0) == (1, 1)
+    assert not os.path.isdir(orphan)
+    assert _fold_keys(spark, streams.msink_read(spark, table)) == list(
+        range(10)
+    )

@@ -2825,6 +2825,40 @@ def mlog_expire_checkpointed(table_dir: str) -> int:
     return expired
 
 
+def mlog_expire_old_checkpoints(table_dir: str) -> int:
+    """CHECKPOINT RETENTION: remove every checkpoint file below the
+    newest one, returning the count removed (Delta's log-retention
+    cleanup of superseded checkpoints, public). Each old checkpoint
+    keeps its own version pinnable as an as-of target forever —
+    retiring it is what lets :func:`mlog_vacuum` reclaim groups that
+    are live ONLY at those historical pins. Readers are unaffected:
+    checkpoint resolution takes the newest from the authoritative
+    listing, and the newest is never touched. As with commit expiry,
+    pins below the newest checkpoint become honestly unreconstructable
+    afterwards rather than silently partial."""
+    import contextlib
+    import glob as _glob
+    import re as _re
+
+    cps = _glob.glob(os.path.join(table_dir, "checkpoint-*.json"))
+    if len(cps) < 2:
+        return 0
+    newest = max(
+        cps,
+        key=lambda p: int(
+            _re.search(r"checkpoint-(\d+)\.json$", p).group(1)
+        ),
+    )
+    removed = 0
+    for p in cps:
+        if p == newest:
+            continue
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(p)  # a racing retention pass may have won it
+            removed += 1
+    return removed
+
+
 def _merged_stats(stats_list: list[dict | None]) -> dict | None:
     """Fold per-group stats into the compacted group's stats: the
     interval union per column, kept only for columns EVERY target
@@ -2958,10 +2992,20 @@ def mlog_vacuum(table_dir: str, min_age_s: float = 0.0) -> tuple[int, int]:
         _log_commits,
     )
 
-    record_docs = [
-        {"version": _commit_version(c), **_load_commit(c)}
-        for c in _log_commits(table_dir)
-    ]
+    import contextlib
+
+    record_docs = []
+    for c in _log_commits(table_dir):
+        with contextlib.suppress(FileNotFoundError):
+            # a concurrent expirer can remove a record between the
+            # listing and the load; expiry only runs under a covering
+            # checkpoint (already durable, globbed BELOW), so the
+            # vanished record's live groups still enter the needed set
+            # via the checkpoint term, and its replaced groups are by
+            # then correctly unreachable
+            record_docs.append(
+                {"version": _commit_version(c), **_load_commit(c)}
+            )
     needed: set[str] = set()
     for d in record_docs:
         prefix = [x for x in record_docs if x["version"] <= d["version"]]

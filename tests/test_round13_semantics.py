@@ -768,3 +768,184 @@ def test_vacuum_retention_guard_keeps_young_dirs(spark, tmp_path):
     assert _fold_keys(spark, streams.msink_read(spark, table)) == list(
         range(10)
     )
+
+
+def test_commit_compact_vacuum_read_true_concurrency(spark, tmp_path):
+    """TRUE-CONCURRENCY smoke over the round-13 ops: 3 committer
+    threads (12 distinct batches), a compactor loop (OPTIMIZE), a
+    checkpointer, an expirer, a vacuumer (retention 60 s — the
+    documented deployment setting: retention must exceed the longest
+    write, exactly like Delta VACUUM; a retention-0 vacuum racing live
+    writers IS unsafe by design and the first version of this stress
+    proved it by deleting an in-flight writer's dir mid-write), and
+    reader loops all race on one table. Invariants: nothing raises,
+    every mid-flight read is prefix-consistent with COMPLETE batches
+    (atomic commits + snapshot-isolated compaction — a reader never
+    sees a half-replaced fold), and the final fold equals the union of
+    all 12 batches exactly once regardless of how many compactions,
+    expiries, and vacuums interleaved. The vacuum DELETE path is then
+    exercised post-race: a final checkpoint+expire+vacuum must reclaim
+    every replaced/void group while the fold stays byte-identical."""
+    import threading
+    import time
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_read_checkpointed,
+        mlog_vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    streams.msink_commit_batch(table, _mk_batch(spark, 0, 10), 0)
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def committer(ids):
+        try:
+            for b in ids:
+                streams.msink_commit_batch(
+                    table, _mk_batch(spark, b * 10, b * 10 + 10), b
+                )
+        except Exception as exc:
+            errors.append(exc)
+
+    def compactor():
+        try:
+            while not done.is_set():
+                mlog_compact(spark, table)
+                time.sleep(0.1)
+        except Exception as exc:
+            errors.append(exc)
+
+    def checkpointer():
+        try:
+            while not done.is_set():
+                mlog_checkpoint(table)
+                time.sleep(0.05)
+        except Exception as exc:
+            errors.append(exc)
+
+    def expirer():
+        try:
+            while not done.is_set():
+                try:
+                    mlog_expire_checkpointed(table)
+                except RuntimeError:
+                    pass  # no checkpoint yet: the documented refusal
+                time.sleep(0.07)
+        except Exception as exc:
+            errors.append(exc)
+
+    def vacuumer():
+        try:
+            while not done.is_set():
+                mlog_vacuum(table, min_age_s=60)
+                time.sleep(0.09)
+        except Exception as exc:
+            errors.append(exc)
+
+    def reader():
+        try:
+            while not done.is_set():
+                df, _, _ = mlog_read_checkpointed(spark, table)
+                got = sorted(r["event_id"] for r in df.collect())
+                assert len(got) % 10 == 0 and len(set(got)) == len(got)
+                for i in range(0, len(got), 10):
+                    lo = got[i]
+                    assert got[i : i + 10] == list(range(lo, lo + 10)), (
+                        f"torn batch in mid-flight read: {got[i:i+10]}"
+                    )
+        except Exception as exc:
+            errors.append(exc)
+
+    commit_threads = [
+        threading.Thread(target=committer, args=(range(lo, lo + 4),))
+        for lo in (1, 5, 9)
+    ]
+    aux = [
+        threading.Thread(target=compactor),
+        threading.Thread(target=checkpointer),
+        threading.Thread(target=expirer),
+        threading.Thread(target=vacuumer),
+        threading.Thread(target=reader),
+        threading.Thread(target=reader),
+    ]
+    for th in aux + commit_threads:
+        th.start()
+    for th in commit_threads:
+        th.join()
+    done.set()
+    for th in aux:
+        th.join()
+
+    assert not errors, errors
+    mlog_checkpoint(table)
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    got = sorted(r["event_id"] for r in df.collect())
+    assert got == list(range(130)), "lost or doubled a batch under race"
+
+    # post-race delete path: with writers quiesced, one more batch +
+    # OPTIMIZE + checkpoint + expire makes the previous live set dead
+    # deterministically (its records all expire); vacuum must reclaim
+    # it while the fold stays byte-stable
+    from dbsuite_spark.etl.loaders import mlog_expire_old_checkpoints
+
+    streams.msink_commit_batch(table, _mk_batch(spark, 130, 140), 13)
+    assert mlog_compact(spark, table) >= 2
+    mlog_checkpoint(table)
+    assert mlog_expire_checkpointed(table) >= 1
+    mlog_expire_old_checkpoints(table)  # retire historical pins
+    n_deleted, n_kept = mlog_vacuum(table, min_age_s=0)
+    assert n_kept >= 1
+    assert n_deleted >= 2, "the compacted-away groups must be reclaimed"
+    df2, _, _ = mlog_read_checkpointed(spark, table)
+    assert sorted(r["event_id"] for r in df2.collect()) == list(range(140))
+    assert mlog_vacuum(table, min_age_s=0) == (0, n_kept)
+
+
+def test_checkpoint_retention_retires_historical_pins(spark, tmp_path):
+    """Checkpoint retention removes every checkpoint below the newest:
+    head reads are byte-stable (resolution always took the newest), an
+    as-of pin at a RETIRED checkpoint version — reconstructable before
+    retention even with all records expired — afterwards raises the
+    honest reconstruction error, and vacuum can then reclaim groups
+    that were live only at the retired pins."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_expire_old_checkpoints,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+        mlog_vacuum,
+    )
+
+    table = str(tmp_path / "tbl")
+    for i in range(2):
+        streams.msink_commit_batch(
+            table, _mk_batch(spark, i * 10, i * 10 + 10), i
+        )
+    mlog_checkpoint(table)  # cp@1
+    assert mlog_compact(spark, table) == 2  # v2 replaces 0-1
+    mlog_checkpoint(table)  # cp@2
+    assert mlog_expire_checkpointed(table) == 3
+
+    # pre-retention: the cp@1 pin reconstructs from the old checkpoint
+    asof_df, _, _ = mlog_read_asof(spark, table, 1)
+    assert _fold_keys(spark, asof_df) == list(range(20))
+    # the original groups are live ONLY at cp@1's pin — vacuum keeps
+    assert mlog_vacuum(table) == (0, 3)
+
+    assert mlog_expire_old_checkpoints(table) == 1
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    assert _fold_keys(spark, df) == list(range(20))
+    with pytest.raises(RuntimeError, match="no longer reconstructable"):
+        mlog_read_asof(spark, table, 1)
+    assert mlog_vacuum(table) == (2, 1), (
+        "retiring the historical pin must free its groups"
+    )
+    df2, _, _ = mlog_read_checkpointed(spark, table)
+    assert _fold_keys(spark, df2) == list(range(20))
+    assert mlog_expire_old_checkpoints(table) == 0  # idempotent

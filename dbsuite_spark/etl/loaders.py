@@ -3179,9 +3179,20 @@ def mlog_read_asof(
             cp_version = max(cp_version, v)
     docs: list[dict] = []
     if cp_version >= 0:
-        cp = _read_manifest(
-            os.path.join(table_dir, f"checkpoint-{cp_version:05d}.json")
-        )
+        try:
+            cp = _read_manifest(
+                os.path.join(
+                    table_dir, f"checkpoint-{cp_version:05d}.json"
+                )
+            )
+        except FileNotFoundError:
+            # checkpoint retention retired it between the glob and the
+            # read — the pin just became unreconstructable; say so
+            raise RuntimeError(
+                f"version {version} is no longer reconstructable at "
+                f"{table_dir}: its covering checkpoint was retired "
+                "mid-read"
+            ) from None
         docs = list(cp["groups"])
 
     # commit tail in (cp_version, version] — MUST be gap-free: an

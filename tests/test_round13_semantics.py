@@ -949,3 +949,117 @@ def test_checkpoint_retention_retires_historical_pins(spark, tmp_path):
     df2, _, _ = mlog_read_checkpointed(spark, table)
     assert _fold_keys(spark, df2) == list(range(20))
     assert mlog_expire_old_checkpoints(table) == 0  # idempotent
+
+
+def test_round13_protocol_state_machine_random_walk(spark, tmp_path):
+    """Seeded random-walk over the FULL round-13 protocol surface —
+    commit / replay / OPTIMIZE / checkpoint / expire / checkpoint
+    retention / vacuum interleaved arbitrarily — checked after every
+    step against a pure-Python model. Pins the compositions no
+    hand-written scenario covers: (a) the checkpointed read equals the
+    model's batch union in every reachable state (compaction and
+    vacuum are invisible to reads); (b) a replay of ANY committed
+    batch skips even after its record was compacted away, expired,
+    and its group vacuumed (the batch id survives in checkpoint
+    folds); (c) the consumer cursor never re-reads and never misses a
+    row across data_change=false rewrites; (d) a final as-of at the
+    log head reconstructs the model."""
+    import random
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_expire_old_checkpoints,
+        mlog_poll,
+        mlog_read_asof,
+        mlog_read_checkpointed,
+        mlog_vacuum,
+    )
+
+    for seed in (13, 37):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"walk{seed}")
+        model: dict[int, range] = {}
+        next_id = 0
+        has_checkpoint = False
+        cursor = 0
+        consumed_rows: set[int] = set()
+
+        def expected() -> list[int]:
+            return sorted(x for r in model.values() for x in r)
+
+        for step in range(16):
+            op = rng.choice(
+                [
+                    "commit",
+                    "commit",
+                    "replay",
+                    "compact",
+                    "checkpoint",
+                    "expire",
+                    "retire_ckpt",
+                    "vacuum",
+                ]
+            )
+            if op == "commit" or (op == "replay" and not model):
+                lo = next_id * 10
+                assert (
+                    streams.msink_commit_batch(
+                        table, _mk_batch(spark, lo, lo + 10), next_id
+                    )
+                    == "committed"
+                ), f"seed {seed} step {step}"
+                model[next_id] = range(lo, lo + 10)
+                next_id += 1
+            elif op == "replay":
+                bid = rng.choice(list(model))
+                out = streams.msink_commit_batch(
+                    table, _mk_batch(spark, bid * 10, bid * 10 + 10), bid
+                )
+                assert out == "skipped", (
+                    f"seed {seed} step {step}: replay of {bid} -> {out}"
+                )
+            elif op == "compact":
+                if model:
+                    mlog_compact(spark, table)
+            elif op == "checkpoint":
+                if model:
+                    mlog_checkpoint(table)
+                    has_checkpoint = True
+            elif op == "expire":
+                if has_checkpoint:
+                    mlog_expire_checkpointed(table)
+            elif op == "retire_ckpt":
+                mlog_expire_old_checkpoints(table)
+            elif op == "vacuum":
+                mlog_vacuum(table, min_age_s=0)
+
+            if not model:
+                continue
+            df, n_cp, n_tail = mlog_read_checkpointed(spark, table)
+            got = sorted(r["event_id"] for r in df.collect())
+            assert got == expected(), f"seed {seed} step {step} ({op})"
+            pdf, n_new, cursor = mlog_poll(spark, table, cursor)
+            if pdf is not None:
+                new_rows = {r["event_id"] for r in pdf.collect()}
+                assert not (new_rows & consumed_rows), (
+                    f"seed {seed} step {step}: consumer re-read rows"
+                )
+                consumed_rows |= new_rows
+            assert consumed_rows == set(expected()), (
+                f"seed {seed} step {step}: consumer missed rows"
+            )
+
+        from dbsuite_spark.streaming.streams import (
+            _checkpoint_state,
+            _commit_version,
+            _log_commits,
+        )
+
+        head = max(
+            [_commit_version(c) for c in _log_commits(table)]
+            + [_checkpoint_state(table)[0]]
+        )
+        adf, _, _ = mlog_read_asof(spark, table, head)
+        assert sorted(r["event_id"] for r in adf.collect()) == expected()

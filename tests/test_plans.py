@@ -1899,13 +1899,14 @@ def test_ivf_delete_is_broadcast_anti_masking(spark, sf_dir):
 
 def test_checkpoint_readers_fold_group_scans_only(spark, sf_dir):
     """etl_manifest_checkpoint: all three readers (full log,
-    checkpoint+tail, post-expire) plan as pure Unions of the SAME 10
-    pruned group scans (30 total) — the checkpoint changes read
-    PLANNING cost (one JSON + tail instead of O(log)), never the data
-    plan; the only exchanges are the three 1-row global aggregates;
-    zero Python, zero cartesian."""
+    checkpoint+tail, post-expire) fold the SAME 10 groups in ONE
+    multi-path scan each (3 total; previously 3 Unions of 10 scans —
+    the flattened fold, VERDICT r12 ask #5) — the checkpoint changes
+    read PLANNING cost (one JSON + tail instead of O(log)), never the
+    data plan; the only exchanges are the three 1-row global
+    aggregates; zero Python, zero cartesian."""
     plan = plan_of(spark, sf_dir, "etl_manifest_checkpoint")
-    assert n_nodes(plan, "Scan parquet") == 30  # 3 readers x 10 groups
+    assert n_nodes(plan, "Scan parquet") == 3  # 3 readers x 1 fold scan
     assert n_nodes(plan, "Exchange") == 3  # one per global aggregate
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -1913,14 +1914,15 @@ def test_checkpoint_readers_fold_group_scans_only(spark, sf_dir):
 
 def test_stream_dv_read_is_single_broadcast_anti_join(spark, sf_dir):
     """stream_dv_delete: the merge-on-read final state is ONE broadcast
-    LEFT ANTI hash join of the unioned 6 DV-batch scans against the
-    base scan — zero shuffle exchanges, zero Python; base scan prunes
-    to the two report columns plus the join key."""
+    LEFT ANTI hash join of the DV fold (one multi-path scan over the 6
+    DV groups — the flattened fold) against the base scan — zero
+    shuffle exchanges, zero Python; base scan prunes to the two report
+    columns plus the join key."""
     plan = plan_of(spark, sf_dir, "stream_dv_delete")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert n_nodes(plan, "Scan parquet") == 7  # base + 6 DV groups
+    assert n_nodes(plan, "Scan parquet") == 2  # base + the DV fold
     assert n_nodes(plan, "Exchange") == 0
-    assert n_nodes(plan, "Union") == 1
+    assert n_nodes(plan, "Union") == 0
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 

@@ -2466,6 +2466,7 @@ def mlog_poll(
     from dbsuite_spark.streaming.streams import (
         _checkpoint_state,
         _commit_version,
+        _doc_paths,
         _load_commit,
         _log_commits,
         fold_groups,
@@ -2518,7 +2519,9 @@ def mlog_poll(
     new_offset = versions[-1] + 1
     if not data_docs:
         return None, 0, new_offset
-    df = fold_groups(spark, [d["group"] for d in data_docs])
+    df = fold_groups(
+        spark, [p for d in data_docs for p in _doc_paths(d)]
+    )
     return df, len(data_docs), new_offset
 
 
@@ -2739,6 +2742,7 @@ def mlog_read_checkpointed(
     from dbsuite_spark.streaming.streams import (
         _checkpoint_state,
         _commit_version,
+        _doc_paths,
         _load_commit,
         _log_commits,
         fold_groups,
@@ -2778,7 +2782,7 @@ def mlog_read_checkpointed(
     # compaction-replaced groups (read amplification), see _live_docs
     live = _live_docs(list(cp_groups) + tail_docs)
     return (
-        fold_groups(spark, [d["group"] for d in live]),
+        fold_groups(spark, [p for d in live for p in _doc_paths(d)]),
         len(cp_groups),
         len(tail_docs),
     )
@@ -2884,7 +2888,12 @@ def _merged_stats(stats_list: list[dict | None]) -> dict | None:
     return out or None
 
 
-def mlog_compact(spark: SparkSession, table_dir: str) -> int:
+def mlog_compact(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_by: list[str] | None = None,
+    n_groups: int = 4,
+) -> int:
     """OPTIMIZE the manifest-log table (round 13): rewrite every
     currently-live group into ONE compacted group and publish it
     through the SAME atomic commit protocol as any batch — the new
@@ -2916,13 +2925,30 @@ def mlog_compact(spark: SparkSession, table_dir: str) -> int:
     per-column stats (when all targets carry them), so data skipping
     keeps working across compaction.
 
+    CLUSTERED compaction (round 13, ``cluster_by=[cols]``): plain
+    OPTIMIZE and data skipping are in tension — folding every group
+    into one unit collapses the carried stats to the FULL key range,
+    so a post-compaction pruned read must scan everything. With
+    ``cluster_by``, the rewrite range-partitions the live data on the
+    leading cluster column into up to ``n_groups`` range-disjoint
+    SUBGROUPS inside the one atomic commit (child directories of the
+    commit's group dir), each carrying exact per-column (min, max)
+    recomputed from the data it actually holds — so a point/range
+    predicate after compaction prunes back down to ~1 subgroup. This
+    is the OPTIMIZE ZORDER / clustered-table idea (Delta/Iceberg,
+    public) in its linear-order form. Atomicity is unchanged: ONE
+    commit record publishes all subgroups or none.
+
     Scale: this is the read-amplification lever — a commit cadence of
     thousands of small groups folds back to O(1) scan units; the
-    rewrite is one distributed scan+write of live data, metadata cost
-    is one commit record."""
+    rewrite is one distributed scan+write of live data (clustered adds
+    one range-boundary sketch pass and one stats aggregate over the
+    compacted output — maintenance-window cost, like real OPTIMIZE),
+    metadata cost is one commit record."""
     import uuid
 
     from dbsuite_spark.streaming.streams import (
+        _doc_paths,
         _live_docs,
         fold_groups,
         msink_commit_batch,
@@ -2931,7 +2957,9 @@ def mlog_compact(spark: SparkSession, table_dir: str) -> int:
     targets = _live_docs(_resolve_log_docs(table_dir))
     if len(targets) < 2:
         return 0
-    folded = fold_groups(spark, [d["group"] for d in targets])
+    folded = fold_groups(
+        spark, [p for d in targets for p in _doc_paths(d)]
+    )
     out = msink_commit_batch(
         table_dir,
         folded,
@@ -2941,10 +2969,92 @@ def mlog_compact(spark: SparkSession, table_dir: str) -> int:
             "replaces": sorted(d["version"] for d in targets),
             "data_change": False,
         },
+        write_fn=(
+            None
+            if cluster_by is None
+            else _clustered_write(spark, list(cluster_by), n_groups)
+        ),
     )
     if out != "committed":
         raise RuntimeError(f"compaction commit failed: {out}")
     return len(targets)
+
+
+def _stat_jsonable(v):
+    """A stats value in the commit doc's JSON-comparable form: numbers
+    and strings pass through, dates/timestamps become ISO strings (the
+    shape :func:`_stats_interval` already compares predicates against),
+    and any other type returns None — which the caller treats as "omit
+    the stat", i.e. unprunable-but-correct, never a lossy coercion
+    that could let pruning skip real data."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return None
+
+
+def _clustered_write(spark: SparkSession, cols: list[str], n_groups: int):
+    """The ``write_fn`` for clustered compaction: range-bucket on the
+    leading cluster column (boundaries from ``approxQuantile`` — one
+    bounded sketch pass, the public Greenwald-Khanna summary Spark's
+    ``repartitionByRange`` also samples for), write all buckets in ONE
+    ``partitionBy`` job as child dirs of the attempt path, then compute
+    each bucket's exact per-column (min, max) with one aggregate over
+    the just-written output (≤ ``n_groups`` rows to the driver —
+    manifest-grade metadata, not data). Returns the ``subgroups`` doc
+    fields the readers' :func:`~dbsuite_spark.streaming.streams._doc_paths`
+    and the pruned readers consume."""
+
+    def write(bdf: DataFrame, group: str) -> dict:
+        lead = cols[0]
+        qs = bdf.approxQuantile(
+            lead, [i / n_groups for i in range(1, n_groups)], 0.001
+        )
+        bounds = sorted(set(qs))
+        bucket = F.lit(0)
+        for b in bounds:
+            # NULL lead values compare NULL > b → otherwise(0): they
+            # land in bucket 0 and (correctly) never satisfy a range
+            # predicate, so pruning on min/max of non-nulls stays sound
+            bucket = bucket + F.when(F.col(lead) > F.lit(b), 1).otherwise(0)
+        (
+            bdf.withColumn("_cb", bucket.cast("int"))
+            .repartition(len(bounds) + 1, "_cb")
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .partitionBy("_cb")
+            .parquet(group)
+        )
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            spark.read.parquet(group)  # partition discovery: _cb is back
+            .groupBy("_cb")
+            .agg(*aggs)
+            .collect()
+        )
+        subgroups = []
+        for r in sorted(rows, key=lambda r: r["_cb"]):
+            stats = {}
+            for c in cols:
+                mn = _stat_jsonable(r[f"min_{c}"])
+                mx = _stat_jsonable(r[f"max_{c}"])
+                if mn is not None and mx is not None:
+                    stats[c] = {"min": mn, "max": mx}
+            sub = {"path": os.path.join(group, f"_cb={r['_cb']}")}
+            if stats:
+                sub["stats"] = stats
+            subgroups.append(sub)
+        return {"subgroups": subgroups, "clustered_by": list(cols)}
+
+    return write
 
 
 def mlog_vacuum(table_dir: str, min_age_s: float = 0.0) -> tuple[int, int]:
@@ -3006,14 +3116,25 @@ def mlog_vacuum(table_dir: str, min_age_s: float = 0.0) -> tuple[int, int]:
             record_docs.append(
                 {"version": _commit_version(c), **_load_commit(c)}
             )
+    from dbsuite_spark.streaming.streams import _doc_paths
+
+    def _group_root(path: str) -> str:
+        # vacuum deletes TOP-LEVEL group-* dirs; a clustered commit's
+        # subgroups and a metadata-only RESTORE's re-pinned paths are
+        # children of (or equal to) such a root — protecting the root
+        # protects every path under it
+        rel = os.path.relpath(path, table_dir)
+        return os.path.join(table_dir, rel.split(os.sep)[0])
+
     needed: set[str] = set()
     for d in record_docs:
         prefix = [x for x in record_docs if x["version"] <= d["version"]]
         if any(x["version"] == d["version"] for x in _live_docs(prefix)):
-            needed.add(d["group"])
+            needed.update(_group_root(p) for p in _doc_paths(d))
     for cp in _glob.glob(os.path.join(table_dir, "checkpoint-*.json")):
         doc = _read_manifest(cp)
-        needed.update(g["group"] for g in _live_docs(doc["groups"]))
+        for g in _live_docs(doc["groups"]):
+            needed.update(_group_root(p) for p in _doc_paths(g))
 
     deleted = kept = 0
     now = _time.time()
@@ -3131,6 +3252,234 @@ def etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.unionAll(report("revacuum"))
 
 
+_CLUSTER_ORACLE = f"""
+WITH w AS (
+  SELECT CAST(MAX(o_orderkey) // 4 + 1 AS BIGINT) AS width FROM orders)
+SELECT 'narrow_premerge' AS phase, CAST(6 AS BIGINT) AS n_units_scanned,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+WHERE o_orderkey BETWEEN (SELECT width + width // 4 FROM w)
+                     AND (SELECT width + width // 2 FROM w)
+UNION ALL
+SELECT 'narrow_clustered' AS phase, CAST(1 AS BIGINT) AS n_units_scanned,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+WHERE o_orderkey BETWEEN (SELECT width + width // 4 FROM w)
+                     AND (SELECT width + width // 2 FROM w)
+UNION ALL
+SELECT 'full_clustered' AS phase, CAST(4 AS BIGINT) AS n_units_scanned,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+"""
+
+
+@query(
+    "etl_manifest_compact_cluster", oracle=_CLUSTER_ORACLE, category="K"
+)
+def etl_manifest_compact_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLUSTERED COMPACTION — OPTIMIZE that data skipping SURVIVES
+    (round 13; the Delta OPTIMIZE ZORDER / clustered-table idea,
+    public, in linear-order form). Plain OPTIMIZE and stats pruning
+    are in tension: folding every group into one unit collapses the
+    carried (min, max) to the full key range, so a post-compaction
+    pruned read scans everything. ``mlog_compact(cluster_by=
+    ['o_orderkey'])`` instead range-partitions the rewrite into 4
+    range-DISJOINT subgroups inside the ONE atomic replacement commit,
+    each carrying exact per-column stats recomputed from the data it
+    actually holds.
+
+    Six ``o_orderkey % 6`` slices of orders commit — mod-slicing is
+    the pruning worst case: every group's (min, max) spans the full
+    key range, so NO range predicate can skip anything. The probes
+    (phase, units-scanned, n_rows, decimal-exact sum; the narrow
+    predicate is the quarter-width span [w+w/4, w+w/2] — strictly
+    inside the second population quartile at every fixture scale, with
+    ~0.25-quartile margins dwarfing the boundary sketch's 0.001
+    relative error):
+
+    - 'narrow_premerge': all 6 units scanned — useless stats, the
+      documented worst case;
+    - 'narrow_clustered': after clustered OPTIMIZE **+ checkpoint +
+      log expiry** (so the subgroup stats provably come from the
+      checkpoint's copy of the commit doc, not the records), the SAME
+      predicate scans exactly ONE subgroup;
+    - 'full_clustered': an unbounded predicate scans all 4 subgroups
+      and returns the untouched full table — clustering moved rows,
+      never semantics (the hash gate sees rows + sum).
+
+    Scale: this is how a 100 TB table keeps both halves of the
+    metadata story — O(1) scan units from compaction AND
+    zero-I/O-for-pruned-ranges from skipping; the rewrite adds one
+    boundary sketch (``approxQuantile``, the public Greenwald-Khanna
+    summary) and one ≤4-row stats aggregate to the one distributed
+    rewrite pass. Laws (reader equivalence, pruning == filtering,
+    conservative stats omission) in tests/test_round13_semantics.py."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = artifact_path(sf_dir, "compact_cluster_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    for i in range(6):
+        sl = base.filter(F.col("o_orderkey") % 6 == i)
+        mn, mx = sl.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        msink_commit_batch(
+            table_dir,
+            sl,
+            i,
+            stats={"o_orderkey": {"min": mn, "max": mx}},
+        )
+
+    max_key = base.agg(F.max("o_orderkey")).first()[0]
+    width = max_key // 4 + 1
+    lo, hi = width + width // 4, width + width // 2
+
+    def report(phase: str, pred_lo: int, pred_hi: int) -> DataFrame:
+        df, n = mlog_read_pruned_cols(
+            spark, table_dir, {"o_orderkey": (pred_lo, pred_hi)}
+        )
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(n).cast("bigint").alias("n_units_scanned"),
+            "n_rows",
+            "sum_total",
+        )
+
+    before = report("narrow_premerge", lo, hi)
+    before.collect()  # pin the BEFORE probe before mutating the log
+
+    if mlog_compact(
+        spark, table_dir, cluster_by=["o_orderkey"], n_groups=4
+    ) != 6:
+        raise RuntimeError("clustered compaction must rewrite 6 groups")
+    mlog_checkpoint(table_dir)
+    # expire the records: subgroup stats now provably come from the
+    # checkpoint's verbatim copy of the compaction doc
+    mlog_expire_checkpointed(table_dir)
+
+    return (
+        before
+        .unionAll(report("narrow_clustered", lo, hi))
+        .unionAll(report("full_clustered", 0, 1 << 62))
+    )
+
+
+_RESTORE_ORACLE = f"""
+SELECT 'head_before' AS phase, CAST(4 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+UNION ALL
+SELECT 'after_restore' AS phase, CAST(3 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders WHERE o_orderkey % 4 < 3
+UNION ALL
+SELECT 'history_kept' AS phase, CAST(4 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+UNION ALL
+SELECT 'head_final' AS phase, CAST(4 AS BIGINT) AS n_live_groups,
+       {BIGCOUNT("*")} AS n_rows, {DSUM("o_totalprice")} AS sum_total
+FROM orders
+"""
+
+
+@query("etl_manifest_restore", oracle=_RESTORE_ORACLE, category="K")
+def etl_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY RESTORE over the commit log (round 13) — Delta's
+    RESTORE TABLE ... TO VERSION AS OF (public): one commit whose
+    ``subgroups`` re-pin the historical snapshot's still-present group
+    directories and whose ``replaces`` supersedes every live version.
+    Zero data moves; the head flips with one atomic link; history
+    stays immutable underneath.
+
+    Four ``o_orderkey % 4`` slices commit (versions 0-3); the probes
+    (phase, live-group accounting via the stats reader's unbounded
+    predicate, n_rows, decimal-exact sum):
+
+    - 'head_before': 4 live groups, full table;
+    - ``mlog_restore(table, 2)`` → 'after_restore': the head is the
+      3-slice snapshot (slices 0-2), 3 re-pinned units — the bad
+      version-3 batch is gone from the head without a rewrite;
+    - 'history_kept': an as-of read pinned at the PRE-restore head
+      (version 3) still folds the full table (n = the as-of tail
+      count) — restore rewinds the head, never history;
+    - slice 3 re-appends as a NEW batch → 'head_final': 4 units
+      (3 re-pinned + 1 append), full table again — the log moves
+      forward normally after a restore.
+
+    Scale: restore cost is O(snapshot docs) of driver-side JSON + one
+    link — independent of data size; the restored read plans exactly
+    like any other (the re-pinned units carry their original stats, so
+    data skipping still works on them). Laws (restore == as-of,
+    vacuum keeps re-pinned dirs, racing restore/compaction voids
+    deterministically, feed re-delivery) in
+    tests/test_round13_semantics.py."""
+    import shutil as _shutil
+
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_dir = artifact_path(sf_dir, "restore_table")
+    _shutil.rmtree(table_dir, ignore_errors=True)  # idempotent re-run
+
+    for i in range(4):
+        msink_commit_batch(
+            table_dir, base.filter(F.col("o_orderkey") % 4 == i), i
+        )
+
+    def live_read(phase: str) -> DataFrame:
+        df, n = mlog_read_pruned_cols(
+            spark, table_dir, {"o_orderkey": (0, 1 << 62)}
+        )
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(n).cast("bigint").alias("n_live_groups"),
+            "n_rows",
+            "sum_total",
+        )
+
+    def report(phase: str, n: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.lit(n).cast("bigint").alias("n_live_groups"),
+            "n_rows",
+            "sum_total",
+        )
+
+    head_before = live_read("head_before")
+    head_before.collect()  # pin the BEFORE probe before the restore
+
+    if mlog_restore(table_dir, 2) != 3:
+        raise RuntimeError("restore must re-pin the 3-slice snapshot")
+    after = live_read("after_restore")
+    after.collect()  # pin before the log mutates again
+
+    asof_df, _, n_tail = mlog_read_asof(spark, table_dir, 3)
+    history = report("history_kept", n_tail, asof_df)
+
+    msink_commit_batch(
+        table_dir, base.filter(F.col("o_orderkey") % 4 == 3), 100
+    )
+    final = live_read("head_final")
+
+    return (
+        head_before.unionAll(after).unionAll(history).unionAll(final)
+    )
+
+
 def mlog_read_asof(
     spark: SparkSession, table_dir: str, version: int
 ) -> tuple[DataFrame, int, int]:
@@ -3149,6 +3498,34 @@ def mlog_read_asof(
     Scale: planning cost is one checkpoint JSON + O(tail to the pin);
     immutable commits/checkpoints make the pinned read stable under
     concurrent appends (snapshot isolation, law-tested)."""
+    from dbsuite_spark.streaming.streams import (
+        _doc_paths,
+        _live_docs,
+        fold_groups,
+    )
+
+    docs, n_cp, n_tail = _asof_docs(table_dir, version)
+    # replaces-resolution runs over the PREFIX only: a pin BEFORE a
+    # compaction still folds the original groups — time travel sees
+    # history as it was, which is the whole point of snapshot reads
+    return (
+        fold_groups(
+            spark,
+            [p for d in _live_docs(docs) for p in _doc_paths(d)],
+        ),
+        n_cp,
+        n_tail,
+    )
+
+
+def _asof_docs(table_dir: str, version: int) -> tuple[list[dict], int, int]:
+    """Resolve the commit docs that reconstruct the table AS OF
+    ``version`` (newest checkpoint at or below the pin + the gap-free
+    commit tail up to it) — extracted from :func:`mlog_read_asof` so
+    the metadata-only RESTORE (:func:`mlog_restore`) pins its snapshot
+    through the SAME resolution, honest-error contracts included.
+    Returns ``(docs, n_from_checkpoint, n_tail_commits)``; docs are NOT
+    yet ``_live_docs``-resolved."""
     import glob as _glob
     import re as _re
 
@@ -3157,7 +3534,6 @@ def mlog_read_asof(
         _commit_version,
         _load_commit,
         _log_commits,
-        fold_groups,
     )
 
     # a pin past the log head never existed — distinguish that from
@@ -3220,16 +3596,82 @@ def mlog_read_asof(
             f"version {version} is no longer reconstructable at "
             f"{table_dir}: its commit tail was expired mid-read"
         ) from None
-    from dbsuite_spark.streaming.streams import _live_docs
+    return docs, n_cp, len(tail_versions)
 
-    # replaces-resolution runs over the PREFIX only: a pin BEFORE a
-    # compaction still folds the original groups — time travel sees
-    # history as it was, which is the whole point of snapshot reads
-    return (
-        fold_groups(spark, [d["group"] for d in _live_docs(docs)]),
-        n_cp,
-        len(tail_versions),
+
+def mlog_restore(table_dir: str, version: int) -> int:
+    """RESTORE the manifest-log table to historical ``version`` as a
+    NEW head commit — Delta's RESTORE TABLE ... TO VERSION AS OF
+    (public), metadata-only: the restore commit's ``subgroups`` point
+    at the snapshot's still-pinned group directories (zero data copied
+    or rewritten) and its ``replaces`` supersedes every currently-live
+    version, so the head flips atomically with the one commit link.
+    History stays immutable: as-of reads between the restored-to
+    version and the restore commit still see what they saw. Returns
+    the number of snapshot units re-pinned.
+
+    Semantics under the protocol:
+
+    - the snapshot resolves through :func:`_asof_docs` — the SAME
+      honest-error contracts as time travel (nonexistent version vs
+      history expired past retention);
+    - ``data_change: true``: rows at the head genuinely change, so
+      change-feed consumers re-receive the restored snapshot (Delta
+      CDF emits restore deltas for the same reason, public) — the
+      per-version downstream dedup makes that exactly-once;
+    - a restore RACING a compaction or another restore resolves like
+      racing compactions: both replace the same live set, the higher
+      version is void at read time (``_live_docs``), deterministically;
+    - vacuum keeps every re-pinned directory: the needed set walks
+      ``_doc_paths`` of every surviving live-at-own-pin record and
+      checkpoint entry, and the restore commit is live at its own pin
+      (run restore within checkpoint retention, like as-of reads —
+      outside it the snapshot resolution raises honestly).
+
+    Scale: O(snapshot docs) driver-side JSON metadata + one atomic
+    link; no executor, no I/O proportional to data — restoring a
+    100 TB table costs the same as restoring 100 MB."""
+    import uuid
+
+    from dbsuite_spark.streaming.streams import (
+        _doc_paths,
+        _live_docs,
+        msink_commit_batch,
     )
+
+    docs, _, _ = _asof_docs(table_dir, version)
+    snapshot = _live_docs(docs)
+    if not snapshot:
+        raise RuntimeError(
+            f"nothing to restore: version {version} at {table_dir} "
+            "resolves to an empty snapshot"
+        )
+    subgroups = []
+    for d in snapshot:
+        sub = d.get("subgroups")
+        if sub:
+            subgroups.extend(sub)
+        else:
+            entry = {"path": d["group"]}
+            if d.get("stats"):
+                entry["stats"] = d["stats"]
+            subgroups.append(entry)
+    current = _live_docs(_resolve_log_docs(table_dir))
+    out = msink_commit_batch(
+        table_dir,
+        None,  # metadata-only: write_fn never touches data
+        f"restore-v{version}-{uuid.uuid4().hex[:12]}",
+        stats=_merged_stats([d.get("stats") for d in snapshot]),
+        extra_doc={
+            "replaces": sorted(d["version"] for d in current),
+            "data_change": True,
+            "restore_of": version,
+        },
+        write_fn=lambda bdf, group: {"subgroups": subgroups},
+    )
+    if out != "committed":
+        raise RuntimeError(f"restore commit failed: {out}")
+    return len(subgroups)
 
 
 _CKPT_COMMITS = 10  # demo log length: two checkpoints + a 2-commit tail
@@ -3512,12 +3954,11 @@ def mlog_read_pruned_cols(
     metadata with zero I/O for pruned groups — the Delta/Iceberg
     data-skipping model generalized to the same per-column stats maps
     those formats' checkpoints carry."""
-    from dbsuite_spark.streaming.streams import _live_docs
+    from dbsuite_spark.streaming.streams import _doc_paths, _live_docs
 
     docs = _live_docs(_resolve_log_docs(table_dir))
 
-    def survives(doc: dict) -> bool:
-        stats = doc.get("stats")
+    def survives(stats: dict | None) -> bool:
         if not stats:
             return True  # no stats: unprunable
         for col, (lo, hi) in pred.items():
@@ -3526,15 +3967,39 @@ def mlog_read_pruned_cols(
                 return False
         return True
 
-    live = [d for d in docs if survives(d)]
-    if not live:  # everything pruned: a valid empty scan, not an error
+    # the prunable UNIT is the subgroup where one exists (clustered
+    # compaction's range-disjoint children): its exact stats overlay
+    # the parent doc's per column, so a clustered commit prunes back
+    # down to the children the predicate actually touches — the whole
+    # point of clustering the rewrite
+    units: list[tuple[str, dict | None]] = []
+    for d in docs:
+        sub = d.get("subgroups")
+        if sub:
+            for s in sub:
+                units.append(
+                    (
+                        s["path"],
+                        {
+                            **(d.get("stats") or {}),
+                            **(s.get("stats") or {}),
+                        },
+                    )
+                )
+        else:
+            units.append((d["group"], d.get("stats")))
+
+    live_paths = [p for p, st in units if survives(st)]
+    if not live_paths:  # everything pruned: a valid empty scan
         if not docs:
             raise RuntimeError(f"empty manifest log at {table_dir}")
-        empty = spark.read.parquet(docs[0]["group"]).filter(F.lit(False))
+        empty = spark.read.parquet(_doc_paths(docs[0])[0]).filter(
+            F.lit(False)
+        )
         return empty, 0
     from dbsuite_spark.streaming.streams import fold_groups
 
-    df = fold_groups(spark, [d["group"] for d in live])
+    df = fold_groups(spark, live_paths)
     for col, (lo, hi) in pred.items():
         # literals take the column's own type (date predicates arrive
         # as ISO strings — the JSON-serializable form stats use)
@@ -3542,7 +4007,7 @@ def mlog_read_pruned_cols(
         df = df.filter(
             F.col(col).between(F.lit(lo).cast(dt), F.lit(hi).cast(dt))
         )
-    return df, len(live)
+    return df, len(live_paths)
 
 
 def mlog_read_pruned(

@@ -1132,6 +1132,21 @@ def fold_groups(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def _doc_paths(doc: dict) -> list[str]:
+    """The data paths one commit doc contributes to a fold. A plain
+    commit carries ONE ``group`` directory; a CLUSTERED commit (round-13
+    ``mlog_compact(cluster_by=...)``) additionally carries
+    ``subgroups`` — range-disjoint child directories under the same
+    ``group`` parent, each with its own exact per-column stats so data
+    skipping survives compaction — and a metadata-only RESTORE commit's
+    subgroups point at OTHER commits' still-pinned group dirs (zero data
+    copy, the Delta RESTORE idea, public). Every reader resolves paths
+    through this ONE helper so the doc-shape extension lands once,
+    like :func:`fold_groups` did for the fold itself."""
+    sub = doc.get("subgroups")
+    return [s["path"] for s in sub] if sub else [doc["group"]]
+
+
 def _attempt_path(table_dir: str, kind: str, batch_id: int) -> str:
     """Per-ATTEMPT unique data path (uuid suffix, like real table
     formats' uuid file names): two concurrent replays of the same batch
@@ -1224,6 +1239,7 @@ def msink_commit_batch(
     batch_id: int,
     stats: dict | None = None,
     extra_doc: dict | None = None,
+    write_fn=None,
 ) -> str:
     """Commit one micro-batch into the manifest-log table at
     ``table_dir`` with EXACTLY-ONCE semantics (module-level so the law
@@ -1279,13 +1295,22 @@ def msink_commit_batch(
     if batch_id in committed_ids:
         return "skipped"  # exactly-once: this batch already committed
 
-    # write-then-publish: only the commit record makes the group live
+    # write-then-publish: only the commit record makes the group live.
+    # ``write_fn(bdf, group) -> extra doc fields`` lets a caller shape
+    # the data layout inside its attempt dir (clustered compaction's
+    # range-bucketed subgroups) while the claim/dedup/relocation
+    # protocol below stays the ONE shared implementation; the default
+    # is the plain single-group parquet write.
     group = _attempt_path(table_dir, "group", batch_id)
-    bdf.write.mode("overwrite").parquet(group)
+    if write_fn is None:
+        layout_doc: dict = {}
+        bdf.write.mode("overwrite").parquet(group)
+    else:
+        layout_doc = write_fn(bdf, group) or {}
     version = (
         max([_commit_version(c) for c in commits] + [ck_version]) + 1
     )
-    doc = {"batch_id": batch_id, "group": group}
+    doc = {"batch_id": batch_id, "group": group, **layout_doc}
     if stats is not None:
         doc["stats"] = stats
     if extra_doc:
@@ -1361,7 +1386,10 @@ def msink_read(spark: SparkSession, table_dir: str) -> DataFrame:
         {"version": v, **_load_commit(c)}
         for v, c in zip(versions, commits)
     ]
-    return fold_groups(spark, [d["group"] for d in _live_docs(docs)])
+    return fold_groups(
+        spark,
+        [p for d in _live_docs(docs) for p in _doc_paths(d)],
+    )
 
 
 @query(
@@ -1855,7 +1883,7 @@ def mlog_tail_once(
                 "and its read"
             ) from None
         if doc.get("data_change", True):
-            delta = spark.read.parquet(doc["group"])
+            delta = fold_groups(spark, _doc_paths(doc))
             msink_commit_batch(dst_dir, delta, v)  # keyed by src version
         # a data_change=false commit (compaction) rewrites data the
         # feed already delivered — skip it, advance past it (Delta's

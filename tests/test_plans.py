@@ -2021,3 +2021,62 @@ def test_checkpointed_reader_folds_in_one_scan(spark, tmp_path):
     assert n_nodes(plan, "Scan parquet") == 1
     assert n_nodes(plan, "Union") == 0
     assert df.count() == 60
+
+
+def test_compact_cluster_plans_multipath_scans_only(spark, sf_dir):
+    """etl_manifest_compact_cluster: each probe (narrow_premerge,
+    narrow_clustered, full_clustered) folds its surviving units in ONE
+    multi-path scan — pruning is driver-side metadata, so the
+    post-clustering narrow probe's scan covers exactly one subgroup
+    directory and pruned units never enter any plan; key predicate
+    pushed; zero Python, zero cartesian."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_compact_cluster")
+    assert n_nodes(plan, "Scan parquet") == 3
+    assert n_nodes(plan, "Exchange") == 3  # one per 1-row aggregate
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_restore_key_plans_multipath_scans_only(spark, sf_dir):
+    """etl_manifest_restore: RESTORE is metadata-only — the plan shows
+    just the four probe reads (one multi-path scan each over the live
+    units at that phase) + their 1-row aggregates; no data rewrite, no
+    Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "etl_manifest_restore")
+    assert n_nodes(plan, "Scan parquet") == 4
+    assert n_nodes(plan, "Exchange") == 4
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clustered_narrow_prune_plans_one_subgroup_scan(spark, tmp_path):
+    """After clustered OPTIMIZE, a narrow pruned read plans exactly ONE
+    FileScan whose location is the single surviving subgroup child dir
+    — the pruned subgroups' paths never reach the optimizer, and the
+    fold stays Union-free (the _doc_paths extension preserves the
+    round-13 one-multi-path-scan shape)."""
+    from dbsuite_spark.etl.loaders import mlog_compact, mlog_read_pruned_cols
+    from dbsuite_spark.streaming.streams import msink_commit_batch
+
+    table = str(tmp_path / "tbl")
+    for i in range(6):
+        msink_commit_batch(
+            table,
+            spark.range(i, 60, 6).selectExpr("id AS o_orderkey"),
+            i,
+        )
+    assert mlog_compact(
+        spark, table, cluster_by=["o_orderkey"], n_groups=4
+    ) == 6
+    df, n = mlog_read_pruned_cols(spark, table, {"o_orderkey": (17, 19)})
+    assert n == 1
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert n_nodes(plan, "Union") == 0
+    assert "_cb=" in plan  # the scan location IS the subgroup child
+    assert sorted(r["o_orderkey"] for r in df.collect()) == [17, 18, 19]

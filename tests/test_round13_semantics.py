@@ -1063,3 +1063,403 @@ def test_round13_protocol_state_machine_random_walk(spark, tmp_path):
         )
         adf, _, _ = mlog_read_asof(spark, table, head)
         assert sorted(r["event_id"] for r in adf.collect()) == expected()
+
+
+# --- round-13b: clustered compaction + metadata-only restore ----------------
+
+
+def _commit_slices(spark, table: str, n: int, mod: int = None):
+    """Commit ``n`` mod-slices of a 0..n*10 key space (each slice's
+    (min, max) spans nearly the whole range — the pruning worst case)."""
+    mod = mod or n
+    full = _mk_orders(spark, 0, n * 10)
+    for i in range(n):
+        streams.msink_commit_batch(
+            table,
+            full.filter(f"o_orderkey % {mod} = {i}"),
+            i,
+            stats={"o_orderkey": {"min": i, "max": (n * 10 - mod) + i}},
+        )
+    return full
+
+
+def test_clustered_compact_equals_plain_read_everywhere(spark, tmp_path):
+    """Clustered OPTIMIZE moves rows, never semantics: every reader
+    (full-log, checkpointed, pruned-unbounded) returns the identical
+    row multiset after ``cluster_by``, and the commit carries the
+    range-disjoint subgroups it promises."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_compact,
+        mlog_read_checkpointed,
+        mlog_read_pruned_cols,
+    )
+
+    table = str(tmp_path / "t")
+    _commit_slices(spark, table, 6)
+    expected = sorted(range(60))
+
+    assert mlog_compact(
+        spark, table, cluster_by=["o_orderkey"], n_groups=4
+    ) == 6
+    assert (
+        sorted(
+            r["o_orderkey"]
+            for r in streams.msink_read(spark, table).collect()
+        )
+        == expected
+    )
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    assert sorted(r["o_orderkey"] for r in df.collect()) == expected
+    pdf, n = mlog_read_pruned_cols(
+        spark, table, {"o_orderkey": (0, 1 << 62)}
+    )
+    assert sorted(r["o_orderkey"] for r in pdf.collect()) == expected
+    assert n == 4  # all four range-disjoint subgroups scanned
+
+    doc = streams._load_commit(
+        os.path.join(table, "commit-00006.json")
+    )
+    subs = doc["subgroups"]
+    assert len(subs) == 4 and doc["clustered_by"] == ["o_orderkey"]
+    ivs = [
+        (s["stats"]["o_orderkey"]["min"], s["stats"]["o_orderkey"]["max"])
+        for s in subs
+    ]
+    assert ivs == sorted(ivs)
+    for (_, hi1), (lo2, _) in zip(ivs, ivs[1:]):
+        assert hi1 < lo2, f"subgroup ranges overlap: {ivs}"
+
+
+def test_clustered_pruning_equals_filtering(spark, tmp_path):
+    """Pruning after clustered compaction is an optimization, never a
+    semantics change: for in-bucket, boundary-straddling, empty, and
+    unbounded predicates the pruned read is row-identical to filtering
+    the full table, with the unit count bounded by the clustering."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_compact,
+        mlog_read_pruned_cols,
+    )
+
+    table = str(tmp_path / "t")
+    _commit_slices(spark, table, 6)
+    mlog_compact(spark, table, cluster_by=["o_orderkey"], n_groups=4)
+
+    for lo, hi, max_units in [
+        (17, 19, 1),     # strictly inside one bucket
+        (10, 35, 3),     # straddles boundaries
+        (0, 59, 4),      # everything
+        (200, 300, 0),   # past the data: fully pruned
+        (29, 31, 2),     # hugs a boundary
+    ]:
+        pdf, n = mlog_read_pruned_cols(
+            spark, table, {"o_orderkey": (lo, hi)}
+        )
+        got = sorted(r["o_orderkey"] for r in pdf.collect())
+        assert got == [k for k in range(60) if lo <= k <= hi]
+        assert n <= max_units, (lo, hi, n)
+
+
+def test_cluster_stats_omission_is_conservative(spark, tmp_path):
+    """A cluster column whose min/max can't round-trip through JSON
+    comparably (decimal) gets NO stats — every unit scans (unprunable),
+    rows stay exact. _stat_jsonable is the gate: numbers/strings pass,
+    date/datetime go ISO, bool/decimal/other return None."""
+    import datetime
+    import decimal
+
+    from dbsuite_spark.etl.loaders import (
+        _stat_jsonable,
+        mlog_compact,
+        mlog_read_pruned_cols,
+    )
+
+    assert _stat_jsonable(7) == 7 and _stat_jsonable(7.5) == 7.5
+    assert _stat_jsonable("x") == "x"
+    assert _stat_jsonable(datetime.date(1995, 6, 1)) == "1995-06-01"
+    assert (
+        _stat_jsonable(datetime.datetime(1995, 6, 1, 12, 30))
+        == "1995-06-01 12:30:00"
+    )
+    assert _stat_jsonable(True) is None
+    assert _stat_jsonable(decimal.Decimal("1.23")) is None
+    assert _stat_jsonable(None) is None
+
+    table = str(tmp_path / "t")
+    full = _mk_orders(spark, 0, 60).selectExpr(
+        "o_orderkey",
+        "CAST(o_totalprice AS DECIMAL(10,2)) AS price_dec",
+    )
+    for i in range(3):
+        streams.msink_commit_batch(
+            table, full.filter(f"o_orderkey % 3 = {i}"), i
+        )
+    mlog_compact(spark, table, cluster_by=["price_dec"], n_groups=4)
+    doc = streams._load_commit(os.path.join(table, "commit-00003.json"))
+    assert all("stats" not in s for s in doc["subgroups"])
+    pdf, n = mlog_read_pruned_cols(
+        spark, table, {"o_orderkey": (10, 20)}
+    )
+    assert n == len(doc["subgroups"])  # nothing prunable — all scanned
+    assert sorted(r["o_orderkey"] for r in pdf.collect()) == list(
+        range(10, 21)
+    )
+
+
+def test_restore_equals_asof_at_every_version(spark, tmp_path):
+    """``mlog_restore(v)`` then a head read ≡ ``mlog_read_asof(v)`` —
+    for every version, including repeated restores and restoring to a
+    version that is itself AFTER an earlier restore."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_read_asof,
+        mlog_restore,
+    )
+
+    table = str(tmp_path / "t")
+    _commit_slices(spark, table, 4)
+
+    def head_rows():
+        return sorted(
+            r["o_orderkey"]
+            for r in streams.msink_read(spark, table).collect()
+        )
+
+    snapshots = {}
+    for v in range(4):
+        adf, _, _ = mlog_read_asof(spark, table, v)
+        snapshots[v] = sorted(r["o_orderkey"] for r in adf.collect())
+
+    assert mlog_restore(table, 1) == 2  # versions 0-1 re-pinned
+    assert head_rows() == snapshots[1]
+    # the restore commit itself is version 4; restore again to v3
+    assert mlog_restore(table, 3) == 4
+    assert head_rows() == snapshots[3]
+    # restore to the FIRST restore's own version (5-ish history): as-of
+    # at version 4 is the v1 snapshot — restoring there must match too
+    adf, _, _ = mlog_read_asof(spark, table, 4)
+    assert sorted(r["o_orderkey"] for r in adf.collect()) == snapshots[1]
+    mlog_restore(table, 4)
+    assert head_rows() == snapshots[1]
+
+
+def test_restore_survives_checkpoint_expire_vacuum(spark, tmp_path):
+    """The full maintenance lifecycle over a restored table: vacuum
+    must keep every directory the restore re-pinned (the needed set
+    walks _doc_paths roots) and free exactly the unreachable ones;
+    the checkpointed read stays byte-stable throughout."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_read_checkpointed,
+        mlog_restore,
+        mlog_vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    _commit_slices(spark, table, 6)
+    mlog_compact(spark, table)  # plain: one compacted group (v6)
+    assert mlog_restore(table, 3) == 4  # re-pin slices 0-3 (v7)
+    expected = sorted(
+        k for k in range(60) if k % 6 in (0, 1, 2, 3)
+    )
+    mlog_checkpoint(table)
+    mlog_expire_checkpointed(table)
+    deleted, kept = mlog_vacuum(table, min_age_s=0)
+    # dead: slices 4-5 (replaced by the compaction, records expired)
+    # + the compacted group (replaced by the restore) = 3; live: the
+    # four re-pinned slice dirs
+    assert (deleted, kept) == (3, 4)
+    df, _, _ = mlog_read_checkpointed(spark, table)
+    assert sorted(r["o_orderkey"] for r in df.collect()) == expected
+    assert mlog_vacuum(table, min_age_s=0) == (0, 4)  # idempotent
+
+
+def test_restore_racing_replacer_is_void(spark, tmp_path):
+    """A restore and a compaction racing over the same live set
+    resolve like racing compactions: the higher version is void at
+    read time, deterministically, with zero write-side coordination."""
+    from dbsuite_spark.etl.loaders import mlog_restore
+
+    table = str(tmp_path / "t")
+    full = _commit_slices(spark, table, 4)
+    assert mlog_restore(table, 2) == 3  # wins the race at version 4
+    # the racing compaction loses: lands at version 5 replacing the
+    # same live set {0,1,2,3} — every target already claimed → void
+    assert (
+        streams.msink_commit_batch(
+            table,
+            full,
+            "compact-racing-loser",
+            extra_doc={
+                "replaces": [0, 1, 2, 3],
+                "data_change": False,
+            },
+        )
+        == "committed"
+    )
+    got = sorted(
+        r["o_orderkey"] for r in streams.msink_read(spark, table).collect()
+    )
+    assert got == sorted(k for k in range(40) if k % 4 in (0, 1, 2))
+
+
+def test_feed_redelivers_restored_snapshot_exactly_once(spark, tmp_path):
+    """Change-feed across a restore: the restore commit is
+    data_change=true, so the poll DELIVERS the restored snapshot
+    (downstream sees the rewind as new rows — Delta CDF semantics);
+    the cursor advances and a second poll is empty."""
+    from dbsuite_spark.etl.loaders import mlog_poll, mlog_restore
+
+    table = str(tmp_path / "t")
+    _commit_slices(spark, table, 4)
+    df, n_new, cursor = mlog_poll(spark, table, 0)
+    assert n_new == 4 and cursor == 4
+    mlog_restore(table, 1)
+    df, n_new, cursor = mlog_poll(spark, table, cursor)
+    assert n_new == 1 and cursor == 5
+    redelivered = sorted(r["o_orderkey"] for r in df.collect())
+    assert redelivered == sorted(k for k in range(40) if k % 4 in (0, 1))
+    df, n_new, cursor = mlog_poll(spark, table, cursor)
+    assert df is None and n_new == 0 and cursor == 5
+
+
+def test_restore_honest_errors(spark, tmp_path):
+    """Restore shares time travel's honest-error contracts: a version
+    past the head 'does not exist'; a version whose history expired
+    past retention is 'no longer reconstructable' — never a silent
+    partial snapshot."""
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_restore,
+    )
+
+    table = str(tmp_path / "t")
+    _commit_slices(spark, table, 4)
+    with pytest.raises(RuntimeError, match="does not exist"):
+        mlog_restore(table, 99)
+    mlog_compact(spark, table)
+    mlog_checkpoint(table)
+    mlog_expire_checkpointed(table)
+    with pytest.raises(RuntimeError, match="no longer reconstructable"):
+        mlog_restore(table, 0)
+
+
+def test_restore_cluster_state_machine_walk(spark, tmp_path):
+    """Seeded random walk over the EXTENDED round-13 surface — commit /
+    replay / plain OPTIMIZE / clustered OPTIMIZE / RESTORE / checkpoint /
+    expire / vacuum — against a pure-Python model with full version
+    history: after every step the checkpointed read equals the model,
+    restores rewind the model to the recorded snapshot (or raise the
+    honest unreconstructable error and change nothing), and replays of
+    folded batches still skip."""
+    import random
+
+    from dbsuite_spark.etl.loaders import (
+        mlog_checkpoint,
+        mlog_compact,
+        mlog_expire_checkpointed,
+        mlog_read_checkpointed,
+        mlog_restore,
+        mlog_vacuum,
+    )
+    from dbsuite_spark.streaming.streams import (
+        _checkpoint_state,
+        _commit_version,
+        _log_commits,
+    )
+
+    def head(table):
+        return max(
+            [_commit_version(c) for c in _log_commits(table)]
+            + [_checkpoint_state(table)[0]]
+        )
+
+    for seed in (131, 313):
+        rng = random.Random(seed)
+        table = str(tmp_path / f"walk{seed}")
+        model: dict[int, range] = {}
+        history: dict[int, dict[int, range]] = {}
+        committed: set[int] = set()
+        next_id = 0
+        has_checkpoint = False
+
+        def expected():
+            return sorted(x for r in model.values() for x in r)
+
+        for step in range(18):
+            op = rng.choice(
+                [
+                    "commit",
+                    "commit",
+                    "replay",
+                    "compact",
+                    "compact_clustered",
+                    "restore",
+                    "checkpoint",
+                    "expire",
+                    "vacuum",
+                ]
+            )
+            if op == "commit" or (op == "replay" and not model):
+                lo = next_id * 10
+                assert (
+                    streams.msink_commit_batch(
+                        table, _mk_orders(spark, lo, lo + 10), next_id
+                    )
+                    == "committed"
+                ), f"seed {seed} step {step}"
+                model[next_id] = range(lo, lo + 10)
+                committed.add(next_id)
+                next_id += 1
+                history[head(table)] = dict(model)
+            elif op == "replay":
+                bid = rng.choice(sorted(committed))
+                out = streams.msink_commit_batch(
+                    table, _mk_orders(spark, bid * 10, bid * 10 + 10), bid
+                )
+                assert out == "skipped", (
+                    f"seed {seed} step {step}: replay of {bid} -> {out}"
+                )
+            elif op in ("compact", "compact_clustered"):
+                if model:
+                    mlog_compact(
+                        spark,
+                        table,
+                        cluster_by=(
+                            ["o_orderkey"]
+                            if op == "compact_clustered"
+                            else None
+                        ),
+                        n_groups=3,
+                    )
+                    if head(table) >= 0:
+                        history[head(table)] = dict(model)
+            elif op == "restore":
+                if history:
+                    v = rng.choice(sorted(history))
+                    try:
+                        mlog_restore(table, v)
+                        model = dict(history[v])
+                        history[head(table)] = dict(model)
+                    except RuntimeError as e:
+                        assert (
+                            "no longer reconstructable" in str(e)
+                            or "does not exist" in str(e)
+                        ), f"seed {seed} step {step}: {e}"
+            elif op == "checkpoint":
+                if model:
+                    mlog_checkpoint(table)
+                    has_checkpoint = True
+            elif op == "expire":
+                if has_checkpoint:
+                    mlog_expire_checkpointed(table)
+            elif op == "vacuum":
+                mlog_vacuum(table, min_age_s=0)
+
+            if not model:
+                continue
+            df, _, _ = mlog_read_checkpointed(spark, table)
+            got = sorted(r["o_orderkey"] for r in df.collect())
+            assert got == expected(), f"seed {seed} step {step} ({op})"

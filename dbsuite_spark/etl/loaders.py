@@ -3012,9 +3012,23 @@ def _clustered_write(spark: SparkSession, cols: list[str], n_groups: int):
 
     def write(bdf: DataFrame, group: str) -> dict:
         lead = cols[0]
+        if "_cb" in bdf.columns:
+            # the bucket scratch column must not shadow user data —
+            # silently overwriting it would corrupt the rewrite
+            raise RuntimeError(
+                "clustered compaction reserves column name '_cb'; "
+                "the table already has one"
+            )
         qs = bdf.approxQuantile(
             lead, [i / n_groups for i in range(1, n_groups)], 0.001
         )
+        if not qs or all(q is None for q in qs):
+            # nothing to range on (empty table or all-NULL cluster
+            # column): a clustered doc with ZERO subgroups would make
+            # every fold an empty path list and brick the table — fall
+            # back to the plain single-group write, no subgroups
+            bdf.write.mode("overwrite").parquet(group)
+            return {}
         bounds = sorted(set(qs))
         bucket = F.lit(0)
         for b in bounds:

@@ -1463,3 +1463,33 @@ def test_restore_cluster_state_machine_walk(spark, tmp_path):
             df, _, _ = mlog_read_checkpointed(spark, table)
             got = sorted(r["o_orderkey"] for r in df.collect())
             assert got == expected(), f"seed {seed} step {step} ({op})"
+
+
+def test_clustered_compact_empty_and_collision_guards(spark, tmp_path):
+    """Two clustered-OPTIMIZE edges that must not brick the table:
+    (a) compacting groups with zero rows (or an all-NULL cluster
+    column) falls back to the plain single-group write — a clustered
+    doc with ZERO subgroups would make every fold an empty path list;
+    (b) a table that already carries the '_cb' scratch column is
+    refused, never silently clobbered."""
+    from dbsuite_spark.etl.loaders import mlog_compact
+
+    table = str(tmp_path / "empty")
+    empty = _mk_orders(spark, 0, 10).filter("o_orderkey < 0")
+    streams.msink_commit_batch(table, empty, 0)
+    streams.msink_commit_batch(table, empty, 1)
+    assert mlog_compact(
+        spark, table, cluster_by=["o_orderkey"], n_groups=4
+    ) == 2
+    doc = streams._load_commit(os.path.join(table, "commit-00002.json"))
+    assert "subgroups" not in doc  # plain fallback, readable group
+    assert streams.msink_read(spark, table).count() == 0
+
+    table2 = str(tmp_path / "collide")
+    clash = _mk_orders(spark, 0, 20).selectExpr("o_orderkey", "1 AS _cb")
+    streams.msink_commit_batch(table2, clash, 0)
+    streams.msink_commit_batch(table2, clash.filter("o_orderkey<5"), 1)
+    with pytest.raises(RuntimeError, match="_cb"):
+        mlog_compact(spark, table2, cluster_by=["o_orderkey"], n_groups=2)
+    # the failed rewrite published nothing: the table is unchanged
+    assert streams.msink_read(spark, table2).count() == 25

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import memo_frame, t
+from dbsuite_spark.tables import fan_out, memo_frame, t
 
 JACCARD_THRESHOLD = 0.5
 N_HASHES = 24
@@ -58,12 +58,17 @@ def shingles(text_col: Column, n: int = 3) -> Column:
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded index — the substrate for both the exact
     and the MinHash paths."""
-    # Deliberately NOT fan_out here (measured): the substrate feeds
-    # many tiny multi-stage consumers (banding windows, CC rounds),
-    # where widening every stage costs more scheduler overhead than the
-    # single-threaded explode costs CPU at fixture scale. At corpus
-    # scale the documents scan is already wide.
-    d = t(spark, sf_dir, "documents")
+    # Round-13 re-measurement reversed the earlier no-fan_out decision:
+    # that decision was taken under the pre-r13 leaky cache-clear, where
+    # only a session's FIRST build paid the shingle cost and the narrow
+    # explode looked cheap. Under honest cold runs (clear_session_cache
+    # now empties the CacheManager) the single-task tokenize+shingle
+    # explode of the one-row-group documents scan is the dominant stage
+    # of every MinHash-path build — 3.3 s vs 0.6 s with fan_out,
+    # interleaved same-session at sf0.1 (guide §2.5 input-skew: one
+    # unsplittable input serializes everything fused onto it). At
+    # corpus scale the scan is already wide and fan_out is the identity.
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )

@@ -82,13 +82,22 @@ SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rank FROM (
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term) with idf = ln(N/df); top 3 terms per doc.
-    Two aggregations + one broadcast join of the (tiny) doc count; the
-    per-doc window shuffles once on doc_id."""
+
+    Round-13 optimization (guide §2.3 'aggregate before you shuffle'):
+    ``tf`` has exactly one row per (doc, token), so the document
+    frequency IS ``count(*)`` of ``tf`` rows per token — aggregated from
+    ``tf`` itself — instead of a second tokenize pass over the corpus
+    feeding a COUNT(DISTINCT doc_id) (whose partial-distinct aggregate
+    shuffled every (token, doc) pair a second time). One corpus
+    scan+explode instead of two; the join stays a hash join (a window-df
+    variant was measured SLOWER — it trades the join for a full sort of
+    tf by token; interleaved measurements in OPTIMIZATION_r13.md).
+    Locally timing-neutral (the fixture corpus is small); at scale the
+    saved pass is the win. Evidence:
+    plans/r13/text_tfidf_topterms_{before,after}.txt."""
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = t(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs")
     )

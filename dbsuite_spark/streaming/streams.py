@@ -43,17 +43,27 @@ GAP = "10 minutes"
 
 
 def _land_events(
-    spark: SparkSession, sf_dir: str, name: str, n_files: int, df: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, name: str, n_files: int, df: DataFrame | None = None,
+    ranged: bool = True,
 ) -> tuple[str, DataFrame]:
     """Write events (µs timestamps) as ``n_files`` time-ranged Parquet
-    files — the streaming landing zone. Returns (path, batch_df)."""
+    files — the streaming landing zone. Returns (path, batch_df).
+
+    ``ranged=False`` lands round-robin instead: ``repartitionByRange``
+    pays a sampling pass over the source to pick boundaries, which only
+    matters when the consumer is multi-batch AND order-sensitive
+    (watermark/dedup/stateful keys). A complete-mode single-trigger
+    consumer (``stream_session_window``) gets the same final result from
+    any file layout, so it skips the sampling scan (guide §1.2 — don't
+    compute what the result never observes)."""
     src = df if df is not None else t(spark, sf_dir, "events")
     path = artifact_path(sf_dir, f"stream_src_{name}")
-    part = (
-        src.repartitionByRange(n_files, "ts")
-        if n_files > 1
-        else src.coalesce(1)
-    )
+    if n_files <= 1:
+        part = src.coalesce(1)
+    elif ranged:
+        part = src.repartitionByRange(n_files, "ts")
+    else:
+        part = src.repartition(n_files)
     part.write.mode("overwrite").parquet(path)
     # The file source orders arrivals by modification time; freshly-written
     # parts share an mtime, which makes multi-batch arrival order (and
@@ -224,12 +234,17 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``session_window``); complete mode → deterministic final sessions →
     full SQL oracle via the gaps-and-islands twin (new session iff the gap
     is ≥ 10 min — Spark merges only strictly-overlapping windows)."""
-    path, src = _land_events(spark, sf_dir, "session", n_files=3)
+    path, src = _land_events(
+        spark, sf_dir, "session", n_files=3, ranged=False
+    )
     sdf = (
         # Complete mode → result is cadence-independent; ingest all files
         # in one trigger to skip two state-store checkpoint rounds (the
         # multi-batch cadence is exercised by the watermark/foreachBatch
-        # keys, where it is semantically load-bearing).
+        # keys, where it is semantically load-bearing). Round-13: the
+        # landing is round-robin (ranged=False) — single-trigger complete
+        # mode never observes file boundaries, so the range-partition
+        # sampling pass was pure overhead.
         _read_stream(spark, path, src.schema, files_per_trigger=3)
         .groupBy(F.session_window("ts", GAP), "user_id")
         .agg(F.count("*").alias("n_events"))

@@ -187,8 +187,25 @@ def clear_session_cache(spark: SparkSession | None = None) -> None:
     cost, not on a warm cache hit (VERDICT r08 ask #3).  Cached
     DataFrames are unpersisted so executor storage is actually released,
     not just unreferenced.
+
+    Round-13 measurement-bug fix (guide §1): unpersisting the MEMOIZED
+    frame is not enough — substrates also ``.cache()`` INTERIOR frames
+    (the MinHash shingle/candidate chain, the bulk-load parse split),
+    which stay in Spark's CacheManager after the memo entry dies; a
+    rebuilt equal plan then silently rehydrates the old cached data (the
+    "Asked to cache already cached data" warnings in earlier bench
+    tails), so a bench "cold" run after the first was warm on those
+    stages.  ``catalog.clearCache()`` on every targeted live session
+    makes cold actually cold.
     """
     sids = None if spark is None else {id(spark)}
+    targets = [
+        s
+        for sid, s in _MEMO_SESSIONS.items()
+        if sids is None or sid in sids
+    ]
+    if spark is not None and id(spark) not in _MEMO_SESSIONS:
+        targets.append(spark)
     for k in [k for k in _SESSION_CACHE if sids is None or k[0] in sids]:
         v = _SESSION_CACHE.pop(k)
         if isinstance(v, DataFrame):
@@ -198,6 +215,11 @@ def clear_session_cache(spark: SparkSession | None = None) -> None:
                 pass  # session already stopped — storage is gone anyway
     for sid in [s for s in _MEMO_SESSIONS if sids is None or s in sids]:
         del _MEMO_SESSIONS[sid]
+    for sess in targets:
+        try:
+            sess.catalog.clearCache()
+        except Exception:
+            pass  # stopped session (storage already gone) or test fake
 
 
 def memo_cache(df: DataFrame, key: str) -> DataFrame:

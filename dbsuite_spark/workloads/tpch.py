@@ -908,36 +908,43 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 (adapted: 'kept the order waiting' = this supplier alone shipped
     on the order's latest ship date and the order used ≥2 suppliers, since
     commit/receipt dates don't exist): per-NATION_0-supplier count of
-    multi-supplier orders they finished last. The EXISTS/NOT-EXISTS pair
-    of the classic query decorrelates to per-order aggregates (max
-    shipdate, distinct-supplier count) joined back on the shuffle key —
-    one fact shuffle, no correlated re-scans."""
+    multi-supplier orders they finished last.
+
+    Round-13 optimization (guide §2.4 — same-key window reuses the
+    aggregation's partitioning): the EXISTS/NOT-EXISTS pair decorrelates
+    to per-order WINDOW aggregates over ONE hash shuffle of the fact
+    table — max shipdate and distinct-supplier count (size of collect_set
+    ≡ countDistinct) as windows over ``l_orderkey``, the latest-shipper
+    dedup as a same-partitioning dropDuplicates (hash(l_orderkey)
+    satisfies the (l_orderkey, l_suppkey) clustering requirement — no
+    second exchange), and the 'sole latest shipper' test as a count
+    window over the deduped rows, again exchange-free. The previous
+    groupBy+join+distinct+semi-join shape shuffled the fact three more
+    times (measured interleaved same-session: min 2.23s → 1.05s at
+    sf0.1; plans/r13/tpch_q21_waiting_suppliers_{before,after}.txt)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    ostat = li.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("nsupp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     latest = (
-        li.join(ostat, "l_orderkey")
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.max("l_shipdate").over(w).alias("max_ship"),
+            F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+        )
         .filter(F.col("l_shipdate") == F.col("max_ship"))
         .select("l_orderkey", "l_suppkey", "nsupp")
-        .distinct()
-    )
-    sole = (
-        latest.groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_latest"))
-        .filter(F.col("n_latest") == 1)
-        .select("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+        .withColumn("n_latest", F.count("*").over(w))
     )
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
     s = t(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        latest.filter(F.col("nsupp") >= 2)
-        .join(sole, "l_orderkey", "left_semi")
+        latest.filter((F.col("nsupp") >= 2) & (F.col("n_latest") == 1))
         .join(s, latest.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -262,9 +262,18 @@ def test_tpch_q20_semi_join_consumes_having(spark, sf_dir):
 
 
 def test_tpch_q21_no_correlated_rescan(spark, sf_dir):
+    # Round-13 shape: per-order stats are WINDOWS over one hash(l_orderkey)
+    # shuffle of the fact (guide §2.4); the latest-shipper dedup and the
+    # sole-latest count reuse that partitioning (hash on a subset key
+    # satisfies the wider clustering), so lineitem is exchanged exactly
+    # once — no join back, no semi-join, no correlated re-scan.
     plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
-    assert "LeftSemi" in plan, "sole-latest filter must be a semi-join"
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "fact must not join back to itself"
+    assert n_nodes(plan, "Scan parquet") <= 3, "one scan per table"
+    assert (
+        plan.count("Arguments: hashpartitioning(l_orderkey") == 1
+    ), "per-order windows + dedup must share ONE fact exchange"
 
 
 def test_tpch_q22_scalar_broadcast_and_anti(spark, sf_dir):
@@ -292,9 +301,16 @@ def test_resample_single_window_pass(spark, sf_dir):
 
 
 def test_funnel_stage_chain_on_user_key(spark, sf_dir):
+    # Round-13 shape: one filtered scan of events, one hash(user_id)
+    # aggregation collecting all three stages' state, hop logic row-local
+    # (guide §2.3/§2.4) — no per-stage rescans, no stage joins.
     plan = plan_of(spark, sf_dir, "events_funnel_conversion")
     assert "CartesianProduct" not in plan
-    assert plan.count("HashAggregate") >= 6, "3 stages x partial+final"
+    assert n_nodes(plan, "Scan parquet") == 1, "one scan feeds all 3 stages"
+    assert "Join" not in plan, "stage chain must be aggregation, not joins"
+    assert (
+        plan.count("Arguments: hashpartitioning(user_id") == 1
+    ), "all three stages share ONE user_id shuffle"
 
 
 def test_bloom_filter_join_injects_might_contain(spark, sf_dir):

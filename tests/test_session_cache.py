@@ -110,3 +110,23 @@ def test_bpe_oracles_share_trainer_stages():
         assert stage in encode, stage[:40]
     # the encode oracle reuses the learned rules, not a re-training
     assert f"b{BPE_MERGES}" in encode and f"a{BPE_MERGES}" in encode
+
+
+def test_clear_session_cache_clears_interior_caches(spark, sf_dir):
+    """Round-13 measurement-bug fix (guide §1): frames ``.cache()``d
+    INSIDE a memoized substrate build (never registered in the memo) must
+    also go cold on clear — previously they survived in the CacheManager
+    and an equal rebuilt plan silently rehydrated them, so bench "cold"
+    runs after the first were warm on those stages."""
+    from dbsuite_spark.tables import t
+
+    interior = t(spark, sf_dir, "nation").select("n_nationkey").cache()
+    interior.count()  # materialize
+    assert interior.storageLevel.useMemory
+    T.clear_session_cache(spark)
+    assert not interior.storageLevel.useMemory, (
+        "interior cache must be cleared, or bench cold runs stay warm"
+    )
+    # an equal plan rebuilt after the clear must NOT come back cached
+    rebuilt = t(spark, sf_dir, "nation").select("n_nationkey")
+    assert not rebuilt.storageLevel.useMemory

@@ -94,3 +94,41 @@ def test_tumbling_count_batch_boundary_invariant(spark, sf_dir):
         return sorted(tuple(r) for r in out.collect())
 
     assert run(1, "mem_inv_one") == run(5, "mem_inv_five")
+
+
+def test_session_window_landing_layout_invariant(spark, sf_dir):
+    """Round-13 optimization law: the session-window result must be
+    identical whether the landing zone is range-partitioned by ts or
+    round-robin (``ranged=False`` — the production key's layout since the
+    single-trigger complete-mode consumer never observes file
+    boundaries). Guards the ranged=False rewrite of
+    ``stream_session_window``."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.streaming.streams import (
+        GAP,
+        _land_events,
+        _read_stream,
+        _run_to_memory,
+    )
+
+    def run(ranged, name):
+        path, src = _land_events(
+            spark, sf_dir, f"session_inv_{int(ranged)}", n_files=3,
+            ranged=ranged,
+        )
+        sdf = (
+            _read_stream(spark, path, src.schema, files_per_trigger=3)
+            .groupBy(F.session_window("ts", GAP), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        out = _run_to_memory(spark, sdf, name, "complete")
+        return sorted(tuple(r) for r in out.collect())
+
+    assert run(True, "mem_sess_rng") == run(False, "mem_sess_rr")

@@ -301,8 +301,8 @@ def _minhash_verified_pairs_build(
     right = bands.select(
         F.col("doc_id").alias("d2"), "band", "key"
     )
-    # The candidate set is tiny (collision pairs only) but consumed three
-    # times inside _jaccard_on (two semi-joins + the inter gate) — cache
+    # The candidate set is tiny (collision pairs only) but consumed
+    # several times below (the doc-set union + two pair joins) — cache
     # it so the band self-join chain runs once, not three times.
     candidates = (
         left.join(right, ["band", "key"])
@@ -311,11 +311,59 @@ def _minhash_verified_pairs_build(
         .distinct()
         .cache()
     )
+    # Round-13 verify rewrite (guide §2.3/§2.4): score candidates with
+    # array_intersect over per-doc shingle ARRAYS collected for the
+    # candidate docs only, instead of _jaccard_on's index-join verify —
+    # which aggregated sizes over the FULL shingle index (a whole-index
+    # shuffle for a handful of candidate docs), re-shuffled the
+    # semi-filtered index by shingle for the intersection counts, and
+    # re-aggregated by pair. The arrays are exact distinct-shingle sets
+    # (sh rows are (doc, shingle)-distinct by construction), so
+    # |a1 ∩ a2| ≡ the s-join count and size(arr) ≡ the sizes aggregate:
+    # jaccard is the same division of the same exact integers,
+    # row-identical (verified vs the old path and the DuckDB oracle at
+    # sf0.01/sf0.1). Cost: one broadcast semi-join + one tiny groupBy
+    # over candidate docs' rows — candidate-bounded, never corpus-bounded
+    # (measured interleaved same-session at sf0.1: pairs min 4.26 → 3.60 s,
+    # winning all 4 rounds; plans/r13/dedup_near_minhash_after.txt).
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc_id"))
+        .union(candidates.select(F.col("d2")))
+        .distinct()
+    )
+    cand_arrs = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("arr"))
+    )
+    scored = (
+        candidates.join(
+            cand_arrs.select(
+                F.col("doc_id").alias("d1"), F.col("arr").alias("a1")
+            ),
+            "d1",
+        )
+        .join(
+            cand_arrs.select(
+                F.col("doc_id").alias("d2"), F.col("arr").alias("a2")
+            ),
+            "d2",
+        )
+        .withColumn("ni", F.size(F.array_intersect("a1", "a2")))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("ni").cast("double")
+                / (F.size("a1") + F.size("a2") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+    )
     # The verified pair set is tiny (near-dup pairs only) and consumed
     # by several keys in one session (near_minhash's own emission, CC's
     # cluster formation, the stats/representative layers above them) —
     # cache it so the verify chain runs once.
-    return _jaccard_on(candidates, sh).cache()
+    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).cache()
 
 
 @query("dedup_near_minhash", oracle=_JACCARD_ORACLE, category="L")

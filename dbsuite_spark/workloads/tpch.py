@@ -509,43 +509,44 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     category="N",
 )
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18: customers with very large single orders. The HAVING pre-pass
-    finds big orderkeys (tiny set → semi-join), then the detail rollup
-    runs only on those orders.
+    """Q18: customers with very large single orders.
 
-    Scale: after the semi-join the surviving ``orders`` side is the
-    >300-qty set — a vanishing fraction of orders — so it is broadcast
-    into the lineitem probe, saving the second lineitem-sized shuffle
-    (only the HAVING pre-pass shuffles the fact table).
+    Round-13 optimization (guide §2.4 — don't recompute what an
+    aggregate already holds): the classic shape re-scans lineitem to
+    roll up detail per surviving order, but the final GROUP BY contains
+    ``o_orderkey``, so the rollup's ``SUM(l_quantity)`` per group IS the
+    HAVING pre-pass aggregate ``q`` — the second lineitem scan + probe +
+    final rollup exchange computed a value the pre-pass already had.
+    Now: ONE lineitem scan (the HAVING aggregation — the only fact
+    shuffle), and the tiny >300-qty set carries its sum straight into
+    two broadcast joins against orders and customer; no second fact
+    pass, no final aggregation at all. ``total_qty`` is the same
+    decimal(18,6) sum cast to double (dsum's exact definition), so the
+    output is row-identical (verified vs the old shape and the oracle
+    at sf0.01/sf0.1; interleaved same-session at sf0.1 it won 4 of 5
+    rounds, min 1.68 → 1.50 s; at scale it removes a full fact scan).
 
     Broadcast-size assumption (ADVICE r04): the >300-qty set is a
-    constant *fraction* of orders, so its absolute size grows linearly
-    with scale factor — roughly low-millions of rows (hundreds of MB) at
-    the 100 TB regime. The forced ``F.broadcast`` hint is correct up to
-    ~the executor-memory broadcast ceiling (spark.sql.
-    autoBroadcastJoinThreshold territory, tens-to-hundreds of MB); past
-    that, drop the hint and let AQE pick shuffled-hash (or inject a
-    bloom filter on l_orderkey) — the semi-join pre-pass and single
-    fact-shuffle structure of the plan is unchanged either way."""
+    constant *fraction* of orders — low-millions of rows at the 100 TB
+    regime, and narrower than before (orderkey + one sum). The forced
+    ``F.broadcast`` hints are correct up to the broadcast ceiling;
+    past that, drop the hints and let AQE pick shuffled-hash — the
+    single-fact-shuffle structure is unchanged either way."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
-    o = t(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
-    )
+    o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            "o_totalprice",
-        )
-        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    sub = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return c.join(
+        F.broadcast(sub), sub.o_custkey == c.c_custkey
+    ).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty",
     )
 
 

@@ -229,17 +229,21 @@ def test_tpch_q9_broadcast_part_filter(spark, sf_dir):
 
 
 def test_tpch_q18_broadcasts_post_semi_orders(spark, sf_dir):
-    """Q18's >300-qty orders set (post HAVING semi-join) is tiny, so it
-    must broadcast into the lineitem probe: only the HAVING pre-pass may
-    shuffle the fact table (round-4 change, VERDICT r03 ask #6)."""
+    """Q18's >300-qty set is tiny and already carries the per-order sum
+    the final GROUP BY would recompute (o_orderkey is in the group), so
+    the plan must scan lineitem ONCE (the HAVING pre-pass — the only
+    fact shuffle) and attach orders/customer via broadcast joins; no
+    second fact pass, no final rollup exchange (round-13, guide §2.4)."""
     plan = plan_of(spark, sf_dir, "tpch_q18_large_volume")
     assert plan.count("BroadcastHashJoin") >= 2, (
-        "post-semi orders (and customer) must broadcast into lineitem"
+        "big-orders set and the joined sub-result must broadcast"
     )
     assert "CartesianProduct" not in plan
-    # one fact-table shuffle: the HAVING pre-pass aggregation exchange +
-    # the final rollup exchange; no SMJ exchange of lineitem
     assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Scan parquet") == 3, (
+        "exactly one scan per table — the detail rollup must not"
+        " re-scan lineitem"
+    )
 
 
 def test_tpch_q11_scalar_threshold_broadcast(spark, sf_dir):

@@ -35,8 +35,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.join.preferSortMergeJoin", _prefer_smj())
     )
     return builder.getOrCreate()
+
+
+def _prefer_smj() -> str:
+    """Round-13 (guide §3.1/§9): let the planner pick shuffled-hash join
+    when its size conditions hold — SHJ skips both sides' sorts, and the
+    flip measured faster-or-equal on every shuffled-join headline key
+    (interleaved same-session at sf0.1: tpch_q5 7/9 rounds,
+    tpch_q9 7/9, join_multiway_star 6/9; bucketed/broadcast/hinted
+    plans unchanged — the bucket-aligned SMJ keeps its no-exchange,
+    no-sort shape because no exchange is planned at all). NOT a
+    local-only tune: Spark still guards SHJ behind
+    canBuildLocalHashMap (per-partition build must fit), AQE skew
+    splitting applies to SHJ, and sort-merge remains available via
+    hint; on a cluster where a build side might exceed task memory,
+    set SPARK_GRAFT_PREFER_SMJ=true to restore the default."""
+    return os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false")
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -56,6 +73,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.autoBroadcastJoinThreshold", "64m"),
         ("spark.sql.cbo.enabled", "true"),
+        ("spark.sql.join.preferSortMergeJoin", _prefer_smj()),
     ):
         try:
             spark.conf.set(key, val)

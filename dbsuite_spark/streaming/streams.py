@@ -235,7 +235,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     full SQL oracle via the gaps-and-islands twin (new session iff the gap
     is ≥ 10 min — Spark merges only strictly-overlapping windows)."""
     path, src = _land_events(
-        spark, sf_dir, "session", n_files=3, ranged=False
+        spark, sf_dir, "session", n_files=3, ranged=False,
+        # Round-13 (guide §2.3/§6): land only the two columns the
+        # session aggregation reads — the full landing wrote the heavy
+        # JSON props column into parquet that no consumer of THIS
+        # landing ever scans (the stream side already pruned its read
+        # schema; the WRITE was the unpruned half). Result-invariant:
+        # sessions depend on (user_id, ts) alone (measured interleaved
+        # at sf0.1: won 4 of 5 rounds, ~0.3 s).
+        df=t(spark, sf_dir, "events").select("user_id", "ts"),
     )
     sdf = (
         # Complete mode → result is cadence-independent; ingest all files

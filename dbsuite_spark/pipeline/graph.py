@@ -417,7 +417,19 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each half-iteration is one shuffle join (edges ⋈ scores on
     the join key) + one grouped BIGINT sum + a 1-row broadcast total —
-    a static 4-stage DAG, no convergence loop, no collect."""
+    a static 4-stage DAG, no convergence loop, no collect.
+
+    Round-13 optimization (guide §2.4; same criterion as
+    ``graph_sssp_hops``): each half-step's raw aggregate feeds BOTH its
+    L1 total and the rescaled scores, and the next half-step joins
+    those scores back against ``base`` — so pure lineage COMPOUNDS
+    (the round-1 join subtree re-ran inside every later half-step;
+    182 exchanges planned). A lazy ``localCheckpoint`` on each
+    half-step's raw aggregate truncates the growth at the smallest
+    frame in the loop (|nodes| rows, pre-rescale). Bit-identical
+    results (equality-gated at sf0.1); interleaved same-session, both
+    orderings: old 3.89/3.49/2.97/3.38 s vs new 2.54/1.92/2.08/2.08 s
+    — new won 4 of 4 adjacent pairs (~1.6×)."""
     base = t(spark, sf_dir, "events").select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
         F.concat(F.lit("e"), F.col("event_type")).alias("v"),
@@ -434,6 +446,7 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.join(h, base.u == h.node)
             .groupBy("v")
             .agg(F.sum("hu").alias("s"))
+            .localCheckpoint(eager=False)
         )
         atot = araw.agg(F.sum("s").alias("tot"))
         a = araw.crossJoin(F.broadcast(atot)).select(
@@ -444,6 +457,7 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.join(a, base.v == a.node)
             .groupBy("u")
             .agg(F.sum("au").alias("s"))
+            .localCheckpoint(eager=False)
         )
         htot = hraw.agg(F.sum("s").alias("tot"))
         h = hraw.crossJoin(F.broadcast(htot)).select(

@@ -1573,6 +1573,33 @@ def test_weighted_sssp_lineage_fully_truncated(spark, sf_dir):
     assert n_nodes(plan, "Exchange") == 0
 
 
+def test_sssp_hops_lineage_fully_truncated(spark, sf_dir):
+    """graph_sssp_hops: every BFS round localCheckpoints frontier and
+    dist (the dist frame is referenced twice per round — anti-join +
+    union — so pure lineage compounds ~2^k), so the returned frame's
+    plan is a single Scan ExistingRDD, exactly like
+    graph_weighted_sssp. Lineage leaking past a round would show the
+    437-exchange unrolled plan here."""
+    plan = plan_of(spark, sf_dir, "graph_sssp_hops")
+    assert n_nodes(plan, "Scan ExistingRDD") == 1
+    assert n_nodes(plan, "Exchange") == 0
+    assert n_nodes(plan, "Scan parquet") == 0
+
+
+def test_hits_lineage_truncated_per_half_step(spark, sf_dir):
+    """graph_hits_fixed: each half-step's raw aggregate localCheckpoints
+    (it feeds both its L1 total and the rescaled scores, so lineage
+    compounds across half-steps). The returned plan must contain ONLY
+    the final rescale layer: the two checkpointed raw aggregates
+    (scanned twice each: totals + rescale), their two total
+    aggregations, and no parquet rescan of the event base."""
+    plan = plan_of(spark, sf_dir, "graph_hits_fixed")
+    assert n_nodes(plan, "Scan ExistingRDD") == 4
+    assert n_nodes(plan, "Scan parquet") == 0
+    assert n_nodes(plan, "Exchange") == 2
+    assert n_nodes(plan, "BroadcastExchange") == 2
+
+
 def test_shard_assign_prefix_sum_is_two_pass(spark, sf_dir):
     """docs_shard_assign_prefix_sum: the corpus-side running sum must
     run under a window PARTITIONED by range (hashpartitioning

@@ -1,7 +1,7 @@
 """Interleaved A/B: exploded-index MinHash signatures (current) vs
 row-local array signatures (candidate change). Equality gate first.
 
-Usage: python3 /tmp/exp_minhash_rowlocal.py [sf_dir] [rounds]
+Usage: python3 bench_logs/r13h_exp_minhash_variants.py [sf_dir] [rounds]
 """
 import os
 import sys

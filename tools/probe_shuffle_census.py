@@ -9,6 +9,12 @@ sf0.1, so those knobs have no local mechanism to measure (guide §9 —
 config tuning needs bytes to act on).
 
 Run from the repo root: python3 tools/probe_shuffle_census.py
+
+Caveat (ADVICE r13): stage-to-key attribution keeps only the LAST job
+group touching a stage id, so a stage shared across jobs from different
+groups (e.g. AQE exchange reuse) can be attributed to the wrong key.
+Totals are unaffected; per-key rows can shift slightly. Fine for a
+one-shot census.
 """
 import json
 import os

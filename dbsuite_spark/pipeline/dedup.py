@@ -59,9 +59,12 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession, sf_dir: str, key: str | None = None
+) -> DataFrame:
     """(doc_id, shingle) exploded index — the substrate for both the exact
-    and the MinHash paths."""
+    and the MinHash paths. ``key="doc_id"`` hash-partitions the fan_out
+    (see below) — pass it when the CONSUMER aggregates by doc_id."""
     # Round-13 re-measurement reversed the earlier no-fan_out decision:
     # that decision was taken under the pre-r13 leaky cache-clear, where
     # only a session's FIRST build paid the shingle cost and the narrow
@@ -72,7 +75,21 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interleaved same-session at sf0.1 (guide §2.5 input-skew: one
     # unsplittable input serializes everything fused onto it). At
     # corpus scale the scan is already wide and fan_out is the identity.
-    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Round-14: callers whose downstream aggregates by doc_id pass
+    # key="doc_id" — the fan_out exchange then establishes
+    # hashpartitioning(doc_id), which explode PRESERVES, so those
+    # groupBys plan with ZERO further exchanges, and the keyless
+    # repartition's sort-before-repartition of the heavy text rows
+    # disappears (fan_out docstring). Scoped per consumer by
+    # measurement: the MinHash chain (sig groupBy + verify cand_arrs
+    # groupBy both keyed doc_id) won 5/6 and 6/6 interleaved rounds at
+    # sf0.1 (minhash median 2.87→2.36 s, CC 3.54→3.11 s; plan 66→59
+    # nodes, 7→5 exchanges), while the exact-Jaccard family — whose
+    # substrate re-shuffles by shingle anyway — measured a slight LOSS
+    # (1/6; hash(doc_id) balances the tokenize stage marginally worse
+    # than round-robin), so it keeps the default. doc_id is a dense
+    # unique id: hash-even at any scale, no §2.5 skew hazard.
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"), key=key)
     return d.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )
@@ -337,7 +354,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_verified_pairs_build(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir).cache()
+    sh = _shingle_rows(spark, sf_dir, key="doc_id").cache()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}")
@@ -449,10 +466,20 @@ def _minhash_verified_pairs_build(
     cand_docs = candidates.select(F.col("d1").alias("doc_id")).union(
         candidates.select(F.col("d2"))
     )
+    # Round-14: cache the candidate-doc shingle arrays. The frame feeds
+    # TWO broadcast builds (keyed d1 and d2); uncached, the semi-join +
+    # collect_list groupBy over the corpus-sized shingle index executed
+    # twice per cold build — the executed plan showed zero runtime
+    # exchange/stage reuse between the two broadcast build sides. The
+    # frame itself is candidate-bounded (a handful of rows), so the cache
+    # barrier costs nothing; interleaved same-session at sf0.1 the cache
+    # won 12/12 clean-window rounds (~11-12% off both headline dedup
+    # keys), and at corpus scale it removes a duplicated full-index pass.
     cand_arrs = (
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("arr"))
+        .cache()
     )
     scored = (
         candidates.join(

@@ -257,10 +257,23 @@ def memo_frame(spark: SparkSession, key: str, build) -> DataFrame:
     return hit
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     """Raise a narrow scan's parallelism to the session default before
     CPU-heavy per-row work (decimal aggregation, JSON parsing, vector
     math).
+
+    Round-14: ``key`` selects HASH repartitioning on that column instead
+    of round-robin. Two wins when a high-cardinality, skew-free key
+    exists (document/row ids): (1) keyless ``repartition(n)`` first pays
+    a local sort of its input so retried tasks reproduce the same
+    row-to-partition assignment (``spark.sql.execution.sortBeforeRepartition``,
+    guide §2.5) — on heavy payload rows (document text) that sort is real
+    CPU; hash repartitioning needs no such determinism crutch. (2) the
+    exchange ESTABLISHES hashpartitioning(key), so every downstream
+    groupBy/window on that key rides it with zero further exchanges
+    (guide §2.4). Use only where the key provably spreads (ids), never a
+    low-cardinality grouping key — that would re-create the skew §2.5
+    warns about.
 
     A Parquet scan's task count is bounded by its split count — row
     groups, not bytes — so a few large single-row-group files (this
@@ -324,5 +337,7 @@ def fan_out(df: DataFrame) -> DataFrame:
             size = 0  # remote FS: count the file as one split
         est_splits += max(1, -(-size // mpb))
     if est_splits * 4 <= target:
+        if key is not None:
+            return df.repartition(target, df[key])
         return df.repartition(target)
     return df

@@ -209,8 +209,14 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (get_json_object) + schema-typed extraction (from_json). Missing paths
     yield NULL on both engines."""
     # fan_out on the 2-column projection: double JSON parse per row is
-    # the CPU; a narrow scan must not run it single-task.
-    e = fan_out(t(spark, sf_dir, "events").select("event_id", "props"))
+    # the CPU; a narrow scan must not run it single-task. Round-14:
+    # keyed on event_id — skips the keyless repartition's local
+    # sort-before-repartition of the heavy props strings (guide §2.5);
+    # the projection is row-local, so results are order-independent.
+    e = fan_out(
+        t(spark, sf_dir, "events").select("event_id", "props"),
+        key="event_id",
+    )
     parsed = F.from_json(F.col("props"), "k INT, missing INT")
     return e.select(
         "event_id",

@@ -40,10 +40,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("count_order")
     # fan_out: the 5 decimal partial aggregates are the CPU; a narrow
     # scan (few row groups) must not serialize them onto one core.
+    # Round-14: keyed on l_orderkey — a keyless round-robin repartition
+    # first LOCALLY SORTS its input so retried tasks reproduce the same
+    # assignment (sortBeforeRepartition, guide §2.5); on ~600k wide
+    # decimal rows that sort is real CPU. hash(l_orderkey) needs no sort
+    # and spreads evenly (dense id, ~7 rows/key); the decimal sums are
+    # order-independent by the exactness contract, so the result is
+    # bit-identical (equality-gated at both scales).
     return (
         fan_out(li.filter(
             F.col("l_shipdate") <= F.lit(_FLAGSHIP_CUTOFF).cast("timestamp")
-        ))
+        ), key="l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -610,7 +610,10 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fan_out the corpus side: the ADC fold (64 multiplies/row/query)
     # is the CPU; identity when the corpus scan is already wide.
-    pairs = fan_out(qz).alias("c").join(
+    # Round-14: keyed on vec_id — skips the keyless repartition's local
+    # sort-before-repartition of the 64-wide array rows (guide §2.5);
+    # the fold + window are key-local, order-independent.
+    pairs = fan_out(qz, key="vec_id").alias("c").join(
         F.broadcast(q), F.col("c.vec_id") != F.col("qid")
     ).select(
         "qid",
@@ -1103,7 +1106,8 @@ def sim_search_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
     )
     coarse = (
-        fan_out(qz)
+        # Round-14: keyed fan_out — same rationale as sim_embed_quantize.
+        fan_out(qz, key="vec_id")
         .alias("c")
         .join(F.broadcast(q), F.col("c.vec_id") != F.col("qid"))
         .select(

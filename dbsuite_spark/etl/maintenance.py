@@ -48,7 +48,11 @@ def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t(spark, sf_dir, "lineitem").select(*cols)
 
     frag = artifact_path(sf_dir, "compact_fragmented")
-    src.repartition(64).write.mode("overwrite").parquet(frag)
+    # Round-14: fragment by hash(l_orderkey) instead of round-robin —
+    # same 64-way fragmentation (the fixture this key compacts), minus
+    # the keyless repartition's local sort-before-repartition pass
+    # (guide §2.5). Content equality is the oracle either way.
+    src.repartition(64, "l_orderkey").write.mode("overwrite").parquet(frag)
 
     compacted = artifact_path(sf_dir, "compact_out")
     (

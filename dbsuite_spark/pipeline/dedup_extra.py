@@ -319,7 +319,11 @@ def _embcos_pairs_blocked(
             -(-len(ids_all) // 4096),
         ),
     )
-    blocks = e.repartition(n_blocks)
+    # Round-14: keyed repartition — skips the keyless form's local
+    # sort-before-repartition of the embedding-array rows (guide §2.5);
+    # per-block GEMM output is a set union, block assignment is
+    # result-invariant.
+    blocks = e.repartition(n_blocks, "vec_id")
     return blocks.mapInPandas(gen, "d1 long, d2 long")
 
 

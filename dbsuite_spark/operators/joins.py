@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import fan_out, t
 
 
 @query(
@@ -218,10 +218,15 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
-    # No fan_out (measured): lineitem⋈orders is a shuffled join, so the
-    # fact already re-partitions on the join key — an up-front exchange
-    # would be pure overhead.
-    li = t(spark, sf_dir, "lineitem")
+    # Round-14: the old "no fan_out — lineitem⋈orders is a shuffled
+    # join" rationale went stale when autoBroadcastJoinThreshold rose to
+    # 64m: ALL four joins now broadcast, so the whole 600k-row probe
+    # chain + the partial aggregate fused into the single-row-group
+    # lineitem scan stage ran on ONE core (the same documented local
+    # ceiling flagship's fan_out solves). Keyed fan_out (hash
+    # l_orderkey, no sort-before-repartition) buys a 32-wide probe for
+    # one narrow shuffle; identity at scale where the scan is wide.
+    li = fan_out(t(spark, sf_dir, "lineitem"), key="l_orderkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from dbsuite_spark.exact import BIGCOUNT, DSUM, dsum
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import fan_out, t
 
 def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -65,8 +65,15 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
     )
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    # Round-14: keyed fan_out AFTER the pushed filter — with both joins
+    # broadcast, the probe chain + partial aggregate fused into the
+    # single-row-group lineitem scan ran on one core (see
+    # join_multiway_star). Identity at scale.
+    li = fan_out(
+        t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+        ),
+        key="l_orderkey",
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -146,6 +153,11 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
+    # Round-14: keyed fan_out MEASURED AND REJECTED here (2/6
+    # interleaved, median 0.77→0.85 s): unlike join_multiway_star, the
+    # fan_out exchange ships the full-width fact rows while the serial
+    # probe it parallelizes is already cheap — the dim chain prunes
+    # early. The one-task scan stage stays the documented local ceiling.
     li = t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -532,7 +544,13 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.broadcast`` hints are correct up to the broadcast ceiling;
     past that, drop the hints and let AQE pick shuffled-hash — the
     single-fact-shuffle structure is unchanged either way."""
-    li = t(spark, sf_dir, "lineitem")
+    # Round-14: keyed fan_out on the groupBy key — the one-task partial
+    # aggregate of the single-row-group scan becomes a 32-wide COMPLETE
+    # aggregation riding the fan_out exchange (hashpartitioning
+    # satisfies the groupBy's distribution, so no further exchange is
+    # planned). Same single-fact-shuffle structure, wide instead of
+    # serial; identity at scale.
+    li = fan_out(t(spark, sf_dir, "lineitem"), key="l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
@@ -724,6 +742,11 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # Round-14: keyed fan_out MEASURED AND REJECTED here (0/6
+    # interleaved, median 0.82→1.08 s): the broadcast part filter
+    # (%widget%) prunes most fact rows in the scan stage, so the
+    # exchange of full-width rows costs more than the serial probe of
+    # the survivors. Left at the documented local scan ceiling.
     li = t(spark, sf_dir, "lineitem")
     profit = (
         _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)

@@ -157,6 +157,10 @@ GROUP BY l_returnflag
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT x), multi-column. Spark expands to a two-phase
     distinct-then-count plan (expand + partial agg) automatically."""
+    # Round-14: keyed fan_out MEASURED AND REJECTED (0/6 interleaved,
+    # median 0.68→1.05 s): the two-phase distinct's own exchanges
+    # already spread the heavy phases; an up-front exchange of the raw
+    # fact rows only adds cost. Left as the standard Expand plan.
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -227,6 +231,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region")
+    # Round-14: keyed fan_out MEASURED AND REJECTED (0/6 interleaved,
+    # median 0.46→0.58 s): customer is small enough that the one-task
+    # probe+rollup beats paying an exchange to spread it.
     joined = cust.join(
         F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
     ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
@@ -497,7 +504,11 @@ def pivot_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event_type rows → one column of sums per type. Explicit value
     list keeps the plan a single pass (no extra distinct-values job) — the
     scalable form."""
-    e = t(spark, sf_dir, "events")
+    # Round-14: keyed fan_out on the GROUPBY key — the pivot's partial
+    # aggregate ran inside the one-task events scan; hash(user_id)
+    # spreads it AND satisfies the groupBy distribution, so the pivot
+    # plans as one wide complete aggregation with no further exchange.
+    e = fan_out(t(spark, sf_dir, "events"), key="user_id")
     return (
         e.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)

@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 
 from dbsuite_spark.exact import BIGCOUNT, DSUM, DSUM_WIDE, dsum, dsum_wide
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import fan_out, t
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 TOPK_ITEMS = 25
@@ -308,6 +308,9 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel types only; per-user collected lists are bounded by that
     user's click/purchase counts (small constants in any real funnel
     window — segment by time first if a bot user could be unbounded)."""
+    # Round-14: keyed fan_out MEASURED AND REJECTED (1/6 interleaved,
+    # median 0.34→0.37 s): the filtered scan is light enough that the
+    # single fact shuffle's partial collect already wins.
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     ).select("user_id", "event_type", "ts")

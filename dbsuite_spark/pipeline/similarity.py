@@ -63,10 +63,16 @@ def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     folding inside the pair expression, but the per-pair work drops from
     three O(dim) folds to one."""
     e = t(spark, sf_dir, "embeddings")
-    corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ne"),
-        l2_norm(F.col("embedding")).alias("nn"),
+    # Round-14: keyed fan_out — the per-pair cosine folds (|queries|
+    # interpreted O(dim) folds per corpus row) fused into the one-task
+    # embeddings scan; hash(neighbor_id) spreads them session-wide.
+    corpus = fan_out(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            l2_norm(F.col("embedding")).alias("nn"),
+        ),
+        key="neighbor_id",
     )
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),

@@ -469,11 +469,15 @@ def test_dedup_exact_single_exchange(spark, sf_dir):
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     """Brute-force cosine top-k must broadcast the (tiny) query side —
     BroadcastNestedLoopJoin, never CartesianProduct — and rank with one
-    exchange."""
+    exchange plus the round-14 keyed fan_out of the corpus probe (the
+    per-pair cosine folds ran single-task inside the one-row-group
+    embeddings scan; hash(neighbor_id) spreads them — 6/6 interleaved
+    wins at sf0.1, identity at scale)."""
     plan = plan_of(spark, sf_dir, "sim_search_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
-    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Exchange") == 2
+    assert "hashpartitioning(neighbor_id" in plan
 
 
 def test_tokenize_counts_take_ordered(spark, sf_dir):

@@ -21,15 +21,28 @@ from pyspark.sql.window import Window
 
 from dbsuite_spark.exact import BIGCOUNT
 from dbsuite_spark.registry import query
-from dbsuite_spark.tables import t
+from dbsuite_spark.tables import fan_out, t
 
 TOP_TERMS = 100
 TFIDF_PER_DOC = 3
 TOP_BIGRAMS = 200
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+def _tokens(
+    spark: SparkSession, sf_dir: str, key: str | None = None
+) -> DataFrame:
+    """(doc_id, token) exploded stream. ``key="doc_id"`` fan_outs the
+    documents scan hash-partitioned (see ``_shingle_rows`` — same
+    single-task-scan hazard, same scoping-by-consumer discipline): the
+    tokenize+explode then runs session-wide instead of fused into the
+    one-task scan, and a downstream groupBy whose keys INCLUDE doc_id
+    (a superset of the partitioning key satisfies the clustering)
+    plans as one complete aggregation with zero further exchanges.
+    Callers whose aggregation is NOT doc_id-aligned keep the default
+    (no fan_out) unless measured otherwise."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if key is not None:
+        d = fan_out(d, key=key)
     return d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -95,7 +108,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Locally timing-neutral (the fixture corpus is small); at scale the
     saved pass is the win. Evidence:
     plans/r13/text_tfidf_topterms_{before,after}.txt."""
-    tok = _tokens(spark, sf_dir)
+    # Round-14: keyed fan_out of the documents scan (see _tokens) —
+    # hashpartitioning(doc_id) spreads the tokenize+explode AND
+    # satisfies both the (doc_id, token) tf aggregation and the final
+    # per-doc rank window, so the whole key plans with the fan_out
+    # exchange as the ONLY corpus-wide exchange.
+    tok = _tokens(spark, sf_dir, key="doc_id")
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = t(spark, sf_dir, "documents").agg(

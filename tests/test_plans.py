@@ -480,6 +480,22 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "hashpartitioning(neighbor_id" in plan
 
 
+def test_tfidf_window_rides_fanout_partitioning(spark, sf_dir):
+    """TF-IDF (round-14): the documents scan is fan_out'd on doc_id, so
+    (a) the tokenize+explode no longer runs single-task inside the scan,
+    (b) the tf aggregation and the final per-doc rank window both ride
+    hashpartitioning(doc_id) — the exploded-token (doc_id, token)
+    shuffle and the window's own corpus-wide exchange are gone (plan
+    5 → 4 exchanges, and the heavy ones now carry un-exploded document
+    rows; guide §3.3 'explode multiplies the shuffle')."""
+    plan = plan_of(spark, sf_dir, "text_tfidf_topterms")
+    assert n_nodes(plan, "Exchange") == 4
+    assert "hashpartitioning(doc_id" in plan
+    # single WindowGroupLimit: the rank window needs no partial+final
+    # split because its input is already doc_id-partitioned
+    assert n_nodes(plan, "WindowGroupLimit") == 1
+
+
 def test_tokenize_counts_take_ordered(spark, sf_dir):
     """Corpus term frequencies: partial+final agg then per-partition
     top-k — no global sort of the vocabulary."""
